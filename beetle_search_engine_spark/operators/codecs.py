@@ -1,0 +1,81 @@
+"""Posting-list codecs: unsigned LEB128 varint + gap (delta-1) encoding.
+
+The reference stores postings inside Whoosh segment files (reference:
+src/index/build_bm25.py:42-43 writer.commit creates the segment) and as a
+JSON ``{term: [[doc, w], ...]}`` dict for SPLADE (reference:
+src/index/build_splade.py:57-63).  Here postings are parquet rows holding
+binary blobs: sorted docnums as gap-encoded varints, tfs and doc-lengths
+as plain varints.  Everything is numpy-vectorized — no per-value Python
+in the hot path (BASELINE.json input_hint mandate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U7 = np.uint64(7)
+_U127 = np.uint64(127)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array (vectorized)."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    if a.max() < 128:  # fast path: tf/dl are usually single-byte
+        return a.astype(np.uint8).tobytes()
+    # bytes needed per value = number of 7-bit groups
+    nb = np.ones(a.size, dtype=np.int64)
+    v = a >> _U7
+    while v.any():
+        nb += (v > 0)
+        v >>= _U7
+    pos = np.zeros(a.size, dtype=np.int64)
+    np.cumsum(nb[:-1], out=pos[1:])
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for k in range(int(nb.max())):
+        m = nb > k
+        b = ((a[m] >> np.uint64(7 * k)) & _U127).astype(np.uint8)
+        b[nb[m] > k + 1] |= 128
+        out[pos[m] + k] = b
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array (vectorized)."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero(raw < 128)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    for k in range(int(lens.max())):
+        m = lens > k
+        vals[m] |= (raw[starts[m] + k] & _U127).astype(np.uint64) << np.uint64(7 * k)
+    return vals
+
+
+def encode_docgaps(docnums: np.ndarray) -> bytes:
+    """Gap-encode a strictly-increasing docnum array.
+
+    First value is stored as a delta from -1 (i.e. doc0 itself +0), each
+    subsequent as (doc_i - doc_{i-1} - 1); sorted-unique input makes every
+    gap >= 0 and typically tiny -> 1-byte varints for dense postings.
+    """
+    d = np.ascontiguousarray(docnums, dtype=np.int64)
+    gaps = np.empty(d.size, dtype=np.uint64)
+    if d.size:
+        gaps[0] = np.uint64(d[0])
+        gaps[1:] = (d[1:] - d[:-1] - 1).astype(np.uint64)
+    return varint_encode(gaps)
+
+
+def decode_docgaps(buf: bytes) -> np.ndarray:
+    gaps = varint_decode(buf).astype(np.int64)
+    if gaps.size == 0:
+        return gaps
+    gaps[1:] += 1
+    return np.cumsum(gaps)
