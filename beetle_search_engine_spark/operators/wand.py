@@ -1,0 +1,251 @@
+"""Query-time top-k kernels (SURVEY.md §4.2.3, J7/K1).
+
+Runs per docnum *chunk* under ``groupBy("chunk").applyInPandas`` — the
+posting rows for the query's terms, already bucket-pruned at the scan,
+are shuffled by chunk so every chunk scores independently with a bounded
+min-heap; the global merge is a Catalyst TakeOrderedAndProject over at
+most (chunks x k) rows.
+
+Two modes, mirroring the reference's query semantics:
+
+* ``and`` (default) — Whoosh's MultifieldParser default AndGroup: every
+  query term required, matching in >=1 field (reference:
+  src/search/search_bm25.py:32-36).  Implemented as vectorized sorted-set
+  intersection rarest-term-first, with row-range (block) skipping: rows of
+  later terms whose [doc_lo, doc_hi] cannot intersect the candidate range
+  are never decoded.
+
+* ``or`` — disjunctive block-max WAND: row-granularity pivoting on
+  suffix-max upper bounds, block-max window check against the heap floor,
+  and vectorized exact scoring of surviving windows.  Rows whose bound
+  cannot beat the current top-k floor are skipped without decoding.
+
+Exact scores are recomputed in float64 from (tf, dl, df) — the stored
+float32 ``max_score``/``block_max`` are upper bounds only — so results are
+bit-comparable with the pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+from .codecs import decode_docgaps, varint_decode
+from .scoring import term_scores
+
+EMPTY = pd.DataFrame({"docnum": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+
+
+class _Row:
+    __slots__ = ("doc_lo", "doc_hi", "max_score", "df", "_docs", "_tfs", "_dls", "_dec")
+
+    def __init__(self, doc_lo, doc_hi, max_score, df, docs, tfs, dls):
+        self.doc_lo = doc_lo
+        self.doc_hi = doc_hi
+        self.max_score = max_score
+        self.df = df
+        self._docs, self._tfs, self._dls = docs, tfs, dls
+        self._dec = None
+
+    def decode(self):
+        if self._dec is None:
+            self._dec = (
+                decode_docgaps(self._docs),
+                varint_decode(self._tfs).astype(np.float64),
+                varint_decode(self._dls).astype(np.float64),
+            )
+        return self._dec
+
+
+class _Cursor:
+    """Per (field, term) sorted row list with a suffix-max score bound."""
+
+    __slots__ = ("field", "term", "rows", "ptr", "suffix_ub", "df", "n")
+
+    def __init__(self, field, term, rows):
+        rows.sort(key=lambda r: r.doc_lo)
+        self.field, self.term, self.rows = field, term, rows
+        self.ptr = 0
+        ub = 0.0
+        sufs = [0.0] * len(rows)
+        for i in range(len(rows) - 1, -1, -1):
+            ub = max(ub, rows[i].max_score)
+            sufs[i] = ub
+        self.suffix_ub = sufs
+        self.df = rows[0].df if rows else 0
+        self.n = sum(r.doc_hi - r.doc_lo + 1 for r in rows)  # upper est
+
+    @property
+    def cur(self):
+        return self.rows[self.ptr]
+
+    @property
+    def done(self):
+        return self.ptr >= len(self.rows)
+
+
+def _cursors_from_pdf(pdf: pd.DataFrame) -> dict[tuple[str, str], _Cursor]:
+    groups: dict[tuple[str, str], list[_Row]] = {}
+    fields = pdf["field"].to_numpy()
+    terms = pdf["term"].to_numpy()
+    lo = pdf["doc_lo"].to_numpy()
+    hi = pdf["doc_hi"].to_numpy()
+    ms = pdf["max_score"].to_numpy()
+    dfv = pdf["df"].to_numpy()
+    docs = pdf["docs"].to_numpy()
+    tfs = pdf["tfs"].to_numpy()
+    dls = pdf["dls"].to_numpy()
+    for i in range(len(pdf)):
+        groups.setdefault((fields[i], terms[i]), []).append(
+            _Row(int(lo[i]), int(hi[i]), float(ms[i]), int(dfv[i]), docs[i], tfs[i], dls[i])
+        )
+    return {k: _Cursor(k[0], k[1], v) for k, v in groups.items()}
+
+
+def make_wand_kernel(terms: list[str], stats: dict, k: int, mode: str = "and"):
+    """Build the applyInPandas kernel for one query."""
+    k1, b = stats["k1"], stats["b"]
+    n_docs = stats["n_docs"]
+    avgdl = stats["avgdl"]
+    boosts = stats["field_boosts"]
+    qterms = list(dict.fromkeys(terms))
+
+    def contribs(cursor: _Cursor, row: _Row):
+        d, tf, dl = row.decode()
+        sc = term_scores(
+            tf, dl, cursor.df, boosts.get(cursor.field, 1.0), k1, b, n_docs, avgdl[cursor.field]
+        )
+        return d, sc
+
+    # ---------------- conjunctive (AND) ----------------
+    def kernel_and(pdf: pd.DataFrame) -> pd.DataFrame:
+        cursors = _cursors_from_pdf(pdf)
+        by_term: dict[str, list[_Cursor]] = {}
+        for (f, t), c in cursors.items():
+            by_term.setdefault(t, []).append(c)
+        if any(t not in by_term for t in qterms):
+            return EMPTY  # a required term is absent from this chunk
+        order = sorted(qterms, key=lambda t: sum(c.n for c in by_term[t]))
+        cand = None
+        for t in order:
+            parts = []
+            for c in by_term[t]:
+                for r in c.rows:
+                    if cand is not None and (r.doc_hi < cand[0] or r.doc_lo > cand[-1]):
+                        continue  # block skip: range can't intersect
+                    parts.append(r.decode()[0])
+            if not parts:
+                return EMPTY
+            docs_t = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+            if cand is None:
+                cand = docs_t
+            else:
+                cand = np.intersect1d(cand, docs_t, assume_unique=True)
+            if cand.size == 0:
+                return EMPTY
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t in qterms:
+            for c in by_term[t]:
+                for r in c.rows:
+                    if r.doc_hi < cand[0] or r.doc_lo > cand[-1]:
+                        continue
+                    d, sc = contribs(c, r)
+                    idx = np.searchsorted(cand, d)
+                    m = (idx < cand.size) & (cand[np.minimum(idx, cand.size - 1)] == d)
+                    scores[idx[m]] += sc[m]
+        if cand.size > k:
+            sel = np.lexsort((cand, -scores))[:k]
+        else:
+            sel = np.lexsort((cand, -scores))
+        return pd.DataFrame({"docnum": cand[sel], "score": scores[sel]})
+
+    # ---------------- disjunctive (block-max WAND) ----------------
+    def kernel_or(pdf: pd.DataFrame) -> pd.DataFrame:
+        cursors = [c for c in _cursors_from_pdf(pdf).values() if c.term in qterms]
+        heap: list[tuple[float, int]] = []  # (score, -docnum) min-heap, size <= k
+        watermark = -1  # docs <= watermark are fully scored; windows disjoint
+
+        def theta():
+            return heap[0][0] if len(heap) >= k else -np.inf
+
+        def cur_lo(c):
+            # effective current doc: a partially-consumed row starts after
+            # the watermark
+            return max(c.cur.doc_lo, watermark + 1)
+
+        while True:
+            actives = [c for c in cursors if not c.done]
+            if not actives:
+                break
+            actives.sort(key=cur_lo)
+            th = theta()
+            acc = 0.0
+            pivot = -1
+            for i, c in enumerate(actives):
+                acc += c.suffix_ub[c.ptr]
+                if acc > th:
+                    pivot = i
+                    break
+            if pivot < 0:
+                break  # nothing remaining can beat the floor
+            pivot_doc = cur_lo(actives[pivot])
+            # skip rows entirely before the pivot (no decode)
+            advanced = False
+            for c in actives[:pivot]:
+                while not c.done and c.cur.doc_hi < pivot_doc:
+                    c.ptr += 1
+                    advanced = True
+            if advanced:
+                continue
+            # window = [pivot_doc, H]; H = min doc_hi over intersecting rows
+            H = actives[pivot].cur.doc_hi
+            involved = []
+            for c in actives:
+                if not c.done and cur_lo(c) <= H and c.cur.doc_hi >= pivot_doc:
+                    involved.append(c)
+                    H = min(H, c.cur.doc_hi)
+            # block-max check: can this window possibly beat the floor?
+            ub = sum(c.cur.max_score for c in involved)
+            if ub <= th:
+                watermark = H  # window provably dead: nothing in it can win
+                for c in involved:
+                    if c.cur.doc_hi <= H:
+                        c.ptr += 1  # block-max skip, no decode
+                continue
+            # exact scoring of the window (vectorized union)
+            all_d, all_s = [], []
+            for c in involved:
+                d, sc = contribs(c, c.cur)
+                m = (d >= pivot_doc) & (d <= H)
+                if m.any():
+                    all_d.append(d[m])
+                    all_s.append(sc[m])
+            if all_d:
+                d = np.concatenate(all_d)
+                sc = np.concatenate(all_s)
+                ud, inv = np.unique(d, return_inverse=True)
+                us = np.zeros(ud.size, dtype=np.float64)
+                np.add.at(us, inv, sc)
+                for doc, s in zip(ud.tolist(), us.tolist()):
+                    item = (s, -doc)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+            watermark = H  # window fully scored; never revisit its docs
+            for c in involved:
+                if c.cur.doc_hi <= H:
+                    c.ptr += 1
+        if not heap:
+            return EMPTY
+        items = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return pd.DataFrame(
+            {
+                "docnum": np.array([-i[1] for i in items], dtype=np.int64),
+                "score": np.array([i[0] for i in items], dtype=np.float64),
+            }
+        )
+
+    return kernel_and if mode == "and" else kernel_or

@@ -1,0 +1,104 @@
+"""End-to-end: build index over the synthetic graft corpus, query it, and
+assert rank-identity + score equality vs the pure-Python BM25F oracle
+(SURVEY.md §5.2.2), plus resume and per-row-invariant checks."""
+
+import json
+import os
+
+import pytest
+
+from beetle_search_engine_spark.config import BM25Params, EngineConfig, IndexConfig
+from beetle_search_engine_spark.operators.build import build_index
+from beetle_search_engine_spark.plans.query import BM25Index
+from beetle_search_engine_spark.sources.corpus import generate_corpus, verify_content_sha
+
+from .oracle import assert_rank_identical, bm25_oracle
+
+N_DOCS = 300
+FIELDS = {"title": "path", "body": "content"}
+# tiny layout so 300 docs exercise multi-chunk, multi-block, salting paths
+CFG = EngineConfig(
+    bm25=BM25Params(),
+    index=IndexConfig(
+        n_buckets=8,
+        block_size=16,
+        blocks_per_row=4,
+        chunk_docs=64,
+        hot_df_threshold=60,
+        hot_salts=4,
+        encode_partitions=8,
+        bucket_groups=2,
+    ),
+)
+
+QUERIES = [
+    "transformer models",          # the reference's own smoke query (search_bm25.py:48)
+    "spark partition shuffle",
+    "def class return value",
+    "search rank score",
+    "file_7.py",                   # title (path) field hit, interior-dot token
+    "query",
+    "no_such_term_anywhere_xyz",
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx"))
+    corpus = generate_corpus(spark, N_DOCS, seed=7)
+    metrics = build_index(spark, corpus, idx, fields=FIELDS, cfg=CFG, meta_cols=("repo", "path"))
+    rows = corpus.select("doc_id", "path", "content").collect()
+    docs = [r.asDict() for r in rows]
+    return idx, metrics, docs, corpus
+
+
+def test_per_row_invariant(spark, built):
+    _, _, _, corpus = built
+    assert verify_content_sha(corpus) == 0
+
+
+def test_build_metrics_sane(built):
+    _, m, docs, _ = built
+    assert m["n_docs"] == N_DOCS
+    assert m["postings"] > N_DOCS  # way more postings than docs
+    assert m["n_hot_terms"] > 0    # Zipf head detected -> salting exercised
+    assert m["groups_built"] == 2 and m["groups_skipped"] == 0
+
+
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_rank_identical_vs_oracle(spark, built, mode):
+    idx, _, docs, _ = built
+    index = BM25Index(spark, idx)
+    for q in QUERIES:
+        got = [(r["doc_id"], r["score"]) for r in index.search(q, top_k=10, mode=mode).collect()]
+        want = bm25_oracle(docs, q, FIELDS, top_k=10, mode=mode)
+        assert_rank_identical(got, want)
+
+
+def test_empty_query(spark, built):
+    idx, _, _, _ = built
+    index = BM25Index(spark, idx)
+    assert index.search("the a an", top_k=10).count() == 0  # all stopwords
+
+
+def test_resume_skips_completed_groups(spark, built):
+    idx, _, _, corpus = built
+    m2 = build_index(spark, corpus, idx, fields=FIELDS, cfg=CFG, meta_cols=("repo", "path"))
+    assert m2["groups_built"] == 0
+    assert m2["groups_skipped"] == 2
+
+
+def test_resume_rebuilds_on_corpus_change(spark, built, tmp_path):
+    idx, _, _, _ = built
+    # different corpus -> fingerprint mismatch -> full rebuild
+    other = generate_corpus(spark, 50, seed=9)
+    idx2 = str(tmp_path / "idx2")
+    os.makedirs(idx2, exist_ok=True)
+    # seed manifests from the old index to simulate a stale checkpoint
+    os.makedirs(f"{idx2}/_manifest", exist_ok=True)
+    with open(f"{idx}/_manifest/group_0.json") as f:
+        stale = json.load(f)
+    with open(f"{idx2}/_manifest/group_0.json", "w") as f:
+        json.dump(stale, f)
+    m = build_index(spark, other, idx2, fields=FIELDS, cfg=CFG)
+    assert m["groups_built"] == 2  # stale manifest ignored (fingerprint mismatch)
