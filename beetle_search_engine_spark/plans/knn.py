@@ -1,0 +1,137 @@
+"""Vector similarity search (SURVEY J6/F17, reference FAISS path:
+src/index/build_faiss.py:30-43 IndexFlatL2; src/search/search_faiss.py:48).
+
+Brute-force exact top-k is the baseline: distance as a pure column
+expression (zip_with + aggregate, JVM-side) over the embeddings table, then
+TakeOrderedAndProject — at scale a single narrow scan + a k-row merge, no
+shuffle of the vectors.  FAISS returns *squared* L2; we keep that.
+
+The scale path is sign-LSH (random-hyperplane) bucketing: a deterministic
+hash projection assigns each vector a bucket key; queries probe only their
+own bucket (equi-join partition pruning instead of a full scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _query_vec(emb: DataFrame, query_id: int, id_col: str, vec_col: str) -> DataFrame:
+    return emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sq_l2(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def knn_l2(emb: DataFrame, query_id: int, top_k: int = 10, id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """Exact KNN by squared L2, ascending (FAISS IndexFlatL2 semantics),
+    query vector taken from the table itself (self excluded)."""
+    q = F.broadcast(_query_vec(emb, query_id, id_col, vec_col))
+    return (
+        emb.crossJoin(q)
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(_sq_l2(F.col(vec_col), F.col("qvec")), 4).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+def knn_dot(emb: DataFrame, query_id: int, top_k: int = 10, id_col="vec_id", vec_col="embedding") -> DataFrame:
+    q = F.broadcast(_query_vec(emb, query_id, id_col, vec_col))
+    return (
+        emb.crossJoin(q)
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(_dot(F.col(vec_col), F.col("qvec")), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+def knn_cosine(emb: DataFrame, query_id: int, top_k: int = 10, id_col="vec_id", vec_col="embedding") -> DataFrame:
+    q = F.broadcast(_query_vec(emb, query_id, id_col, vec_col))
+    v, qv = F.col(vec_col), F.col("qvec")
+    cos = _dot(v, qv) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qv, qv)))
+    return (
+        emb.crossJoin(q)
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(cos, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# scale path: sign-LSH bucketing
+
+
+def _sign_bits(vec_col, dim: int, planes: int, seed: int) -> F.Column:
+    """LSH bucket key: sign bits of dot products against `planes`
+    deterministic pseudo-random hyperplanes.  Plane component p[j,i] is
+    derived from xxhash64(j, i, seed) mapped to [-1, 1] — reproducible on
+    any cluster with no stored model."""
+    def comp(j, i):
+        return (F.pmod(F.xxhash64(F.lit(j), F.lit(i), F.lit(seed)), F.lit(2001)) - 1000.0) / 1000.0
+
+    bits = []
+    for j in range(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array([comp(j, i) for i in range(dim)]),
+                lambda x, p: (x * p).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**j))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_index(emb: DataFrame, dim: int, planes: int = 6, seed: int = 42, vec_col="embedding") -> DataFrame:
+    return emb.withColumn("lsh_bucket", _sign_bits(F.col(vec_col), dim, planes, seed))
+
+
+def ann_lsh_cosine(
+    emb: DataFrame,
+    query_id: int,
+    dim: int,
+    top_k: int = 10,
+    planes: int = 6,
+    seed: int = 42,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: probe only vectors in the query's LSH
+    bucket (at scale: bucket-partitioned storage -> partition-pruned scan)."""
+    idx = lsh_index(emb, dim, planes, seed, vec_col)
+    qrow = F.broadcast(
+        idx.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("qvec"), F.col("lsh_bucket").alias("qbucket")
+        )
+    )
+    v, qv = F.col(vec_col), F.col("qvec")
+    cos = _dot(v, qv) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qv, qv)))
+    return (
+        idx.join(qrow, idx.lsh_bucket == F.col("qbucket"))
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(cos, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )

@@ -1,0 +1,96 @@
+"""BM25 as a pure DataFrame composition (no index, no Python).
+
+This is the *oracle-comparable* scoring path: the same BM25 formula as the
+engine (operators/scoring.py) over the reduced SQL tokenizer chain, built
+entirely from Catalyst operators — tokenize/explode/agg joins + log
+arithmetic + top-k.  It exists to (a) gate the engine's math against a
+DuckDB oracle in CORRECTNESS_r{N}.json, and (b) serve ad-hoc scoring where
+building a persistent index isn't worth it.  SURVEY A1-A3, J7-as-join, K1.
+
+Also hosts the SPLADE-shaped weighted-posting scorer (SURVEY A4/A5,
+reference: src/index/build_splade.py:40-55, src/search/search_splade.py:62-66):
+same machinery with learned-ish weights instead of raw tf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.textops import doc_lengths, term_frequencies
+
+
+def sql_bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    mode: str = "or",
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """(doc_id, score) top-k, score = sum over matching query terms of
+    idf*w(K1+1)/(w+K1*(1-B+B*dl/avgdl)), idf = ln(N/(df+1))+1."""
+    tf = term_frequencies(docs, text_col, id_col)
+    dl = doc_lengths(docs, text_col, id_col)
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = (
+        tf.filter(F.col("term").isin(query_terms))
+        .join(F.broadcast(dfreq.filter(F.col("term").isin(query_terms))), "term")
+        .join(dl, id_col)
+        .crossJoin(stats)
+    )
+    idf = F.log(F.col("n_docs") / (F.col("df") + 1.0)) + 1.0
+    w = F.col("tf").cast("double")
+    contrib = idf * (w * (k1 + 1.0)) / (w + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = q.groupBy(id_col).agg(
+        F.sum(contrib).alias("_score"),
+        F.count(F.lit(1)).alias("_nterms"),
+    )
+    if mode == "and":
+        scored = scored.filter(F.col("_nterms") == len(set(query_terms)))
+    return (
+        scored.select(F.col(id_col), F.round(F.col("_score"), round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+def splade_like_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted-posting dot-product retrieval: doc weight =
+    log1p(tf) * ln(1 + N/df) (a SPLADE-shaped sparse expansion stand-in —
+    the sandbox has no model downloads), query weight = 1.  Score =
+    sum of matched weights (SURVEY A5)."""
+    tf = term_frequencies(docs, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    weighted = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(stats)
+        .select(
+            F.col(id_col),
+            "term",
+            (F.log1p(F.col("tf")) * F.log(1.0 + F.col("n_docs") / F.col("df"))).alias("weight"),
+        )
+    )
+    return (
+        weighted.filter(F.col("term").isin(query_terms))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("weight"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )
