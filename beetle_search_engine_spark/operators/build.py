@@ -43,32 +43,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
-from .codecs import encode_docgaps, varint_encode
+from .codecs import encode_docgap_rows, varint_encode_rows
 from .docnums import assign_docnums, write_docids
-from .scoring import term_scores
 from .tokenize import tokenize
 
 POSTINGS_SCHEMA = (
     "bucket int, field string, term string, df long, chunk long, "
     "doc_lo long, doc_hi long, n int, max_score float, "
     "block_n array<int>, block_max array<float>, "
-    "docs binary, tfs binary, dls binary"
+    "docs binary, tfs binary, dls binary, row_bytes long"
 )
 
 
-def _fingerprint(dim: DataFrame) -> dict:
-    row = dim.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("bit_xor(xxhash64(doc_id))").alias("h"),
-    ).collect()[0]
-    return {"n_docs": int(row["n"]), "id_hash_xor": int(row["h"] or 0)}
-
-
 def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict):
-    """Streaming per-partition encoder.  Input is sorted by
-    (field, term, docnum); buffers one (field, term) run at a time
-    (bounded: non-hot runs <= hot threshold, hot runs <= df/hot_salts),
-    then flushes chunk-aligned block-group rows."""
+    """Streaming per-partition encoder, vectorized across terms.
+
+    Input is sorted by (field, term, docnum).  Each Arrow batch is encoded
+    in whole-array numpy passes: span detection, df assignment, BM25
+    scoring, block-max reduction and varint encoding all happen once per
+    batch, not once per term.  Only the partition's final (field, term) run
+    is carried to the next batch (it may continue there)."""
     block = cfg.index.block_size
     row_cap = block * cfg.index.blocks_per_row
     chunk_docs = cfg.index.chunk_docs
@@ -77,78 +71,122 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict):
     n_docs = stats["n_docs"]
     avgdl = stats["avgdl"]
 
-    def flush(field, term, bucket, docs, tfs, dls, out):
-        docs = np.concatenate(docs)
-        tfs = np.concatenate(tfs).astype(np.float64)
-        dls = np.concatenate(dls).astype(np.float64)
-        df = hot_df.get((field, term), docs.size)
-        boost = boosts.get(field, 1.0)
-        scores = term_scores(tfs, dls, df, boost, k1, b, n_docs, avgdl[field])
+    def encode_region(fields, terms, buckets, docs, tfs, dls):
+        """Encode complete runs -> columnar dict for one output frame."""
+        n = docs.size
+        if n == 0:
+            return None
+        key_change = np.empty(n, dtype=bool)
+        key_change[0] = True
+        key_change[1:] = (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
+        span_starts = np.flatnonzero(key_change)
+        span_ends = np.append(span_starts[1:], n)
+        span_len = span_ends - span_starts
+
+        # df per span: run length, except salted hot terms (exact df from
+        # the broadcast map)
+        span_df = span_len.astype(np.int64)
+        if hot_df:
+            for i, s in enumerate(span_starts):
+                d = hot_df.get((fields[s], terms[s]))
+                if d is not None:
+                    span_df[i] = d
+
+        # vectorized BM25 contributions for every posting at once
+        df_pp = np.repeat(span_df, span_len).astype(np.float64)
+        boost_pp = np.repeat(
+            np.array([boosts.get(fields[s], 1.0) for s in span_starts]), span_len
+        )
+        avgdl_pp = np.repeat(
+            np.array([avgdl[fields[s]] for s in span_starts]), span_len
+        )
+        idf = np.log(n_docs / (df_pp + 1.0)) + 1.0
+        w = tfs.astype(np.float64) * boost_pp
+        scores = idf * (w * (k1 + 1.0)) / (w + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl_pp))
+
+        # row starts: key change | chunk change, then row_cap splits
         chunks = docs // chunk_docs
-        # row boundaries: at every chunk change, and every row_cap postings
-        change = np.flatnonzero(chunks[1:] != chunks[:-1]) + 1
-        spans = np.concatenate(([0], change, [docs.size]))
-        starts: list[int] = []
-        for s, e in zip(spans[:-1], spans[1:]):
-            starts.extend(range(int(s), int(e), row_cap))
-        bounds = starts + [docs.size]
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            d, t, l, sc = docs[s:e], tfs[s:e], dls[s:e], scores[s:e]
-            bstarts = np.arange(0, d.size, block)
-            bmax = np.maximum.reduceat(sc, bstarts)
-            bmax32 = np.nextafter(bmax.astype(np.float32), np.float32(np.inf))
-            bn = np.diff(np.append(bstarts, d.size)).astype(np.int32)
-            out.append(
-                {
-                    "bucket": bucket,
-                    "field": field,
-                    "term": term,
-                    "df": int(df),
-                    "chunk": int(d[0] // chunk_docs),
-                    "doc_lo": int(d[0]),
-                    "doc_hi": int(d[-1]),
-                    "n": int(d.size),
-                    "max_score": float(bmax32.max()),
-                    "block_n": bn.tolist(),
-                    "block_max": bmax32.tolist(),
-                    "docs": encode_docgaps(d),
-                    "tfs": varint_encode(t.astype(np.uint64)),
-                    "dls": varint_encode(l.astype(np.uint64)),
-                }
+        brk = key_change.copy()
+        brk[1:] |= chunks[1:] != chunks[:-1]
+        base = np.flatnonzero(brk)
+        base_ends = np.append(base[1:], n)
+        long_spans = np.flatnonzero(base_ends - base > row_cap)
+        if long_spans.size:
+            extra = np.concatenate(
+                [np.arange(base[i] + row_cap, base_ends[i], row_cap) for i in long_spans]
             )
+            row_starts = np.sort(np.concatenate([base, extra]))
+        else:
+            row_starts = base
+        row_ends = np.append(row_starts[1:], n)
+        row_n = row_ends - row_starts
+        row_span = np.searchsorted(span_starts, row_starts, side="right") - 1
+
+        # block starts within rows
+        rid_pp = np.searchsorted(row_starts, np.arange(n), side="right") - 1
+        off_in_row = np.arange(n) - row_starts[rid_pp]
+        block_starts = np.flatnonzero(off_in_row % block == 0)
+        bmax = np.maximum.reduceat(scores, block_starts)
+        bmax32 = np.nextafter(bmax.astype(np.float32), np.float32(np.inf))
+        block_n = (np.append(block_starts[1:], n) - block_starts).astype(np.int32)
+        blocks_per_row = np.bincount(rid_pp[block_starts], minlength=row_starts.size)
+        bsplit = np.cumsum(blocks_per_row)[:-1]
+        bmax_rows = np.split(bmax32, bsplit)
+        bn_rows = np.split(block_n, bsplit)
+        row_max = np.maximum.reduceat(bmax32, np.insert(bsplit, 0, 0))
+
+        docs_bin = encode_docgap_rows(docs, row_starts)
+        tfs_bin = varint_encode_rows(tfs.astype(np.uint64), row_starts)
+        dls_bin = varint_encode_rows(dls.astype(np.uint64), row_starts)
+
+        return {
+            "bucket": buckets[row_starts].astype(np.int32),
+            "field": fields[row_starts],
+            "term": terms[row_starts],
+            "df": span_df[row_span],
+            "chunk": chunks[row_starts],
+            "doc_lo": docs[row_starts],
+            "doc_hi": docs[row_ends - 1],
+            "n": row_n.astype(np.int32),
+            "max_score": row_max.astype(np.float32),
+            "block_n": [x.tolist() for x in bn_rows],
+            "block_max": [x.tolist() for x in bmax_rows],
+            "docs": docs_bin,
+            "tfs": tfs_bin,
+            "dls": dls_bin,
+            "row_bytes": np.array(
+                [len(a) + len(t) + len(l) for a, t, l in zip(docs_bin, tfs_bin, dls_bin)],
+                dtype=np.int64,
+            ),
+        }
 
     def kernel(batches):
-        cur = None  # (field, term, bucket)
-        bufs = ([], [], [])  # docs, tfs, dls
-        out: list[dict] = []
+        carry = None  # (fields, terms, buckets, docs, tfs, dls) of open run
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            fields = pdf["field"].to_numpy()
-            terms = pdf["term"].to_numpy()
-            docs = pdf["docnum"].to_numpy()
-            tfs = pdf["tf"].to_numpy()
-            dls = pdf["dl"].to_numpy()
-            buckets = pdf["bucket"].to_numpy()
-            # span boundaries where (field, term) changes
-            change = np.flatnonzero((fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])) + 1
-            bounds = np.concatenate(([0], change, [len(pdf)]))
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                key = (fields[s], terms[s], int(buckets[s]))
-                if cur is not None and key != cur:
-                    flush(cur[0], cur[1], cur[2], *bufs, out)
-                    bufs = ([], [], [])
-                cur = key
-                bufs[0].append(docs[s:e])
-                bufs[1].append(tfs[s:e])
-                bufs[2].append(dls[s:e])
-            if len(out) >= 256:
+            cols = (
+                pdf["field"].to_numpy(),
+                pdf["term"].to_numpy(),
+                pdf["bucket"].to_numpy(),
+                pdf["docnum"].to_numpy(),
+                pdf["tf"].to_numpy(),
+                pdf["dl"].to_numpy(),
+            )
+            if carry is not None:
+                cols = tuple(np.concatenate([c, x]) for c, x in zip(carry, cols))
+            fields, terms = cols[0], cols[1]
+            # hold back the trailing (field, term) run — it may continue
+            kc = np.flatnonzero((fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1]))
+            last_start = int(kc[-1]) + 1 if kc.size else 0
+            carry = tuple(c[last_start:] for c in cols)
+            out = encode_region(*(c[:last_start] for c in cols))
+            if out is not None:
                 yield pd.DataFrame(out)
-                out = []
-        if cur is not None:
-            flush(cur[0], cur[1], cur[2], *bufs, out)
-        if out:
-            yield pd.DataFrame(out)
+        if carry is not None and carry[0].size:
+            out = encode_region(*carry)
+            if out is not None:
+                yield pd.DataFrame(out)
 
     return kernel
 
@@ -166,9 +204,17 @@ def build_index(
     fields = fields or {"body": "content"}
     os.makedirs(f"{index_dir}/_manifest", exist_ok=True)
     t0 = time.time()
+    debug = os.environ.get("BEETLE_BUILD_DEBUG") == "1"
+    _last = [t0]
 
-    dim = assign_docnums(corpus)
-    fp = _fingerprint(dim)
+    def _mark(label):
+        if debug:
+            now = time.time()
+            print(f"[build] {label}: +{now - _last[0]:.2f}s (t={now - t0:.2f}s)", flush=True)
+            _last[0] = now
+
+    dim, fp = assign_docnums(corpus)
+    _mark('docnums + fingerprint')
     n_docs = fp["n_docs"]
 
     stats_path = f"{index_dir}/stats.json"
@@ -181,24 +227,42 @@ def build_index(
 
     if prior is None:
         write_docids(dim, f"{index_dir}/docids", meta_cols)
+        _mark('write_docids')
 
-    tokens = tokenize(dim, fields).persist(StorageLevel.MEMORY_AND_DISK)
+    # Stage tokens to parquet once (columnar, splittable) rather than
+    # JVM-cache them: the in-memory columnar store serializes/compresses
+    # under the block manager lock and measurably anti-scales at high
+    # local concurrency, while a parquet round-trip scales linearly and
+    # doubles as the resume point for multi-group builds.
+    stage_path = f"{index_dir}/_stage/tokens"
+    tokenize(dim, fields).write.mode("overwrite").parquet(stage_path)
+    tokens = spark.read.parquet(stage_path)
+    _mark('tokenize -> stage parquet')
 
-    # ---- corpus stats: avgdl per field = sum(tf)/N (map-side combined agg)
+    # ---- one aggregation pass over tokens feeds everything:
+    # df + per-term tf sums (map-side combined); avgdl/vocab/hot derive
+    # from this much smaller frame.
+    thr = cfg.index.hot_df_threshold or max(5000, n_docs // 50)
+    dfs = (
+        tokens.groupBy("field", "term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tfsum"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
     if prior is None:
-        avg_rows = tokens.groupBy("field").agg(F.sum("tf").alias("s")).collect()
+        avg_rows = dfs.groupBy("field").agg(F.sum("tfsum").alias("s")).collect()
+        _mark('df/avgdl (tokens materialize)')
         avgdl = {r["field"]: float(r["s"]) / n_docs for r in avg_rows}
         for fname in fields:
             avgdl.setdefault(fname, 1.0)
     else:
         avgdl = prior["avgdl"]
 
-    # ---- df + hot-term detection (Zipf head -> salted encode)
-    thr = cfg.index.hot_df_threshold or max(5000, n_docs // 50)
-    dfs = tokens.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
-    hot_rows = dfs.filter(F.col("df") > thr).collect()
+    # ---- hot-term detection (Zipf head -> salted encode)
+    hot_rows = dfs.filter(F.col("df") > thr).select("field", "term", "df").collect()
     hot_df = {(r["field"], r["term"]): int(r["df"]) for r in hot_rows}
     vocab_size = dfs.count()
+    dfs.unpersist()
+    _mark('hot df + vocab')
 
     stats = {
         "n_docs": n_docs,
@@ -236,7 +300,10 @@ def build_index(
         ).otherwise(F.lit(0))
     else:
         salt = F.lit(0)
-    base = base.withColumn("_key", F.xxhash64("term", salt.cast("long")))
+    # bucket-major shuffle key: a reduce task owns whole buckets (salted
+    # hot terms excepted), so partitionBy(bucket) writes ~1 file per
+    # bucket instead of tasks x buckets small files.
+    base = base.withColumn("_key", F.xxhash64("bucket", salt.cast("long")))
 
     group_metrics = []
     for g in range(groups):
@@ -258,6 +325,7 @@ def build_index(
         )
         out_path = f"{index_dir}/postings/group={g}"
         enc.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+        _mark(f'encode group {g}')
         wall = time.time() - tg
         agg = (
             spark.read.parquet(out_path)
@@ -265,7 +333,8 @@ def build_index(
             .agg(
                 F.sum("n").alias("postings"),
                 F.count(F.lit(1)).alias("rows"),
-                F.sum(F.length("docs") + F.length("tfs") + F.length("dls")).alias("bytes"),
+                F.sum("row_bytes").alias("bytes"),  # column-pruned: never
+                # rereads the binary posting blobs
             )
             .agg(
                 F.sum("postings").alias("postings"),
@@ -291,7 +360,9 @@ def build_index(
             json.dump(man, f, indent=1)
         group_metrics.append(man)
 
-    tokens.unpersist()
+    import shutil as _sh
+
+    _sh.rmtree(f"{index_dir}/_stage", ignore_errors=True)
     with open(stats_path, "w") as f:
         json.dump(stats, f, indent=1)
 

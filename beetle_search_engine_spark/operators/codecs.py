@@ -58,6 +58,46 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
+def varint_encode_rows(values: np.ndarray, row_starts: np.ndarray) -> list[bytes]:
+    """Encode one array and slice it into per-row byte strings at
+    ``row_starts`` (value indices).  One vectorized pass for the whole
+    batch instead of one varint_encode call per posting row."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    n = a.size
+    if n == 0:
+        return []
+    nb = np.ones(n, dtype=np.int64)
+    v = a >> _U7
+    while v.any():
+        nb += (v > 0)
+        v >>= _U7
+    pos = np.zeros(n, dtype=np.int64)
+    np.cumsum(nb[:-1], out=pos[1:])
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for k in range(int(nb.max())):
+        m = nb > k
+        bts = ((a[m] >> np.uint64(7 * k)) & _U127).astype(np.uint8)
+        bts[nb[m] > k + 1] |= 128
+        out[pos[m] + k] = bts
+    buf = out.tobytes()
+    byte_starts = pos[row_starts]
+    byte_ends = np.append(byte_starts[1:], len(buf))
+    return [buf[s:e] for s, e in zip(byte_starts.tolist(), byte_ends.tolist())]
+
+
+def encode_docgap_rows(docnums: np.ndarray, row_starts: np.ndarray) -> list[bytes]:
+    """Gap-encode a batch of concatenated per-row sorted docnum runs: the
+    first value of each row is stored absolute (delta from -1), the rest as
+    (delta - 1) within the row."""
+    d = np.ascontiguousarray(docnums, dtype=np.int64)
+    gaps = np.empty(d.size, dtype=np.int64)
+    if d.size:
+        gaps[0] = d[0]
+        gaps[1:] = d[1:] - d[:-1] - 1
+        gaps[row_starts] = d[row_starts]  # row-initial values absolute
+    return varint_encode_rows(gaps.astype(np.uint64), row_starts)
+
+
 def encode_docgaps(docnums: np.ndarray) -> bytes:
     """Gap-encode a strictly-increasing docnum array.
 

@@ -22,9 +22,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def assign_docnums(df: DataFrame, id_col: str = "doc_id", partitions: int | None = None) -> DataFrame:
-    """Return df + a dense ``docnum`` long column (0..N-1), unique and
-    deterministic for a given input set."""
+def assign_docnums(
+    df: DataFrame, id_col: str = "doc_id", partitions: int | None = None
+) -> tuple[DataFrame, dict]:
+    """Return (df + dense ``docnum`` long column (0..N-1), fingerprint).
+
+    The per-partition counts job doubles as the corpus fingerprint pass
+    (row count + order-independent xor of id hashes) so lineage costs no
+    extra scan.  The result's partitions are docnum-range-contiguous and
+    sorted — downstream range writes need no repartitionByRange.
+    """
     spark = df.sparkSession
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
@@ -34,9 +41,16 @@ def assign_docnums(df: DataFrame, id_col: str = "doc_id", partitions: int | None
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = dict(
-        h.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    rows = (
+        h.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"), F.expr(f"bit_xor(xxhash64({id_col}))").alias("x"))
+        .collect()
     )
+    counts = {r["_pid"]: r["c"] for r in rows}
+    xor = 0
+    for r in rows:
+        xor ^= int(r["x"] or 0)
+    fingerprint = {"n_docs": int(sum(counts.values())), "id_hash_xor": xor}
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -57,17 +71,12 @@ def assign_docnums(df: DataFrame, id_col: str = "doc_id", partitions: int | None
             seen += len(pdf)
             yield pdf
 
-    return h.mapInPandas(number, schema=out_schema)
+    return h.mapInPandas(number, schema=out_schema), fingerprint
 
 
 def write_docids(dim: DataFrame, path: str, meta_cols: tuple[str, ...] = ()) -> None:
-    """Persist the (docnum -> doc_id [+meta]) dimension sorted by docnum so
-    point lookups prune row groups."""
+    """Persist the (docnum -> doc_id [+meta]) dimension.  assign_docnums
+    partitions are already docnum-range-contiguous and sorted, so a plain
+    write keeps row-group pruning on docnum with no extra shuffle."""
     cols = ["docnum", "doc_id", *meta_cols]
-    (
-        dim.select(*cols)
-        .repartitionByRange(max(1, dim.sparkSession.sparkContext.defaultParallelism), "docnum")
-        .sortWithinPartitions("docnum")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    dim.select(*cols).write.mode("overwrite").parquet(path)
