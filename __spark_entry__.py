@@ -103,10 +103,21 @@ _ENGINE_CFG = EngineConfig(
 
 
 def _engine_index(spark: SparkSession, sf_dir: str) -> BM25Index:
+    import json
+
+    from beetle_search_engine_spark.operators.build import INDEX_LAYOUT_VERSION
+
     tag = sf_dir.strip("/").replace("/", "_")
     idx_dir = f"/tmp/beetle_idx_{tag}"
     corpus = documents_as_corpus(spark, sf_dir)
-    if not os.path.exists(f"{idx_dir}/stats.json"):
+    fresh = False
+    if os.path.exists(f"{idx_dir}/stats.json"):
+        with open(f"{idx_dir}/stats.json") as f:
+            fresh = json.load(f).get("layout_version") == INDEX_LAYOUT_VERSION
+    if not fresh:
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
         build_index(spark, corpus, idx_dir, fields={"body": "content"}, cfg=_ENGINE_CFG)
     return BM25Index(spark, idx_dir)
 

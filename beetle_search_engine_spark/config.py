@@ -47,6 +47,13 @@ class IndexConfig:
 class EngineConfig:
     bm25: BM25Params = field(default_factory=BM25Params)
     index: IndexConfig = field(default_factory=IndexConfig)
+    # "python" (default): full analyzer chain per doc in one Arrow
+    # mapInPandas — zero shuffles, fastest measured at sandbox scales.
+    # "jvm": T1-T3 as Catalyst expressions + distinct-token Porter via a
+    # broadcast dimension — parity-tested alternative; pays one extra
+    # pipeline evaluation + the stem broadcast, wins only when Python
+    # worker CPU (not memory bandwidth) is the binding constraint.
+    tokenizer: str = "python"
     source_format: str = "parquet"  # Iceberg jars unavailable in sandbox;
     # at deploy time set "iceberg" and the readers pick it up unchanged.
 

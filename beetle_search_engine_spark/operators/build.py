@@ -47,15 +47,18 @@ from .codecs import encode_docgap_rows, varint_encode_rows
 from .docnums import assign_docnums, write_docids
 from .tokenize import tokenize
 
+INDEX_LAYOUT_VERSION = 2  # bump when POSTINGS_SCHEMA / stats layout changes
+
 POSTINGS_SCHEMA = (
     "bucket int, field string, term string, df long, chunk long, "
     "doc_lo long, doc_hi long, n int, max_score float, "
     "block_n array<int>, block_max array<float>, "
-    "docs binary, tfs binary, dls binary, row_bytes long"
+    "docs binary, tfs binary, dls binary, row_bytes long, "
+    "epoch int, epoch_n long"
 )
 
 
-def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict):
+def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int = 0):
     """Streaming per-partition encoder, vectorized across terms.
 
     Input is sorted by (field, term, docnum).  Each Arrow batch is encoded
@@ -158,6 +161,11 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict):
                 [len(a) + len(t) + len(l) for a, t, l in zip(docs_bin, tfs_bin, dls_bin)],
                 dtype=np.int64,
             ),
+            # epoch lineage: which incremental refresh wrote this row, and
+            # the corpus size its encode-time idf/bounds assumed — queries
+            # over multi-epoch indexes rescale bounds with these
+            "epoch": np.full(row_starts.size, epoch, dtype=np.int32),
+            "epoch_n": np.full(row_starts.size, n_docs, dtype=np.int64),
         }
 
     def kernel(batches):
@@ -213,7 +221,7 @@ def build_index(
             print(f"[build] {label}: +{now - _last[0]:.2f}s (t={now - t0:.2f}s)", flush=True)
             _last[0] = now
 
-    dim, fp = assign_docnums(corpus)
+    dim, fp = assign_docnums(corpus, f"{index_dir}/_stage/corpus")
     _mark('docnums + fingerprint')
     n_docs = fp["n_docs"]
 
@@ -222,8 +230,8 @@ def build_index(
     if resume and os.path.exists(stats_path):
         with open(stats_path) as f:
             prior = json.load(f)
-        if prior.get("fingerprint") != fp:
-            prior = None  # corpus changed -> full rebuild
+        if prior.get("fingerprint") != fp or prior.get("layout_version") != INDEX_LAYOUT_VERSION:
+            prior = None  # corpus or layout changed -> full rebuild
 
     if prior is None:
         write_docids(dim, f"{index_dir}/docids", meta_cols)
@@ -235,7 +243,7 @@ def build_index(
     # local concurrency, while a parquet round-trip scales linearly and
     # doubles as the resume point for multi-group builds.
     stage_path = f"{index_dir}/_stage/tokens"
-    tokenize(dim, fields).write.mode("overwrite").parquet(stage_path)
+    tokenize(dim, fields, cfg.tokenizer).write.mode("overwrite").parquet(stage_path)
     tokens = spark.read.parquet(stage_path)
     _mark('tokenize -> stage parquet')
 
@@ -274,10 +282,15 @@ def build_index(
         "n_buckets": cfg.index.n_buckets,
         "chunk_docs": cfg.index.chunk_docs,
         "block_size": cfg.index.block_size,
+        "blocks_per_row": cfg.index.blocks_per_row,
         "vocab_size": vocab_size,
         "n_hot_terms": len(hot_df),
         "hot_df_threshold": thr,
         "fingerprint": fp,
+        "layout_version": INDEX_LAYOUT_VERSION,
+        # per-epoch encode-time stats (incremental refreshes append here;
+        # queries rescale stored score bounds across epochs)
+        "epochs": {"0": {"n_docs": n_docs, "avgdl": avgdl}},
     }
 
     # ---- salted, bucketed encode in resumable groups
@@ -311,7 +324,7 @@ def build_index(
         if resume and os.path.exists(man_path):
             with open(man_path) as f:
                 man = json.load(f)
-            if man.get("fingerprint") == fp:
+            if man.get("fingerprint") == fp and man.get("layout_version") == INDEX_LAYOUT_VERSION:
                 man["skipped"] = True
                 group_metrics.append(man)
                 continue
@@ -348,6 +361,7 @@ def build_index(
         man = {
             "group": g,
             "fingerprint": fp,
+            "layout_version": INDEX_LAYOUT_VERSION,
             "wall_s": round(wall, 3),
             "postings": int(agg["postings"] or 0),
             "rows": int(agg["rows"] or 0),

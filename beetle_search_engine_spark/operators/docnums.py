@@ -15,32 +15,47 @@ order by the writer the reference drives at src/index/build_bm25.py:36-41.)
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
 def assign_docnums(
-    df: DataFrame, id_col: str = "doc_id", partitions: int | None = None
+    df: DataFrame,
+    stage_dir: str,
+    id_col: str = "doc_id",
+    partitions: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Return (df + dense ``docnum`` long column (0..N-1), fingerprint).
 
-    The per-partition counts job doubles as the corpus fingerprint pass
-    (row count + order-independent xor of id hashes) so lineage costs no
-    extra scan.  The result's partitions are docnum-range-contiguous and
-    sorted — downstream range writes need no repartitionByRange.
+    One shuffle pass writes the id-sorted corpus to ``stage_dir`` as
+    parquet (one file per hash partition, tagged with its partition id);
+    a column-pruned aggregation over the stage yields per-partition counts
+    (which double as the corpus fingerprint — row count +
+    order-independent xor of id hashes), and numbering is then a narrow
+    Arrow pass adding offset + per-partition position.  No JVM caching:
+    the in-memory columnar store anti-scales under high local concurrency
+    and evicts under memory pressure, while parquet staging is linear and
+    spill-free at any parallelism.
+
+    Numbering correctness relies on each staged file being read in order
+    and not split across tasks: files are written well under
+    ``spark.sql.files.maxPartitionBytes`` (packing several files into one
+    task is fine — the kernel keeps one counter per partition id).
     """
     spark = df.sparkSession
     if partitions is None:
-        partitions = spark.sparkContext.defaultParallelism
-    h = (
+        # 2x parallelism keeps staged files small (< maxPartitionBytes, so
+        # they are never split) and every core busy on the read side
+        partitions = spark.sparkContext.defaultParallelism * 2
+    (
         df.repartition(partitions, id_col)
         .sortWithinPartitions(id_col)
         .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .write.mode("overwrite")
+        .parquet(stage_dir)
     )
+    h = spark.read.parquet(stage_dir)
     rows = (
         h.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("c"), F.expr(f"bit_xor(xxhash64({id_col}))").alias("x"))
@@ -57,18 +72,26 @@ def assign_docnums(
         offsets[pid] = acc
         acc += counts[pid]
     bc = spark.sparkContext.broadcast(offsets)
-    # fresh StructType: .add() would mutate the DataFrame's cached schema
-    out_schema = T.StructType(list(df.schema.fields) + [T.StructField("docnum", T.LongType())])
+    out_fields = [f for f in h.schema.fields if f.name != "_pid"]
+    out_schema = T.StructType(out_fields + [T.StructField("docnum", T.LongType())])
 
     def number(it):
-        seen = 0
+        seen: dict[int, int] = {}
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            off = bc.value[int(pdf["_pid"].iloc[0])]
+            pids = pdf["_pid"].to_numpy()
             pdf = pdf.drop(columns=["_pid"])
-            pdf["docnum"] = np.arange(off + seen, off + seen + len(pdf), dtype=np.int64)
-            seen += len(pdf)
+            docnum = np.empty(len(pdf), dtype=np.int64)
+            # a task may hold several whole staged files (packing); rows
+            # within each keep their written order
+            bounds = np.flatnonzero(np.r_[True, pids[1:] != pids[:-1]])
+            for s, e in zip(bounds, np.append(bounds[1:], len(pids))):
+                pid = int(pids[s])
+                start = bc.value[pid] + seen.get(pid, 0)
+                docnum[s:e] = np.arange(start, start + (e - s), dtype=np.int64)
+                seen[pid] = seen.get(pid, 0) + (e - s)
+            pdf["docnum"] = docnum
             yield pdf
 
     return h.mapInPandas(number, schema=out_schema), fingerprint

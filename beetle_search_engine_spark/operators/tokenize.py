@@ -1,13 +1,25 @@
 """Corpus tokenization -> token rows (docnum, field, term, tf, dl).
 
-The one mandatory Python stage of the engine (SURVEY.md M6): the
-Whoosh-semantics analyzer (functions/analyzer.py) runs inside mapInPandas
-over Arrow batches — per-document Python, never per-token DataFrame rows:
-term frequencies are pre-aggregated in the UDF (SURVEY.md A1) so the
-exploded row count is distinct-terms-per-doc, not tokens-per-doc, and the
-doc field length ``dl`` rides along as a column (constant per doc-field),
-which later lets the index embed doc lengths and keeps query time free of
-any doclen join/shuffle.
+Two implementations of the same Whoosh analyzer semantics:
+
+* :func:`tokenize_jvm` (default) — T1-T3 (regex tokenize, lowercase,
+  stop/minsize) run as Catalyst expressions (codegen, no Python in the
+  per-token path); T4 (Porter) runs in Python over the batch's *distinct*
+  tokens only — a vocabulary-sized dimension, ~3 orders of magnitude
+  smaller than the token stream — then a join + re-aggregation merges
+  tokens that stem to the same term.  This keeps the memory-bandwidth-
+  heavy string work in the JVM, which matters both for absolute speed and
+  for parallel scaling (Python string churn saturates a node's memory
+  bandwidth long before its cores).
+
+* :func:`tokenize_python` — the whole T1-T4 chain per document inside
+  mapInPandas (SURVEY.md M6).  Shares functions/analyzer.py with the
+  pure-Python oracle, so it is the semantic reference; a parity test pins
+  the JVM path to it.
+
+``dl`` (post-stop-filter token count == Whoosh field length; stemming
+doesn't change counts) rides along as a column so the index embeds doc
+lengths and query time needs no doclen join.
 """
 
 from __future__ import annotations
@@ -15,13 +27,65 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from ..functions.analyzer import analyze_tf
+from ..functions.analyzer import STOP_WORDS, analyze_tf
+from ..functions.porter import stem
 
 TOKENS_SCHEMA = "docnum long, field string, term string, tf int, dl int"
 
+# Java regex equivalent of the Whoosh tokenizer pattern; (?U) switches \w
+# to unicode word classes to match Python re's default.
+JVM_TOKEN_PATTERN = r"(?U)\w+(?:\.?\w+)*"
 
-def tokenize(corpus: DataFrame, fields: dict[str, str]) -> DataFrame:
+
+def tokenize_jvm(corpus: DataFrame, fields: dict[str, str]) -> DataFrame:
+    """JVM tokenize/stop + distinct-token Python stemming."""
+    parts = []
+    for fname, col in sorted(fields.items()):
+        toks = F.filter(
+            F.regexp_extract_all(F.lower(F.col(col)), F.lit(JVM_TOKEN_PATTERN), 0),
+            lambda t: (F.length(t) >= 2) & ~t.isin(*sorted(STOP_WORDS)),
+        )
+        # Materialize the token array as a named column in its own
+        # projection BEFORE exploding.  Inlining the regex expression into
+        # both size() and explode() lets Catalyst place the (expensive)
+        # regex above the Generate, re-evaluating it once per exploded
+        # OUTPUT row — observed as a ~100x tokenize blowup.  A column
+        # reference is cheap to duplicate; the regex runs once per doc.
+        pre = corpus.select("docnum", F.lit(fname).alias("field"), toks.alias("toks"))
+        parts.append(
+            pre.select(
+                "docnum",
+                "field",
+                F.size("toks").alias("dl"),
+                F.explode("toks").alias("token"),
+            )
+        )
+    exploded = parts[0]
+    for p in parts[1:]:
+        exploded = exploded.unionByName(p)
+
+    def stem_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"token": pdf["token"], "term": [stem(t) for t in pdf["token"]]})
+
+    # vocabulary-sized dimension (distinct is map-side combined); broadcast
+    # keeps the stem attach map-side, so the whole tokenize costs ONE
+    # shuffle (the tf aggregation).  At vocabularies too large to
+    # broadcast, swap for a shuffle join on token — same semantics.
+    stems = F.broadcast(
+        exploded.select("token").distinct().mapInPandas(stem_batch, "token string, term string")
+    )
+    return (
+        exploded.join(stems, "token")
+        .groupBy("docnum", "field", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"), F.first("dl").alias("dl"))
+        .select("docnum", "field", "term", "tf", "dl")
+    )
+
+
+def tokenize_python(corpus: DataFrame, fields: dict[str, str]) -> DataFrame:
     """fields: index-field name -> source column name.
 
     e.g. {"title": "path", "body": "content"} for the graft corpus
@@ -61,3 +125,7 @@ def tokenize(corpus: DataFrame, fields: dict[str, str]) -> DataFrame:
             )
 
     return corpus.select("docnum", *src_cols).mapInPandas(kernel, schema=TOKENS_SCHEMA)
+
+
+def tokenize(corpus: DataFrame, fields: dict[str, str], impl: str = "jvm") -> DataFrame:
+    return tokenize_jvm(corpus, fields) if impl == "jvm" else tokenize_python(corpus, fields)

@@ -28,6 +28,7 @@ bit-comparable with the pure-Python oracle.
 from __future__ import annotations
 
 import heapq
+import math
 
 import numpy as np
 import pandas as pd
@@ -39,13 +40,19 @@ EMPTY = pd.DataFrame({"docnum": pd.Series(dtype="int64"), "score": pd.Series(dty
 
 
 class _Row:
-    __slots__ = ("doc_lo", "doc_hi", "max_score", "df", "_docs", "_tfs", "_dls", "_dec")
+    __slots__ = (
+        "doc_lo", "doc_hi", "max_score", "df", "epoch", "epoch_n",
+        "_docs", "_tfs", "_dls", "_dec",
+    )
 
-    def __init__(self, doc_lo, doc_hi, max_score, df, docs, tfs, dls):
+    def __init__(self, doc_lo, doc_hi, max_score, df, epoch, epoch_n, docs, tfs, dls):
         self.doc_lo = doc_lo
         self.doc_hi = doc_hi
-        self.max_score = max_score
-        self.df = df
+        self.max_score = max_score  # encode-time upper bound (rescaled by
+        # the kernel when the index has grown since this row was written)
+        self.df = df                # df within this row's epoch
+        self.epoch = epoch
+        self.epoch_n = epoch_n      # corpus size at this row's encode time
         self._docs, self._tfs, self._dls = docs, tfs, dls
         self._dec = None
 
@@ -85,6 +92,16 @@ class _Cursor:
     def done(self):
         return self.ptr >= len(self.rows)
 
+    def rescale(self, fn):
+        """Apply a bound scale to every row (multi-epoch idf/avgdl drift)
+        and rebuild the suffix-max upper bounds."""
+        ub = 0.0
+        for i in range(len(self.rows) - 1, -1, -1):
+            r = self.rows[i]
+            r.max_score *= fn(self, r)
+            ub = max(ub, r.max_score)
+            self.suffix_ub[i] = ub
+
 
 def _cursors_from_pdf(pdf: pd.DataFrame) -> dict[tuple[str, str], _Cursor]:
     groups: dict[tuple[str, str], list[_Row]] = {}
@@ -94,28 +111,56 @@ def _cursors_from_pdf(pdf: pd.DataFrame) -> dict[tuple[str, str], _Cursor]:
     hi = pdf["doc_hi"].to_numpy()
     ms = pdf["max_score"].to_numpy()
     dfv = pdf["df"].to_numpy()
+    ep = pdf["epoch"].to_numpy()
+    epn = pdf["epoch_n"].to_numpy()
     docs = pdf["docs"].to_numpy()
     tfs = pdf["tfs"].to_numpy()
     dls = pdf["dls"].to_numpy()
     for i in range(len(pdf)):
         groups.setdefault((fields[i], terms[i]), []).append(
-            _Row(int(lo[i]), int(hi[i]), float(ms[i]), int(dfv[i]), docs[i], tfs[i], dls[i])
+            _Row(int(lo[i]), int(hi[i]), float(ms[i]), int(dfv[i]), int(ep[i]), int(epn[i]), docs[i], tfs[i], dls[i])
         )
     return {k: _Cursor(k[0], k[1], v) for k, v in groups.items()}
 
 
-def make_wand_kernel(terms: list[str], stats: dict, k: int, mode: str = "and"):
-    """Build the applyInPandas kernel for one query."""
+def make_wand_kernel(
+    terms: list[str], stats: dict, k: int, mode: str = "and", df_override: dict | None = None
+):
+    """Build the applyInPandas kernel for one query.
+
+    ``df_override`` maps (field, term) -> true document frequency summed
+    across index epochs; required for exact scoring on incrementally
+    refreshed indexes (each row only knows its own epoch's df).  Stored
+    block-max bounds are rescaled by idf drift (linear in idf) and by
+    max(1, avgdl_now/avgdl_epoch) — a valid upper-bound factor because the
+    tf part of BM25 is increasing in avgdl.
+    """
     k1, b = stats["k1"], stats["b"]
     n_docs = stats["n_docs"]
     avgdl = stats["avgdl"]
     boosts = stats["field_boosts"]
+    epoch_stats = stats.get("epochs", {})
     qterms = list(dict.fromkeys(terms))
+
+    def true_df(cursor: _Cursor, row: _Row) -> int:
+        if df_override:
+            return df_override.get((cursor.field, cursor.term), row.df)
+        return row.df
+
+    def bound_scale(cursor: _Cursor, row: _Row) -> float:
+        dft = true_df(cursor, row)
+        if dft == row.df and row.epoch_n == n_docs:
+            return 1.0  # single-epoch fast path
+        idf_true = math.log(n_docs / (dft + 1.0)) + 1.0
+        idf_enc = math.log(row.epoch_n / (row.df + 1.0)) + 1.0
+        es = epoch_stats.get(str(row.epoch), {})
+        avgdl_enc = es.get("avgdl", avgdl).get(cursor.field, avgdl[cursor.field])
+        return (idf_true / idf_enc) * max(1.0, avgdl[cursor.field] / avgdl_enc)
 
     def contribs(cursor: _Cursor, row: _Row):
         d, tf, dl = row.decode()
         sc = term_scores(
-            tf, dl, cursor.df, boosts.get(cursor.field, 1.0), k1, b, n_docs, avgdl[cursor.field]
+            tf, dl, true_df(cursor, row), boosts.get(cursor.field, 1.0), k1, b, n_docs, avgdl[cursor.field]
         )
         return d, sc
 
@@ -164,6 +209,8 @@ def make_wand_kernel(terms: list[str], stats: dict, k: int, mode: str = "and"):
     # ---------------- disjunctive (block-max WAND) ----------------
     def kernel_or(pdf: pd.DataFrame) -> pd.DataFrame:
         cursors = [c for c in _cursors_from_pdf(pdf).values() if c.term in qterms]
+        for c in cursors:
+            c.rescale(bound_scale)
         heap: list[tuple[float, int]] = []  # (score, -docnum) min-heap, size <= k
         watermark = -1  # docs <= watermark are fully scored; windows disjoint
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.analyzer import analyze_query
+from ..functions.xxhash import pmod_bucket
 from ..operators.wand import make_wand_kernel
 
 RESULT_SCHEMA = "doc_id string, score double, rank int"
@@ -41,16 +42,20 @@ class BM25Index:
         self.docids = spark.read.parquet(f"{index_dir}/docids")
 
     def _buckets_for(self, terms: list[str]) -> dict[str, int]:
+        # driver-local pure-Python XXH64, parity-tested vs Spark's
+        # xxhash64 — no per-query Spark job just to learn bucket ids
         n_buckets = self.stats["n_buckets"]
-        rows = (
-            self.spark.createDataFrame([(t,) for t in terms], "term string")
-            .select("term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"))
-            .collect()
-        )
-        return {r["term"]: r["bucket"] for r in rows}
+        return {t: pmod_bucket(t, n_buckets) for t in terms}
 
     def empty_result(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+    def refresh_stats(self) -> None:
+        """Re-read stats.json (after an incremental append_epoch)."""
+        with open(f"{self.index_dir}/stats.json") as f:
+            self.stats = json.load(f)
+        self.postings = self.spark.read.parquet(f"{self.index_dir}/postings")
+        self.docids = self.spark.read.parquet(f"{self.index_dir}/docids")
 
     def search(self, query: str, top_k: int = 10, mode: str = "and") -> DataFrame:
         """Top-k BM25F.  mode='and' == Whoosh's default conjunctive parser
@@ -62,7 +67,19 @@ class BM25Index:
         scan = self.postings.filter(
             F.col("bucket").isin(sorted(set(buckets.values()))) & F.col("term").isin(terms)
         )
-        kernel = make_wand_kernel(terms, self.stats, top_k, mode)
+        df_override = None
+        if len(self.stats.get("epochs", {"0": 0})) > 1:
+            # multi-epoch index: true df = sum of per-epoch dfs; one tiny
+            # metadata aggregation over the already-pruned scan
+            rows = (
+                scan.groupBy("field", "term", "epoch")
+                .agg(F.first("df").alias("df"))
+                .groupBy("field", "term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            df_override = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+        kernel = make_wand_kernel(terms, self.stats, top_k, mode, df_override)
         scored = scan.groupBy("chunk").applyInPandas(kernel, "docnum long, score double")
         top = scored.orderBy(F.desc("score"), F.asc("docnum")).limit(top_k)
         res = self.docids.join(F.broadcast(top), "docnum", "inner")

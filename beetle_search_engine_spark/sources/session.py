@@ -12,14 +12,35 @@ def get_spark(
     app_name: str = "beetle-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    master: str | None = None,
+    executor_cores: int = 8,
+    executor_mem: str = "10g",
 ) -> SparkSession:
+    """local[N] by default; pass master="spark://..." for a standalone
+    cluster (each executor is its own JVM — on this sandbox host a single
+    JVM saturates around 8 cores, so multi-executor is how >8 cores
+    actually scale; same as any real cluster).  ``cores`` then becomes
+    spark.cores.max."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    import sys
+
+    b = SparkSession.builder
+    if master:
+        b = (
+            b.master(master)
+            .config("spark.cores.max", str(cores))
+            .config("spark.executor.cores", str(executor_cores))
+            .config("spark.executor.memory", executor_mem)
+            .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+            .config("spark.pyspark.python", sys.executable)
+        )
+    else:
+        b = b.master(f"local[{cores}]")
     return (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        b.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
@@ -27,8 +48,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # one staged file == one read partition: openCost >= maxPartition/2
+        # prevents file packing (which silently caps stage parallelism at
+        # total_bytes/maxPartitionBytes tasks) and, with files kept under
+        # maxPartitionBytes, prevents splitting (which would break the
+        # order-dependent docnum numbering pass)
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1,0 +1,163 @@
+"""Incremental index maintenance — batch append + Structured Streaming.
+
+The reference's only incremental machinery is skip-if-exists
+(src/index/build_splade.py:35-37) and the crawler's stateful frontier
+(src/ETL/website_crawler.py:22-56); a refresh means a full rebuild.  Here
+new documents are appended as an *epoch*: their postings are encoded with
+the then-current global stats into a fresh ``group=1000+e`` partition of
+the same posting layout, docnums continue from the previous total, and
+stats.json records each epoch's encode-time (n_docs, avgdl).
+
+Exactness across epochs: a term's true df is the sum of its per-epoch dfs;
+the query plan collects that (one tiny metadata aggregation over the
+already-pruned scan) and the WAND kernel (a) scores with the true df and
+current stats, and (b) rescales every stored block-max bound by
+idf_true/idf_encode x max(1, avgdl_now/avgdl_encode) — both valid
+upper-bound factors, so pruning stays safe and results equal a from-scratch
+rebuild's scores exactly (same formula, same inputs).
+
+``stream_refresh`` wires this into Structured Streaming via foreachBatch:
+each micro-batch of documents becomes one epoch.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from ..operators.build import POSTINGS_SCHEMA, _make_encode_kernel
+from ..operators.docnums import assign_docnums
+from ..operators.tokenize import tokenize
+
+
+def append_epoch(
+    spark: SparkSession,
+    index_dir: str,
+    new_corpus: DataFrame,
+    fields: dict[str, str] | None = None,
+    cfg: EngineConfig = DEFAULT,
+    meta_cols: tuple[str, ...] = (),
+) -> dict:
+    """Append new documents to an existing index as one epoch."""
+    fields = fields or {"body": "content"}
+    t0 = time.time()
+    stats_path = f"{index_dir}/stats.json"
+    with open(stats_path) as f:
+        stats = json.load(f)
+    offset = stats["n_docs"]
+    epoch = max(int(e) for e in stats["epochs"]) + 1
+
+    dim, fp_new = assign_docnums(new_corpus, f"{index_dir}/_stage/epoch_corpus")
+    n_new = fp_new["n_docs"]
+    dim = dim.withColumn("docnum", F.col("docnum") + F.lit(offset))
+
+    cols = ["docnum", "doc_id", *meta_cols]
+    dim.select(*cols).write.mode("append").parquet(f"{index_dir}/docids")
+
+    stage_path = f"{index_dir}/_stage/epoch_tokens"
+    tokenize(dim, fields, cfg.tokenizer).write.mode("overwrite").parquet(stage_path)
+    tokens = spark.read.parquet(stage_path)
+
+    # updated global stats (weighted avgdl over old + new)
+    n_total = offset + n_new
+    sums = {r["field"]: float(r["s"]) for r in tokens.groupBy("field").agg(F.sum("tf").alias("s")).collect()}
+    avgdl_new = {}
+    for fname in set(stats["avgdl"]) | set(fields):
+        old_total = stats["avgdl"].get(fname, 0.0) * offset
+        avgdl_new[fname] = (old_total + sums.get(fname, 0.0)) / n_total
+
+    thr = cfg.index.hot_df_threshold or max(5000, n_total // 50)
+    dfs = tokens.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
+    hot_df = {
+        (r["field"], r["term"]): int(r["df"])
+        for r in dfs.filter(F.col("df") > thr).collect()
+    }
+
+    # physical layout + scoring params are frozen by the index, not the
+    # caller's cfg: epoch rows must stay chunk-aligned and bound-compatible
+    from dataclasses import replace
+
+    from ..config import BM25Params
+
+    cfg = EngineConfig(
+        bm25=BM25Params(k1=stats["k1"], b=stats["b"], field_boosts=dict(stats["field_boosts"])),
+        index=replace(
+            cfg.index,
+            n_buckets=stats["n_buckets"],
+            chunk_docs=stats["chunk_docs"],
+            block_size=stats["block_size"],
+            blocks_per_row=stats.get("blocks_per_row", cfg.index.blocks_per_row),
+        ),
+    )
+    enc_stats = {"n_docs": n_total, "avgdl": avgdl_new}
+    kernel = _make_encode_kernel(cfg, enc_stats, hot_df, epoch=epoch)
+    n_buckets = stats["n_buckets"]
+    p_enc = cfg.index.encode_partitions or spark.sparkContext.defaultParallelism
+
+    base = tokens.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    if hot_df:
+        hot_dim = F.broadcast(
+            spark.createDataFrame(list(hot_df), "field string, term string").withColumn("_hot", F.lit(1))
+        )
+        base = base.join(hot_dim, ["field", "term"], "left")
+        salt = F.when(
+            F.col("_hot") == 1,
+            F.pmod((F.col("docnum") / F.lit(stats["chunk_docs"])).cast("long"), F.lit(cfg.index.hot_salts)),
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+    enc = (
+        base.withColumn("_key", F.xxhash64("bucket", salt.cast("long")))
+        .repartition(p_enc, "_key")
+        .sortWithinPartitions("field", "term", "docnum")
+        .select("bucket", "field", "term", "docnum", "tf", "dl")
+        .mapInPandas(kernel, schema=POSTINGS_SCHEMA)
+    )
+    enc.write.mode("overwrite").partitionBy("bucket").parquet(f"{index_dir}/postings/group={1000 + epoch}")
+
+    stats["n_docs"] = n_total
+    stats["avgdl"] = avgdl_new
+    stats["epochs"][str(epoch)] = {"n_docs": n_total, "avgdl": avgdl_new}
+    stats["fingerprint"] = {
+        "n_docs": n_total,
+        "id_hash_xor": stats["fingerprint"]["id_hash_xor"] ^ fp_new["id_hash_xor"],
+    }
+    with open(stats_path, "w") as f:
+        json.dump(stats, f, indent=1)
+    shutil.rmtree(f"{index_dir}/_stage", ignore_errors=True)
+    return {
+        "epoch": epoch,
+        "n_new": n_new,
+        "n_total": n_total,
+        "wall_s": round(time.time() - t0, 3),
+    }
+
+
+def stream_refresh(
+    stream_df: DataFrame,
+    index_dir: str,
+    fields: dict[str, str] | None = None,
+    cfg: EngineConfig = DEFAULT,
+    checkpoint_dir: str | None = None,
+    meta_cols: tuple[str, ...] = (),
+    available_now: bool = False,
+):
+    """Structured Streaming sink: every micro-batch of documents becomes
+    one index epoch.  Returns the StreamingQuery handle."""
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        append_epoch(batch_df.sparkSession, index_dir, batch_df, fields, cfg, meta_cols)
+
+    w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

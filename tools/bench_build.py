@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import time
@@ -29,23 +30,33 @@ def main():
     ap.add_argument("--docs", type=int, default=40000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--queries", type=int, default=0, help="also time N engine queries")
+    ap.add_argument("--master", default=None, help="e.g. spark://127.0.0.1:7077 for the local standalone cluster")
     args = ap.parse_args()
 
     idx_dir = f"/tmp/bench_idx_c{args.cores}_d{args.docs}"
     shutil.rmtree(idx_dir, ignore_errors=True)
 
-    spark = get_spark(f"bench-build-{args.cores}", cores=args.cores, shuffle_partitions=args.cores)
+    spark = get_spark(
+        f"bench-build-{args.cores}", cores=args.cores, shuffle_partitions=args.cores,
+        master=args.master,
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    # n_buckets must comfortably exceed encode parallelism: the
+    # bucket-major shuffle key has n_buckets(+salt) distinct values, so
+    # too-few buckets turns reducers into balls-in-bins stragglers.
     cfg = EngineConfig(
         index=IndexConfig(
-            n_buckets=64,
+            n_buckets=512,
             bucket_groups=1,
             chunk_docs=1 << 14,
-            encode_partitions=args.cores * 2,
+            encode_partitions=args.cores * 3,
         )
     )
-    corpus = generate_corpus(spark, args.docs, seed=args.seed)
-    corpus.persist().count()  # materialize input outside the timed window
+    src = f"/tmp/bench_corpus_{args.docs}_{args.seed}"
+    if not os.path.exists(src):  # materialize input (parquet) outside the
+        # timed window; JVM caching anti-scales at high local concurrency
+        generate_corpus(spark, args.docs, seed=args.seed).write.mode("overwrite").parquet(src)
+    corpus = spark.read.parquet(src)
 
     t0 = time.time()
     m = build_index(
@@ -55,6 +66,7 @@ def main():
 
     out = {
         "cores": args.cores,
+        "master": args.master or "local",
         "docs": args.docs,
         "build_s": round(build_s, 3),
         "docs_per_sec": round(args.docs / build_s, 1),
