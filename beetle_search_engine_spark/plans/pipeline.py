@@ -1,0 +1,106 @@
+"""End-to-end search pipeline — the reference's ``search_and_rerank``
+lifecycle (reference: main.py:30-93) rebuilt on the engine:
+
+    method dispatch ("bm25" | "knn" | "hybrid")
+      -> candidate retrieval (top_k)
+      -> doc fetch (broadcast semi join — replaces the reference's
+         early-exit JSON scan, main.py:13-28 / SURVEY S17)
+      -> optional reranker (pluggable Arrow-batched scorer — the
+         reference's CrossEncoder, src/models/reranker.py:8-34; model
+         downloads are unavailable here, so the default reranker is a
+         deterministic lexical-overlap scorer with the same signature)
+      -> top rerank_k by (rerank_score desc, doc_id asc)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import analyze_query
+from .fusion import rrf_fuse, with_rank
+from .knn import knn_cosine
+from .query import BM25Index
+
+
+def overlap_reranker(query: str) -> Callable:
+    """Default rerank scorer: query-term overlap ratio x log doc length —
+    a deterministic stand-in with the CrossEncoder's exact plumbing
+    (mapInPandas over (doc_id, text) batches -> rerank_score)."""
+    qterms = set(analyze_query(query))
+
+    def score(batches):
+        from ..functions.analyzer import analyze
+
+        for pdf in batches:
+            scores = []
+            for text in pdf["text"]:
+                terms = analyze(text or "")
+                hit = sum(1 for t in terms if t in qterms)
+                scores.append(hit / (len(terms) + 1.0))
+            out = pdf[["doc_id"]].copy()
+            out["rerank_score"] = scores
+            yield out
+
+    return score
+
+
+def search_and_rerank(
+    spark: SparkSession,
+    index: BM25Index,
+    documents: DataFrame,
+    query: str,
+    method: str = "bm25",
+    top_k: int = 10,
+    rerank_k: int = 10,
+    rerank: bool = False,
+    embeddings: DataFrame | None = None,
+    query_vec_id: int | None = None,
+    reranker_factory: Callable | None = None,
+) -> DataFrame:
+    """documents: (doc_id string, text string [, ...display cols])."""
+    if method == "bm25":
+        cands = index.search(query, top_k, mode="and")
+        if cands.isEmpty():
+            cands = index.search(query, top_k, mode="or")
+    elif method == "knn":
+        if embeddings is None or query_vec_id is None:
+            raise ValueError("knn method needs embeddings + query_vec_id")
+        cands = (
+            knn_cosine(embeddings, query_vec_id, top_k)
+            .select(F.col("vec_id").cast("string").alias("doc_id"), "score")
+            .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))))
+        )
+    elif method == "hybrid":
+        b = with_rank(index.search(query, top_k * 2, mode="or").select("doc_id", "score"), "score", "doc_id")
+        k = with_rank(
+            knn_cosine(embeddings, query_vec_id, top_k * 2).select(
+                F.col("vec_id").cast("string").alias("doc_id"), "score"
+            ),
+            "score",
+            "doc_id",
+        )
+        fused = rrf_fuse({"bm25": b, "knn": k}, "doc_id", 60, top_k)
+        cands = with_rank(fused.select("doc_id", F.col("rrf_score").alias("score")), "score", "doc_id")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    # doc fetch: broadcast semi-equi join (SURVEY S17)
+    hits = documents.join(F.broadcast(cands), "doc_id", "inner")
+    if not rerank:
+        return (
+            hits.select("doc_id", "score", "rank")
+            .orderBy(F.asc("rank"))
+            .limit(rerank_k)
+        )
+    scorer = (reranker_factory or overlap_reranker)(query)
+    scored = hits.select("doc_id", "text").mapInPandas(scorer, "doc_id string, rerank_score double")
+    return (
+        hits.select("doc_id", "score").join(scored, "doc_id")
+        .orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+        .limit(rerank_k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("rerank_score"), F.asc("doc_id"))))
+        .select("doc_id", F.col("rerank_score").alias("score"), "rank")
+    )

@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("BEETLE_BENCH_DOCS", "200000"))
+BENCH_DOCS = int(os.environ.get("BEETLE_BENCH_DOCS", "100000"))
+SCALING_N = int(os.environ.get("BEETLE_BENCH_N", "1"))  # N vs 4N cores
 RUN_SCALING = os.environ.get("BEETLE_BENCH_SCALING", "1") != "0"
 
 HEADLINE = [
@@ -71,7 +72,7 @@ def run_queries() -> dict[str, float]:
 def run_scaling() -> dict:
     here = os.path.dirname(os.path.abspath(__file__))
     res = {}
-    for cores in (8, 32):
+    for cores in (SCALING_N, SCALING_N * 4):
         p = subprocess.run(
             [sys.executable, f"{here}/tools/bench_build.py", "--cores", str(cores), "--docs", str(BENCH_DOCS)],
             capture_output=True,
@@ -80,14 +81,15 @@ def run_scaling() -> dict:
         )
         line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
         res[cores] = json.loads(line)
-    eff = res[32]["docs_per_sec"] / (4.0 * res[8]["docs_per_sec"])
+    n, n4 = SCALING_N, SCALING_N * 4
+    eff = res[n4]["docs_per_sec"] / (4.0 * res[n]["docs_per_sec"])
     return {
-        "cores_n": 8,
-        "cores_4n": 32,
+        "cores_n": n,
+        "cores_4n": n4,
         "docs": BENCH_DOCS,
-        "docs_per_sec_n": res[8]["docs_per_sec"],
-        "docs_per_sec_4n": res[32]["docs_per_sec"],
-        "postings_per_sec_4n": res[32]["postings_per_sec"],
+        "docs_per_sec_n": res[n]["docs_per_sec"],
+        "docs_per_sec_4n": res[n4]["docs_per_sec"],
+        "postings_per_sec_4n": res[n4]["postings_per_sec"],
         "efficiency": round(eff, 3),
     }
 
@@ -96,7 +98,7 @@ def main():
     queries = run_queries()
     result = {
         "metric": "bm25_engine_index_build_docs_per_sec",
-        "unit": "sec",
+        "unit": "docs/sec",  # queries sub-dict is in seconds
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "queries": queries,
     }

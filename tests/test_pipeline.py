@@ -1,0 +1,42 @@
+"""search_and_rerank lifecycle: dispatch, doc fetch, rerank hook."""
+
+import pytest
+
+from beetle_search_engine_spark.config import EngineConfig, IndexConfig
+from beetle_search_engine_spark.operators.build import build_index
+from beetle_search_engine_spark.plans.pipeline import search_and_rerank
+from beetle_search_engine_spark.plans.query import BM25Index
+from beetle_search_engine_spark.sources.corpus import generate_corpus
+
+CFG = EngineConfig(index=IndexConfig(n_buckets=8, bucket_groups=1, chunk_docs=128, encode_partitions=4))
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("pidx"))
+    corpus = generate_corpus(spark, 250, seed=41)
+    build_index(spark, corpus, idx_dir, fields={"body": "content"}, cfg=CFG)
+    docs = corpus.selectExpr("doc_id", "content as text")
+    return BM25Index(spark, idx_dir), docs
+
+
+def test_bm25_no_rerank(spark, setup):
+    idx, docs = setup
+    rows = search_and_rerank(spark, idx, docs, "transformer models", "bm25", 10, 5).collect()
+    assert len(rows) == 5
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_bm25_with_rerank(spark, setup):
+    idx, docs = setup
+    rows = search_and_rerank(spark, idx, docs, "transformer models", "bm25", 10, 5, rerank=True).collect()
+    assert len(rows) == 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in scores)  # overlap ratio
+
+
+def test_unknown_method(spark, setup):
+    idx, docs = setup
+    with pytest.raises(ValueError):
+        search_and_rerank(spark, idx, docs, "q", "nope")
