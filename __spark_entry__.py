@@ -208,6 +208,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_or"] = lambda s, d: _engine_index(s, d).search(ENGINE_QUERY, 10, "or")
     q["ann_lsh_cosine"] = lambda s, d: knnp.ann_lsh_cosine(_emb(s, d), 0, EMB_DIM, 10)
 
+    # --- ML sidecars (M3/M4/M5) + search pipeline (§3.1) — rows-only
+    def _weak_strong(s, d):
+        from beetle_search_engine_spark.operators.ml import train_weak_to_strong
+
+        docs = _docs(s, d)
+        weak = textops.heuristic_label(docs).select("doc_id", "label")
+        _, preds = train_weak_to_strong(docs.join(weak, "doc_id"))
+        return preds
+
+    q["weak_to_strong_labels"] = _weak_strong
+
+    def _ivf(s, d):
+        from beetle_search_engine_spark.operators.ml import ivf_index, ivf_search
+
+        assigned, km = ivf_index(_emb(s, d), n_clusters=8)
+        return ivf_search(assigned, km, 0, 10, nprobe=4)
+
+    q["ivf_ann_cosine"] = _ivf
+
+    def _pipeline(s, d):
+        from beetle_search_engine_spark.plans.pipeline import search_and_rerank
+
+        docs = _docs(s, d).selectExpr("cast(doc_id as string) as doc_id", "text")
+        return search_and_rerank(s, _engine_index(s, d), docs, ENGINE_QUERY, "bm25", 10, 5, rerank=True)
+
+    q["search_rerank_pipeline"] = _pipeline
+
     return q
 
 

@@ -1,0 +1,106 @@
+"""ML sidecars (SURVEY.md §2.10 M4/M5 + the IVF scale path for ANN).
+
+The reference trains a TF-IDF (max_features=5000, 1-2 grams) + logistic
+regression (balanced class weights, seed 42) blog classifier on weak
+heuristic labels and uses it to produce strong labels
+(reference: src/models/train_tfidf.py:24-84).  Here the same shape runs on
+Spark ML: RegexTokenizer -> unigram+bigram CountVectorizers (vocab 5000)
+-> IDF -> LogisticRegression with a balanced weight column.  sklearn and
+Spark ML differ in solver details and tf-idf normalization, so outputs are
+model-equivalent, not bit-identical (documented; SURVEY K2/K3 notes).
+
+IVF ANN: KMeans(seed) coarse quantizer over the embedding table; queries
+probe the nprobe nearest centroids and scan only those clusters — the
+classic FAISS IVF layout (reference uses IndexFlatL2, build_faiss.py:30)
+re-expressed as cluster-pruned DataFrame scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_weak_to_strong(
+    docs_with_labels: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    vocab_size: int = 5000,
+    seed: int = 42,
+):
+    """Train the TF-IDF + LR classifier on weak labels.  Input needs
+    (text_col, label_col in {'keep','drop'}).  Returns (model, predictions
+    DataFrame with prediction/probability columns)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import IDF, CountVectorizer, NGram, RegexTokenizer, VectorAssembler
+
+    df = docs_with_labels.withColumn("y", (F.col(label_col) == "keep").cast("double"))
+    # balanced class weights (sklearn class_weight="balanced" analog)
+    counts = {r["y"]: r["c"] for r in df.groupBy("y").agg(F.count(F.lit(1)).alias("c")).collect()}
+    total = sum(counts.values())
+    w = {y: total / (2.0 * c) for y, c in counts.items()}
+    df = df.withColumn(
+        "w", F.when(F.col("y") == 1.0, F.lit(w.get(1.0, 1.0))).otherwise(F.lit(w.get(0.0, 1.0)))
+    )
+
+    stages = [
+        RegexTokenizer(inputCol=text_col, outputCol="toks", pattern=r"[^a-z0-9_]+", toLowercase=True),
+        NGram(n=2, inputCol="toks", outputCol="bigrams"),
+        CountVectorizer(inputCol="toks", outputCol="tf1", vocabSize=vocab_size),
+        CountVectorizer(inputCol="bigrams", outputCol="tf2", vocabSize=vocab_size),
+        VectorAssembler(inputCols=["tf1", "tf2"], outputCol="tf"),
+        IDF(inputCol="tf", outputCol="features"),
+        LogisticRegression(featuresCol="features", labelCol="y", weightCol="w", maxIter=50),
+    ]
+    model = Pipeline(stages=stages).fit(df)
+    preds = model.transform(df).select(
+        "doc_id",
+        F.col("y").alias("weak_label"),
+        F.col("prediction").alias("strong_label"),
+    )
+    return model, preds
+
+
+def ivf_index(emb: DataFrame, n_clusters: int = 16, seed: int = 42, vec_col: str = "embedding"):
+    """Coarse-quantize the embedding table: returns (assigned DataFrame
+    with a cluster column, fitted KMeans model)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = emb.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_v", predictionCol="cluster").fit(v)
+    return km.transform(v).drop("_v"), km
+
+
+def ivf_search(
+    assigned: DataFrame,
+    km,
+    query_id: int,
+    top_k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe clusters nearest the query vector, exact cosine
+    inside them only (cluster-pruned scan — at scale, cluster is a
+    partition column and pruning skips whole files)."""
+    import numpy as np
+
+    from ..plans.knn import _dot
+
+    qrow = assigned.filter(F.col(id_col) == query_id).select(vec_col).collect()[0][0]
+    q = np.array(qrow, dtype=np.float64)
+    centers = km.clusterCenters()
+    order = np.argsort([float(np.linalg.norm(q - np.asarray(c))) for c in centers])[:nprobe]
+    probe = [int(i) for i in order]
+
+    qvec = F.lit([float(x) for x in q])
+    v = F.col(vec_col)
+    cos = _dot(v, qvec) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qvec, qvec)))
+    return (
+        assigned.filter(F.col("cluster").isin(probe) & (F.col(id_col) != query_id))
+        .select(F.col(id_col), F.round(cos, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )

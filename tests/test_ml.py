@@ -1,0 +1,32 @@
+"""ML sidecars: weak->strong classifier shape and IVF-pruned ANN recall."""
+
+from beetle_search_engine_spark.operators.ml import ivf_index, ivf_search, train_weak_to_strong
+from beetle_search_engine_spark.operators.textops import heuristic_label
+from beetle_search_engine_spark.plans.knn import knn_cosine
+from beetle_search_engine_spark.sources.corpus import load_documents, load_embeddings
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_weak_to_strong_classifier(spark):
+    docs = load_documents(spark, SF)
+    weak = heuristic_label(docs).select("doc_id", "label")
+    data = docs.join(weak, "doc_id")
+    _, preds = train_weak_to_strong(data)
+    rows = preds.collect()
+    assert len(rows) == docs.count()
+    # classifier should mostly reproduce its training labels
+    agree = sum(1 for r in rows if float(r["strong_label"]) == float(r["weak_label"]))
+    assert agree / len(rows) > 0.9
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load_embeddings(spark, SF)
+    assigned, km = ivf_index(emb, n_clusters=8, seed=42)
+    exact = [r["vec_id"] for r in knn_cosine(emb, 0, 10).collect()]
+    approx = [r["vec_id"] for r in ivf_search(assigned, km, 0, 10, nprobe=4).collect()]
+    # nprobe=4 of 8 clusters: expect decent overlap with exact top-10
+    assert len(set(exact) & set(approx)) >= 5
+    # full probe == exact
+    full = [r["vec_id"] for r in ivf_search(assigned, km, 0, 10, nprobe=8).collect()]
+    assert full == exact
