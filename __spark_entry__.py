@@ -203,6 +203,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
 
+    # --- scalar-function battery (F2-F16) over documents
+    q["scalar_funcs"] = lambda s, d: _docs(s, d).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+        F.when(
+            F.length("text") > 80, F.concat(F.substring("text", 1, 80), F.lit("..."))
+        ).otherwise(F.col("text")).alias("preview"),
+        F.regexp_replace(F.lower("text"), r"[^\w\s]", "").substr(1, 40).alias("depunct"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("ws_words"),
+        F.concat_ws("|", "lang", "source").alias("tag"),
+        F.col("text").contains("spark").alias("mentions_spark"),
+        F.round(F.lit(1.0) / (F.lit(60) + F.col("doc_id") + 1), 6).alias("rrf_at_rank"),
+    )
+
+    # --- set operations (U1-U3)
+    def _set_ops(s, d):
+        docs = _docs(s, d)
+        a = docs.filter(F.col("lang") == "en").select("doc_id")
+        b = docs.filter(F.col("n_chars") > 250).select("doc_id")
+        return (
+            a.intersect(b).withColumn("op", F.lit("both"))
+            .unionByName(a.exceptAll(b).withColumn("op", F.lit("en_only")))
+            .unionByName(b.exceptAll(a).withColumn("op", F.lit("long_only")))
+        )
+
+    q["set_ops"] = _set_ops
+
+    # --- sessionization (lag + cumulative gap-count; streaming analog)
+    def _sessions(s, d):
+        from pyspark.sql import Window
+
+        ev = s.read.parquet(f"{d}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        sess = F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(w)
+        return (
+            ev.withColumn("session_id", sess)
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+                F.round(F.sum("value"), 2).alias("session_value"),
+            )
+        )
+
+    q["sessionize"] = _sessions
+
     # --- engine entries (rows-only: stemming/WAND/LSH not SQL-expressible)
     q["engine_bm25_and"] = lambda s, d: _engine_index(s, d).search(ENGINE_QUERY, 10, "and")
     q["engine_bm25_or"] = lambda s, d: _engine_index(s, d).search(ENGINE_QUERY, 10, "or")
@@ -478,6 +526,49 @@ def oracle_sql() -> dict[str, str]:
       SELECT epoch(date_trunc('hour', ts))::bigint AS hour_epoch, event_type,
              count(*) AS n, round(sum(value), 2) AS total_value
       FROM events GROUP BY 1, 2
+    """
+
+    o["scalar_funcs"] = r"""
+      SELECT doc_id,
+             md5(text) AS text_md5,
+             sha256(text) AS text_sha,
+             CASE WHEN length(text) > 80 THEN substr(text, 1, 80) || '...'
+                  ELSE text END AS preview,
+             substr(regexp_replace(lower(text), '[^\w\s]', '', 'g'), 1, 40) AS depunct,
+             len(regexp_split_to_array(text, '\s+'))::bigint AS ws_words,
+             concat_ws('|', lang, source) AS tag,
+             contains(text, 'spark') AS mentions_spark,
+             round(1.0 / (60 + doc_id + 1), 6) AS rrf_at_rank
+      FROM documents
+    """
+
+    o["set_ops"] = """
+      WITH a AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+           b AS (SELECT doc_id FROM documents WHERE n_chars > 250)
+      SELECT doc_id, 'both' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      UNION ALL
+      SELECT doc_id, 'en_only' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      UNION ALL
+      SELECT doc_id, 'long_only' AS op FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    """
+
+    o["sessionize"] = """
+      WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               floor(epoch(ts))::bigint - floor(epoch(lag(ts) OVER w))::bigint AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      s AS (
+        SELECT user_id, ts, value,
+               sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        FROM g
+      )
+      SELECT user_id, session_id::bigint AS session_id, count(*) AS n_events,
+             floor(epoch(min(ts)))::bigint AS start_epoch,
+             round(sum(value), 2) AS session_value
+      FROM s GROUP BY user_id, session_id
     """
 
     # engine_bm25_and / engine_bm25_or / ann_lsh_cosine: rows-only
