@@ -57,9 +57,17 @@ class BM25Index:
         self.postings = self.spark.read.parquet(f"{self.index_dir}/postings")
         self.docids = self.spark.read.parquet(f"{self.index_dir}/docids")
 
-    def search(self, query: str, top_k: int = 10, mode: str = "and") -> DataFrame:
+    def search(
+        self, query: str, top_k: int = 10, mode: str = "and", prefer_local: bool | None = None
+    ) -> DataFrame:
         """Top-k BM25F.  mode='and' == Whoosh's default conjunctive parser
-        semantics (§3.1); mode='or' == disjunctive block-max WAND."""
+        semantics (§3.1); mode='or' == disjunctive block-max WAND.
+
+        ``prefer_local`` short-circuits the distributed kernel when the
+        index is small: the bucket-pruned posting rows are collected and
+        scored on the driver with the same kernels (2 small jobs instead
+        of a shuffle pipeline — interactive latency).  Defaults to
+        n_docs <= 200k; results identical by construction."""
         terms = analyze_query(query)
         if not terms:
             return self.empty_result()
@@ -67,6 +75,10 @@ class BM25Index:
         scan = self.postings.filter(
             F.col("bucket").isin(sorted(set(buckets.values()))) & F.col("term").isin(terms)
         )
+        if prefer_local is None:
+            prefer_local = self.stats["n_docs"] <= 200_000
+        if prefer_local:
+            return self._search_local(scan, terms, top_k, mode)
         df_override = None
         if len(self.stats.get("epochs", {"0": 0})) > 1:
             # multi-epoch index: true df = sum of per-epoch dfs; one tiny
@@ -85,6 +97,65 @@ class BM25Index:
         res = self.docids.join(F.broadcast(top), "docnum", "inner")
         w = Window.orderBy(F.desc("score"), F.asc("docnum"))
         return res.withColumn("rank", F.row_number().over(w)).select("doc_id", "score", "rank")
+
+
+    def _pruned_rows_arrow(self, terms: list[str], buckets: dict[str, int]):
+        """Driver-local pruned read of the posting parquet via pyarrow —
+        no Spark job at all.  The index is plain (hive-partitioned)
+        parquet, so a small query never needs the cluster; pyarrow applies
+        the same bucket-partition pruning + term predicate pushdown."""
+        import pyarrow.dataset as ds
+
+        if not hasattr(self, "_arrow_postings"):
+            self._arrow_postings = ds.dataset(
+                f"{self.index_dir}/postings", format="parquet", partitioning="hive"
+            )
+        flt = ds.field("bucket").isin(sorted(set(buckets.values()))) & ds.field("term").isin(terms)
+        return self._arrow_postings.to_table(filter=flt).to_pandas()
+
+    def _docids_arrow(self, docnums: list[int]) -> dict[int, str]:
+        import pyarrow.dataset as ds
+
+        if not hasattr(self, "_arrow_docids"):
+            self._arrow_docids = ds.dataset(f"{self.index_dir}/docids", format="parquet")
+        t = self._arrow_docids.to_table(
+            filter=ds.field("docnum").isin(docnums), columns=["docnum", "doc_id"]
+        )
+        return dict(zip(t.column("docnum").to_pylist(), t.column("doc_id").to_pylist()))
+
+    def _search_local(self, scan: DataFrame, terms: list[str], top_k: int, mode: str) -> DataFrame:
+        """Driver-side scoring over the pruned scan (same kernels)."""
+        try:
+            buckets = self._buckets_for(terms)
+            pdf = self._pruned_rows_arrow(terms, buckets)
+        except Exception:
+            pdf = scan.toPandas()  # e.g. non-local filesystem without pyarrow support
+        if len(pdf) == 0:
+            return self.empty_result()
+        df_override = None
+        if len(self.stats.get("epochs", {"0": 0})) > 1:
+            per_epoch = pdf.groupby(["field", "term", "epoch"])["df"].first().reset_index()
+            agg = per_epoch.groupby(["field", "term"])["df"].sum()
+            df_override = {(f, t): int(v) for (f, t), v in agg.items()}
+        kernel = make_wand_kernel(terms, self.stats, top_k, mode, df_override)
+        outs = [kernel(grp.reset_index(drop=True)) for _, grp in pdf.groupby("chunk")]
+        import pandas as pd
+
+        res = pd.concat(outs, ignore_index=True) if outs else None
+        if res is None or len(res) == 0:
+            return self.empty_result()
+        res = res.sort_values(["score", "docnum"], ascending=[False, True]).head(top_k)
+        docnums = [int(d) for d in res["docnum"]]
+        try:
+            id_map = self._docids_arrow(docnums)
+        except Exception:
+            id_rows = self.docids.filter(F.col("docnum").isin(docnums)).select("docnum", "doc_id").collect()
+            id_map = {r["docnum"]: r["doc_id"] for r in id_rows}
+        out = [
+            (id_map[int(d)], float(s), i + 1)
+            for i, (d, s) in enumerate(zip(res["docnum"], res["score"]))
+        ]
+        return self.spark.createDataFrame(out, RESULT_SCHEMA)
 
 
 def search_bm25(spark: SparkSession, index_dir: str, query: str, top_k: int = 10, mode: str = "and") -> DataFrame:

@@ -66,11 +66,15 @@ def test_build_metrics_sane(built):
 
 
 @pytest.mark.parametrize("mode", ["and", "or"])
-def test_rank_identical_vs_oracle(spark, built, mode):
+@pytest.mark.parametrize("local", [True, False], ids=["local", "distributed"])
+def test_rank_identical_vs_oracle(spark, built, mode, local):
     idx, _, docs, _ = built
     index = BM25Index(spark, idx)
     for q in QUERIES:
-        got = [(r["doc_id"], r["score"]) for r in index.search(q, top_k=10, mode=mode).collect()]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in index.search(q, top_k=10, mode=mode, prefer_local=local).collect()
+        ]
         want = bm25_oracle(docs, q, FIELDS, top_k=10, mode=mode)
         assert_rank_identical(got, want)
 

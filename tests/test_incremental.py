@@ -43,14 +43,15 @@ def indexes(spark, tmp_path_factory):
 
 
 @pytest.mark.parametrize("mode", ["and", "or"])
-def test_epoch_append_matches_full_rebuild(spark, indexes, mode):
+@pytest.mark.parametrize("local", [True, False], ids=["local", "distributed"])
+def test_epoch_append_matches_full_rebuild(spark, indexes, mode, local):
     full_dir, inc_dir = indexes
     full = BM25Index(spark, full_dir)
     inc = BM25Index(spark, inc_dir)
     assert len(inc.stats["epochs"]) == 2
     for q in QUERIES:
-        want = [(r["doc_id"], r["score"]) for r in full.search(q, 10, mode).collect()]
-        got = [(r["doc_id"], r["score"]) for r in inc.search(q, 10, mode).collect()]
+        want = [(r["doc_id"], r["score"]) for r in full.search(q, 10, mode, prefer_local=local).collect()]
+        got = [(r["doc_id"], r["score"]) for r in inc.search(q, 10, mode, prefer_local=local).collect()]
         assert_rank_identical(got, want, rel_tol=1e-9)
 
 
