@@ -46,14 +46,14 @@ EMB_DIM = 64
 
 _FTOKS = f"""
   SELECT doc_id,
-         unnest(list_filter(regexp_extract_all(lower(text), '{PAT}'),
+         unnest(list_filter(regexp_extract_all(lower(coalesce(text, '')), '{PAT}'),
                             x -> length(x) >= 2 AND x NOT IN ({STOP_SQL}))) AS term
   FROM documents
 """
 
 _TOKLIST = f"""
   SELECT doc_id,
-         list_filter(regexp_extract_all(lower(text), '{PAT}'),
+         list_filter(regexp_extract_all(lower(coalesce(text, '')), '{PAT}'),
                      x -> length(x) >= 2 AND x NOT IN ({STOP_SQL})) AS l
   FROM documents
 """
@@ -110,15 +110,25 @@ def _engine_index(spark: SparkSession, sf_dir: str) -> BM25Index:
     tag = sf_dir.strip("/").replace("/", "_")
     idx_dir = f"/tmp/beetle_idx_{tag}"
     corpus = documents_as_corpus(spark, sf_dir)
+    src_mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
     fresh = False
     if os.path.exists(f"{idx_dir}/stats.json"):
         with open(f"{idx_dir}/stats.json") as f:
-            fresh = json.load(f).get("layout_version") == INDEX_LAYOUT_VERSION
+            st = json.load(f)
+        fresh = (
+            st.get("layout_version") == INDEX_LAYOUT_VERSION
+            and st.get("source_mtime") == src_mtime  # source data unchanged
+        )
     if not fresh:
         import shutil
 
         shutil.rmtree(idx_dir, ignore_errors=True)
         build_index(spark, corpus, idx_dir, fields={"body": "content"}, cfg=_ENGINE_CFG)
+        with open(f"{idx_dir}/stats.json") as f:
+            st = json.load(f)
+        st["source_mtime"] = src_mtime
+        with open(f"{idx_dir}/stats.json", "w") as f:
+            json.dump(st, f, indent=1)
     return BM25Index(spark, idx_dir)
 
 
@@ -212,9 +222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length("text") > 80, F.concat(F.substring("text", 1, 80), F.lit("..."))
         ).otherwise(F.col("text")).alias("preview"),
         F.regexp_replace(F.lower("text"), r"[^\w\s]", "").substr(1, 40).alias("depunct"),
-        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("ws_words"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+")).cast("long").alias("ws_words"),
         F.concat_ws("|", "lang", "source").alias("tag"),
-        F.col("text").contains("spark").alias("mentions_spark"),
+        F.coalesce(F.col("text").contains("spark"), F.lit(False)).alias("mentions_spark"),
         F.round(F.lit(1.0) / (F.lit(60) + F.col("doc_id") + 1), 6).alias("rrf_at_rank"),
     )
 
@@ -449,15 +459,15 @@ def oracle_sql() -> dict[str, str]:
 
     o["text_quality"] = f"""
       SELECT doc_id,
-             len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::bigint AS n_tokens,
-             length(text)::bigint AS n_chars,
-             round(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+             len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+'))::bigint AS n_tokens,
+             length(coalesce(text, ''))::bigint AS n_chars,
+             round(len(list_filter(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+'),
                                    x -> x IN ({STOP_SQL})))
-                   / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1), 6)
+                   / greatest(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')), 1), 6)
                AS stopword_ratio,
-             round(length(regexp_replace(text, '[a-zA-Z0-9_ ]', '', 'g'))
-                   / greatest(length(text), 1), 6) AS punct_ratio,
-             round(length(text) / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1), 6)
+             round(length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9_ ]', '', 'g'))
+                   / greatest(length(coalesce(text, '')), 1), 6) AS punct_ratio,
+             round(length(coalesce(text, '')) / greatest(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')), 1), 6)
                AS avg_token_len
       FROM documents
     """
@@ -465,7 +475,7 @@ def oracle_sql() -> dict[str, str]:
     o["heuristic_label"] = """
       WITH base AS (
         SELECT doc_id, n_chars, lang, source,
-               len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS wc
+               len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS wc
         FROM documents
       ),
       sc AS (
@@ -489,15 +499,15 @@ def oracle_sql() -> dict[str, str]:
 
     o["lang_id"] = f"""
       SELECT doc_id,
-             CASE WHEN round(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+             CASE WHEN round(len(list_filter(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+'),
                                              x -> x IN ({STOP_SQL})))
-                        / greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1), 6) > 0.02
+                        / greatest(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')), 1), 6) > 0.02
                   THEN 'en' ELSE 'und' END AS pred_lang
       FROM documents
     """
 
     o["doc_fingerprint"] = r"""
-      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      SELECT doc_id, md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp
       FROM documents
     """
 
@@ -518,7 +528,7 @@ def oracle_sql() -> dict[str, str]:
     o["filter_project"] = f"""
       SELECT doc_id, lang, n_chars FROM documents
       WHERE text IS NOT NULL
-        AND len(list_filter(regexp_extract_all(lower(text), '{PAT}'),
+        AND len(list_filter(regexp_extract_all(lower(coalesce(text, '')), '{PAT}'),
                             x -> length(x) >= 2 AND x NOT IN ({STOP_SQL}))) >= 30
     """
 
@@ -535,9 +545,9 @@ def oracle_sql() -> dict[str, str]:
              CASE WHEN length(text) > 80 THEN substr(text, 1, 80) || '...'
                   ELSE text END AS preview,
              substr(regexp_replace(lower(text), '[^\w\s]', '', 'g'), 1, 40) AS depunct,
-             len(regexp_split_to_array(text, '\s+'))::bigint AS ws_words,
+             len(regexp_split_to_array(coalesce(text, ''), '\s+'))::bigint AS ws_words,
              concat_ws('|', lang, source) AS tag,
-             contains(text, 'spark') AS mentions_spark,
+             coalesce(contains(text, 'spark'), false) AS mentions_spark,
              round(1.0 / (60 + doc_id + 1), 6) AS rrf_at_rank
       FROM documents
     """

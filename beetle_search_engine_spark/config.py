@@ -32,8 +32,10 @@ class IndexConfig:
     """
 
     n_buckets: int = 64            # parquet partition dirs (scale: 1024+)
-    block_size: int = 128          # postings per block (BMW granularity)
-    blocks_per_row: int = 32       # <=4096 postings per parquet row
+    block_size: int = 128          # postings granule
+    blocks_per_row: int = 8        # <=1024 postings per parquet row; the
+    # row is the block-max skip unit — smaller rows = finer WAND pruning,
+    # more row metadata
     chunk_docs: int = 1 << 16      # docnum range scored per WAND task
     # terms with df above this are salted across `hot_salts` encode
     # partitions (Zipf head defusal); None -> max(5000, N // 50)

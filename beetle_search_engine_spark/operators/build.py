@@ -10,12 +10,13 @@ Pipeline (all DataFrame, one Python kernel):
          ── sortWithinPartitions(field,term,docnum)
          ── mapInPandas(encode) ──> posting rows ──> parquet partitionBy(bucket)
 
-Physical layout: rows are *block groups* — up to blocks_per_row blocks of
-block_size postings, chunk-aligned (a row never spans a chunk_docs docnum
-boundary), binary columns gap+varint encoded, float32 per-block max BM25F
-score bounds (rounded up) for block-max WAND.  Doc lengths are embedded
-per posting, so querying never touches a doclen table (no per-query
-doclen shuffle at any scale).
+Physical layout: rows hold up to block_size*blocks_per_row postings each,
+chunk-aligned (a row never spans a chunk_docs docnum boundary), binary
+columns gap+varint encoded.  The ROW is the block-max unit: each carries a
+float32 upper-bound BM25F score (rounded up) that the WAND kernel prunes
+on — skip granularity = row size.  Doc lengths are embedded per posting,
+so querying never touches a doclen table (no per-query doclen shuffle at
+any scale).
 
 Skew: Zipf-head terms (df > hot threshold) are salted across
 ``hot_salts`` encode partitions keyed by chunk id, so no reducer ever
@@ -47,12 +48,11 @@ from .codecs import encode_docgap_rows, varint_encode_rows
 from .docnums import assign_docnums, write_docids
 from .tokenize import tokenize
 
-INDEX_LAYOUT_VERSION = 2  # bump when POSTINGS_SCHEMA / stats layout changes
+INDEX_LAYOUT_VERSION = 3  # bump when POSTINGS_SCHEMA / stats layout changes
 
 POSTINGS_SCHEMA = (
     "bucket int, field string, term string, df long, chunk long, "
     "doc_lo long, doc_hi long, n int, max_score float, "
-    "block_n array<int>, block_max array<float>, "
     "docs binary, tfs binary, dls binary, row_bytes long, "
     "epoch int, epoch_n long"
 )
@@ -63,7 +63,7 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
 
     Input is sorted by (field, term, docnum).  Each Arrow batch is encoded
     in whole-array numpy passes: span detection, df assignment, BM25
-    scoring, block-max reduction and varint encoding all happen once per
+    scoring, row-bound reduction and varint encoding all happen once per
     batch, not once per term.  Only the partition's final (field, term) run
     is carried to the next batch (it may continue there)."""
     block = cfg.index.block_size
@@ -125,18 +125,11 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
         row_n = row_ends - row_starts
         row_span = np.searchsorted(span_starts, row_starts, side="right") - 1
 
-        # block starts within rows
-        rid_pp = np.searchsorted(row_starts, np.arange(n), side="right") - 1
-        off_in_row = np.arange(n) - row_starts[rid_pp]
-        block_starts = np.flatnonzero(off_in_row % block == 0)
-        bmax = np.maximum.reduceat(scores, block_starts)
-        bmax32 = np.nextafter(bmax.astype(np.float32), np.float32(np.inf))
-        block_n = (np.append(block_starts[1:], n) - block_starts).astype(np.int32)
-        blocks_per_row = np.bincount(rid_pp[block_starts], minlength=row_starts.size)
-        bsplit = np.cumsum(blocks_per_row)[:-1]
-        bmax_rows = np.split(bmax32, bsplit)
-        bn_rows = np.split(block_n, bsplit)
-        row_max = np.maximum.reduceat(bmax32, np.insert(bsplit, 0, 0))
+        # the row IS the block-max unit: per-row score upper bound,
+        # float32 rounded UP so it stays a valid bound
+        row_max = np.nextafter(
+            np.maximum.reduceat(scores, row_starts).astype(np.float32), np.float32(np.inf)
+        )
 
         docs_bin = encode_docgap_rows(docs, row_starts)
         tfs_bin = varint_encode_rows(tfs.astype(np.uint64), row_starts)
@@ -151,9 +144,7 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
             "doc_lo": docs[row_starts],
             "doc_hi": docs[row_ends - 1],
             "n": row_n.astype(np.int32),
-            "max_score": row_max.astype(np.float32),
-            "block_n": [x.tolist() for x in bn_rows],
-            "block_max": [x.tolist() for x in bmax_rows],
+            "max_score": row_max,
             "docs": docs_bin,
             "tfs": tfs_bin,
             "dls": dls_bin,
@@ -232,6 +223,37 @@ def build_index(
             prior = json.load(f)
         if prior.get("fingerprint") != fp or prior.get("layout_version") != INDEX_LAYOUT_VERSION:
             prior = None  # corpus or layout changed -> full rebuild
+
+    # Remove stale posting groups: anything without a manifest matching
+    # this corpus fingerprint (leftover epoch groups from an older corpus,
+    # groups from a different bucket_groups config, aborted writes).
+    # Without this, a rebuild leaves ghost postings that queries scan.
+    import re as _re
+    import shutil as _sh
+
+    post_root = f"{index_dir}/postings"
+    if os.path.isdir(post_root):
+        for d in os.listdir(post_root):
+            m = _re.fullmatch(r"group=(\d+)", d)
+            if not m:
+                continue
+            g = int(m.group(1))
+            keep = False
+            man_path = f"{index_dir}/_manifest/group_{g}.json"
+            if g < 1000 and g < cfg.index.bucket_groups and os.path.exists(man_path):
+                with open(man_path) as f:
+                    man = json.load(f)
+                keep = (
+                    man.get("fingerprint") == fp
+                    and man.get("layout_version") == INDEX_LAYOUT_VERSION
+                )
+            if not keep:
+                _sh.rmtree(f"{post_root}/{d}", ignore_errors=True)
+                if g >= 1000 or g >= cfg.index.bucket_groups:
+                    # stale epoch/foreign manifest too
+                    for p in (man_path, f"{index_dir}/_manifest/group_{g}.json"):
+                        if os.path.exists(p):
+                            os.remove(p)
 
     if prior is None:
         write_docids(dim, f"{index_dir}/docids", meta_cols)

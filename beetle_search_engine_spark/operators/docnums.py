@@ -20,6 +20,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _max_partition_bytes(spark) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    digits = "".join(c for c in raw if c.isdigit())
+    return int(digits or "134217728")
+
+
+def _max_file_bytes(spark, path: str) -> int:
+    """Largest file under ``path`` via the Hadoop FS API (works for any
+    filesystem the cluster can read, not just local disk)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(p, True)
+    mx = 0
+    while it.hasNext():
+        mx = max(mx, it.next().getLen())
+    return mx
+
+
 def assign_docnums(
     df: DataFrame,
     stage_dir: str,
@@ -48,13 +67,32 @@ def assign_docnums(
         # 2x parallelism keeps staged files small (< maxPartitionBytes, so
         # they are never split) and every core busy on the read side
         partitions = spark.sparkContext.defaultParallelism * 2
-    (
-        df.repartition(partitions, id_col)
-        .sortWithinPartitions(id_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .write.mode("overwrite")
-        .parquet(stage_dir)
-    )
+
+    def stage(parts: int) -> int:
+        (
+            df.repartition(parts, id_col)
+            .sortWithinPartitions(id_col)
+            .withColumn("_pid", F.spark_partition_id())
+            .write.mode("overwrite")
+            .parquet(stage_dir)
+        )
+        return _max_file_bytes(spark, stage_dir)
+
+    # ENFORCE the no-split precondition: a staged file larger than
+    # maxPartitionBytes would be split across read tasks and silently
+    # corrupt the numbering.  Auto-rescale partitions until files fit.
+    max_pb = _max_partition_bytes(spark)
+    biggest = stage(partitions)
+    tries = 0
+    while biggest >= max_pb and tries < 3:
+        partitions = max(partitions * 2, int(partitions * (2.0 * biggest / max_pb)))
+        biggest = stage(partitions)
+        tries += 1
+    if biggest >= max_pb:
+        raise RuntimeError(
+            f"staged corpus files ({biggest}B) still exceed "
+            f"spark.sql.files.maxPartitionBytes ({max_pb}B) at {partitions} partitions"
+        )
     h = spark.read.parquet(stage_dir)
     rows = (
         h.groupBy("_pid")

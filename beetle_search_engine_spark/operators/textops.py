@@ -24,8 +24,10 @@ STOP_LIST = sorted(STOP_WORDS)
 
 
 def token_array(text_col) -> F.Column:
-    """array<string> of SQL-chain tokens for a text column."""
-    toks = F.regexp_extract_all(F.lower(text_col), F.lit(SQL_TOKEN_PATTERN), 0)
+    """array<string> of SQL-chain tokens for a text column.  NULL text is
+    treated as empty (Spark's size(NULL) = -1 would otherwise diverge
+    from the SQL oracle's NULL)."""
+    toks = F.regexp_extract_all(F.lower(F.coalesce(text_col, F.lit(""))), F.lit(SQL_TOKEN_PATTERN), 0)
     return F.filter(toks, lambda t: (F.length(t) >= 2) & ~t.isin(*STOP_LIST))
 
 
@@ -72,11 +74,12 @@ def text_quality(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
     """Quality metrics per doc: token count, char stats, stopword/punct
     ratios and a gated quality score (shape of the reference's heuristic
     scorer, src/ETL/heuristic_label.py:61-109)."""
-    all_toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9_]+"), 0)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    all_toks = F.regexp_extract_all(F.lower(txt), F.lit(r"[a-z0-9_]+"), 0)
     stop_hits = F.size(F.filter(all_toks, lambda t: t.isin(*STOP_LIST)))
     n_tokens = F.size(all_toks)
-    n_chars = F.length(F.col(text_col))
-    punct_chars = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9_ ]", ""))
+    n_chars = F.length(txt)
+    punct_chars = F.length(F.regexp_replace(txt, r"[a-zA-Z0-9_ ]", ""))
     return df.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
@@ -92,7 +95,7 @@ def heuristic_label(df: DataFrame) -> DataFrame:
     sum with a reasons string and threshold classify
     (src/ETL/heuristic_label.py:61-122), re-expressed as pure column
     expressions over the documents table."""
-    wc = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9_]+"), 0))
+    wc = F.size(F.regexp_extract_all(F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit(r"[a-z0-9_]+"), 0))
     long_enough = F.when(F.col("n_chars") >= 300, 3).otherwise(-20)
     wordy = F.when(wc >= 50, 3).otherwise(0)
     is_en = F.when(F.col("lang") == "en", 3).otherwise(0)
@@ -129,7 +132,7 @@ def fingerprint(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
     """Normalized-content fingerprint (F1 analog: the reference identifies
     docs by sha256, src/ETL/parse.py:21-23): md5 of lower+whitespace-
     collapsed+trimmed text."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 

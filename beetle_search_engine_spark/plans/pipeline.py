@@ -62,9 +62,14 @@ def search_and_rerank(
 ) -> DataFrame:
     """documents: (doc_id string, text string [, ...display cols])."""
     if method == "bm25":
-        cands = index.search(query, top_k, mode="and")
-        if cands.isEmpty():
-            cands = index.search(query, top_k, mode="or")
+        # collect the tiny top-k once: probing emptiness lazily would
+        # re-execute the whole retrieval for every downstream action
+        rows = index.search(query, top_k, mode="and").collect()
+        if not rows:
+            rows = index.search(query, top_k, mode="or").collect()
+        if not rows:
+            return spark.createDataFrame([], "doc_id string, score double, rank int")
+        cands = spark.createDataFrame(rows)
     elif method == "knn":
         if embeddings is None or query_vec_id is None:
             raise ValueError("knn method needs embeddings + query_vec_id")

@@ -56,6 +56,11 @@ class BM25Index:
             self.stats = json.load(f)
         self.postings = self.spark.read.parquet(f"{self.index_dir}/postings")
         self.docids = self.spark.read.parquet(f"{self.index_dir}/docids")
+        # drop cached pyarrow file listings (the local fast path would
+        # otherwise keep serving the pre-append snapshot)
+        for attr in ("_arrow_postings", "_arrow_docids"):
+            if hasattr(self, attr):
+                delattr(self, attr)
 
     def search(
         self, query: str, top_k: int = 10, mode: str = "and", prefer_local: bool | None = None

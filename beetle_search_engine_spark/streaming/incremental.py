@@ -42,13 +42,20 @@ def append_epoch(
     fields: dict[str, str] | None = None,
     cfg: EngineConfig = DEFAULT,
     meta_cols: tuple[str, ...] = (),
+    batch_tag: str | None = None,
 ) -> dict:
-    """Append new documents to an existing index as one epoch."""
+    """Append new documents to an existing index as one epoch.
+
+    ``batch_tag`` makes the append idempotent: if a tag was already
+    applied (recorded in stats.json), the call is a no-op — required for
+    Structured Streaming's at-least-once foreachBatch redelivery."""
     fields = fields or {"body": "content"}
     t0 = time.time()
     stats_path = f"{index_dir}/stats.json"
     with open(stats_path) as f:
         stats = json.load(f)
+    if batch_tag is not None and batch_tag in stats.get("applied_batches", []):
+        return {"epoch": None, "skipped": True, "batch_tag": batch_tag}
     offset = stats["n_docs"]
     epoch = max(int(e) for e in stats["epochs"]) + 1
 
@@ -127,6 +134,8 @@ def append_epoch(
         "n_docs": n_total,
         "id_hash_xor": stats["fingerprint"]["id_hash_xor"] ^ fp_new["id_hash_xor"],
     }
+    if batch_tag is not None:
+        stats.setdefault("applied_batches", []).append(batch_tag)
     with open(stats_path, "w") as f:
         json.dump(stats, f, indent=1)
     shutil.rmtree(f"{index_dir}/_stage", ignore_errors=True)
@@ -153,7 +162,10 @@ def stream_refresh(
     def handle(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        append_epoch(batch_df.sparkSession, index_dir, batch_df, fields, cfg, meta_cols)
+        append_epoch(
+            batch_df.sparkSession, index_dir, batch_df, fields, cfg, meta_cols,
+            batch_tag=f"stream:{batch_id}",
+        )
 
     w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
     if checkpoint_dir:

@@ -10,7 +10,7 @@ BENCH/BASELINE.md).  Prints ONE JSON line.
 Env knobs:
   SPARK_GRAFT_SF_DIR       sf dir for the query suite (default sf0.1)
   SPARK_GRAFT_CPUS         cores for the query suite (default 32)
-  BEETLE_BENCH_DOCS        synthetic corpus size for build/scaling (default 200000)
+  BEETLE_BENCH_DOCS        synthetic corpus size for build/scaling (default 100000)
   BEETLE_BENCH_SCALING     "0" to skip the scaling pair (default on)
 """
 

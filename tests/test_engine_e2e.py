@@ -32,7 +32,8 @@ CFG = EngineConfig(
 )
 
 QUERIES = [
-    "transformer models",          # the reference's own smoke query (search_bm25.py:48)
+    "transformer models",          # the reference's smoke queries
+    "transformer models for NLP",  # (search_bm25.py:48, search_splade.py:94)
     "spark partition shuffle",
     "def class return value",
     "search rank score",
