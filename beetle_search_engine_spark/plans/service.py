@@ -1,0 +1,111 @@
+"""Search service — the reference's HTTP API surface (§3.2; reference:
+app.py:28-96, POST /search + GET /config) over the engine.
+
+The handler is a pure function (request dict -> response dict) so it is
+testable without sockets; ``serve`` wraps it in a stdlib ThreadingHTTPServer
+for a real endpoint (the reference uses FastAPI — not available here, and
+a framework adds nothing: the work happens in Spark).  The driver process
+holds the cached BM25Index, matching the reference's long-lived app state.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .pipeline import search_and_rerank
+from .query import BM25Index
+
+
+class SearchService:
+    """Request semantics mirror the reference's SearchRequest defaults
+    (app.py:28-33): top_k=20, rerank_k=5, method='bm25' here (the
+    reference defaults to hybrid, which needs an embedding column —
+    pass embeddings/query_vec_id through extra fields to use it)."""
+
+    def __init__(self, spark: SparkSession, index: BM25Index, documents: DataFrame):
+        self.spark = spark
+        self.index = index
+        self.documents = documents
+
+    def handle(self, request: dict) -> dict:
+        query = (request.get("query") or "").strip()
+        if not query:
+            return {"error": "query must not be empty", "status": 400}
+        top_k = int(request.get("top_k", 20))
+        rerank_k = int(request.get("rerank_k", 5))
+        method = request.get("search_method", "bm25")
+        rerank = bool(request.get("reranker_enabled", False))
+        try:
+            rows = search_and_rerank(
+                self.spark, self.index, self.documents, query,
+                method=method, top_k=top_k, rerank_k=rerank_k, rerank=rerank,
+            ).collect()
+        except ValueError as e:
+            return {"error": str(e), "status": 400}
+        except Exception as e:  # reference returns 500 with str(e) (app.py:80-81)
+            return {"error": str(e), "status": 500}
+        return {
+            "status": 200,
+            "query": query,
+            "results": [
+                {"id": r["doc_id"], "score": r["score"], "rank": r["rank"]} for r in rows
+            ],
+            "total_results": len(rows),
+            "method": method,
+            "reranker": rerank,
+        }
+
+    def config(self) -> dict:
+        """GET /config analog (app.py:84-96)."""
+        s = self.index.stats
+        return {
+            "status": 200,
+            "bm25": {"k1": s["k1"], "b": s["b"], "field_boosts": s["field_boosts"]},
+            "index": {
+                "n_docs": s["n_docs"],
+                "vocab_size": s.get("vocab_size"),
+                "n_buckets": s["n_buckets"],
+                "epochs": sorted(s.get("epochs", {})),
+            },
+        }
+
+
+def serve(service: SearchService, host: str = "127.0.0.1", port: int = 8808):
+    """Start a real HTTP endpoint (daemon thread); returns the server."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, payload: dict):
+            status = payload.pop("status", 200)
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if self.path != "/search":
+                return self._send({"error": "not found", "status": 404})
+            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                return self._send({"error": "invalid JSON body", "status": 400})
+            self._send(service.handle(req))
+
+        def do_GET(self):
+            if self.path == "/config":
+                return self._send(service.config())
+            self._send({"error": "not found", "status": 404})
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv

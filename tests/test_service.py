@@ -1,0 +1,69 @@
+"""HTTP API analog (§3.2): handler semantics + a real localhost round-trip."""
+
+import json
+import urllib.request
+
+import pytest
+
+from beetle_search_engine_spark.config import EngineConfig, IndexConfig
+from beetle_search_engine_spark.operators.build import build_index
+from beetle_search_engine_spark.plans.query import BM25Index
+from beetle_search_engine_spark.plans.service import SearchService, serve
+from beetle_search_engine_spark.sources.corpus import generate_corpus
+
+CFG = EngineConfig(index=IndexConfig(n_buckets=8, bucket_groups=1, chunk_docs=128, encode_partitions=4))
+
+
+@pytest.fixture(scope="module")
+def svc(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("sidx"))
+    corpus = generate_corpus(spark, 200, seed=61)
+    build_index(spark, corpus, idx_dir, fields={"body": "content"}, cfg=CFG)
+    docs = corpus.selectExpr("doc_id", "content as text")
+    return SearchService(spark, BM25Index(spark, idx_dir), docs)
+
+
+def test_handle_search(svc):
+    resp = svc.handle({"query": "transformer models", "top_k": 10, "rerank_k": 5})
+    assert resp["status"] == 200
+    assert resp["total_results"] == 5
+    assert resp["results"][0]["rank"] == 1
+
+
+def test_handle_empty_query(svc):
+    assert svc.handle({"query": "  "})["status"] == 400
+
+
+def test_handle_bad_method(svc):
+    assert svc.handle({"query": "x", "search_method": "nope"})["status"] == 400
+
+
+def test_config(svc):
+    c = svc.config()
+    assert c["index"]["n_docs"] == 200
+    assert c["bm25"]["k1"] == 1.2
+
+
+def test_http_round_trip(svc):
+    srv = serve(svc, port=8811)
+    try:
+        req = urllib.request.Request(
+            "http://127.0.0.1:8811/search",
+            data=json.dumps({"query": "transformer models", "rerank_k": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            body = json.loads(r.read())
+        assert body["total_results"] == 3
+        with urllib.request.urlopen("http://127.0.0.1:8811/config", timeout=30) as r:
+            cfgb = json.loads(r.read())
+        assert cfgb["index"]["n_docs"] == 200
+        # probe: malformed JSON -> 400
+        bad = urllib.request.Request("http://127.0.0.1:8811/search", data=b"{nope", method="POST")
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
