@@ -44,16 +44,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
-from .codecs import encode_docgap_rows, varint_encode_rows
+from .codecs import encode_docgap_rows, encode_positions_rows, varint_encode_rows
 from .docnums import assign_docnums, write_docids
 from .tokenize import tokenize
 
-INDEX_LAYOUT_VERSION = 3  # bump when POSTINGS_SCHEMA / stats layout changes
+INDEX_LAYOUT_VERSION = 4  # bump when POSTINGS_SCHEMA / stats layout changes
 
 POSTINGS_SCHEMA = (
     "bucket int, field string, term string, df long, chunk long, "
     "doc_lo long, doc_hi long, n int, max_score float, "
-    "docs binary, tfs binary, dls binary, row_bytes long, "
+    "docs binary, tfs binary, dls binary, pos binary, row_bytes long, "
     "epoch int, epoch_n long"
 )
 
@@ -73,8 +73,9 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
     boosts = dict(cfg.bm25.field_boosts)
     n_docs = stats["n_docs"]
     avgdl = stats["avgdl"]
+    store_pos = cfg.index.store_positions
 
-    def encode_region(fields, terms, buckets, docs, tfs, dls):
+    def encode_region(fields, terms, buckets, docs, tfs, dls, pos=None):
         """Encode complete runs -> columnar dict for one output frame."""
         n = docs.size
         if n == 0:
@@ -134,6 +135,19 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
         docs_bin = encode_docgap_rows(docs, row_starts)
         tfs_bin = varint_encode_rows(tfs.astype(np.uint64), row_starts)
         dls_bin = varint_encode_rows(dls.astype(np.uint64), row_starts)
+        if store_pos and pos is not None:
+            counts = tfs.astype(np.int64)
+            posting_starts = np.zeros(n, dtype=np.int64)
+            if n > 1:
+                np.cumsum(counts[:-1], out=posting_starts[1:])
+            allpos = (
+                np.concatenate([np.asarray(p, dtype=np.int64) for p in pos])
+                if n
+                else np.empty(0, dtype=np.int64)
+            )
+            pos_bin = encode_positions_rows(allpos, posting_starts, row_starts)
+        else:
+            pos_bin = [b""] * row_starts.size
 
         return {
             "bucket": buckets[row_starts].astype(np.int32),
@@ -148,8 +162,12 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
             "docs": docs_bin,
             "tfs": tfs_bin,
             "dls": dls_bin,
+            "pos": pos_bin,
             "row_bytes": np.array(
-                [len(a) + len(t) + len(l) for a, t, l in zip(docs_bin, tfs_bin, dls_bin)],
+                [
+                    len(a) + len(t) + len(l) + len(p)
+                    for a, t, l, p in zip(docs_bin, tfs_bin, dls_bin, pos_bin)
+                ],
                 dtype=np.int64,
             ),
             # epoch lineage: which incremental refresh wrote this row, and
@@ -160,7 +178,7 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
         }
 
     def kernel(batches):
-        carry = None  # (fields, terms, buckets, docs, tfs, dls) of open run
+        carry = None  # (fields, terms, buckets, docs, tfs, dls[, pos]) of open run
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -172,6 +190,8 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
                 pdf["tf"].to_numpy(),
                 pdf["dl"].to_numpy(),
             )
+            if store_pos:
+                cols = cols + (pdf["pos"].to_numpy(),)
             if carry is not None:
                 cols = tuple(np.concatenate([c, x]) for c, x in zip(carry, cols))
             fields, terms = cols[0], cols[1]
@@ -215,14 +235,23 @@ def build_index(
     dim, fp = assign_docnums(corpus, f"{index_dir}/_stage/corpus")
     _mark('docnums + fingerprint')
     n_docs = fp["n_docs"]
+    # hash of layout + scoring + fields + analyzer: a config change is a
+    # rebuild even when the corpus fingerprint matches (a group bucketed
+    # under an old n_buckets would otherwise serve queries pruning with
+    # the new one)
+    cfg_hash = cfg.layout_hash(fields)
 
     stats_path = f"{index_dir}/stats.json"
     prior = None
     if resume and os.path.exists(stats_path):
         with open(stats_path) as f:
             prior = json.load(f)
-        if prior.get("fingerprint") != fp or prior.get("layout_version") != INDEX_LAYOUT_VERSION:
-            prior = None  # corpus or layout changed -> full rebuild
+        if (
+            prior.get("fingerprint") != fp
+            or prior.get("layout_version") != INDEX_LAYOUT_VERSION
+            or prior.get("layout_hash") != cfg_hash
+        ):
+            prior = None  # corpus, layout or config changed -> full rebuild
 
     # Remove stale posting groups: anything without a manifest matching
     # this corpus fingerprint (leftover epoch groups from an older corpus,
@@ -246,6 +275,7 @@ def build_index(
                 keep = (
                     man.get("fingerprint") == fp
                     and man.get("layout_version") == INDEX_LAYOUT_VERSION
+                    and man.get("layout_hash") == cfg_hash
                 )
             if not keep:
                 _sh.rmtree(f"{post_root}/{d}", ignore_errors=True)
@@ -265,7 +295,15 @@ def build_index(
     # local concurrency, while a parquet round-trip scales linearly and
     # doubles as the resume point for multi-group builds.
     stage_path = f"{index_dir}/_stage/tokens"
-    tokenize(dim, fields, cfg.tokenizer).write.mode("overwrite").parquet(stage_path)
+    tokenize(
+        dim,
+        fields,
+        cfg.tokenizer,
+        analyzer_name=cfg.analyzer,
+        broadcast_stems=n_docs <= cfg.index.stem_broadcast_max_docs,
+        positions=cfg.index.store_positions,
+        n_docs_hint=n_docs,
+    ).write.mode("overwrite").parquet(stage_path)
     tokens = spark.read.parquet(stage_path)
     _mark('tokenize -> stage parquet')
 
@@ -310,6 +348,10 @@ def build_index(
         "hot_df_threshold": thr,
         "fingerprint": fp,
         "layout_version": INDEX_LAYOUT_VERSION,
+        "layout_hash": cfg_hash,
+        "analyzer": cfg.analyzer,
+        "store_positions": cfg.index.store_positions,
+        "tokenizer": cfg.tokenizer,
         # per-epoch encode-time stats (incremental refreshes append here;
         # queries rescale stored score bounds across epochs)
         "epochs": {"0": {"n_docs": n_docs, "avgdl": avgdl}},
@@ -346,16 +388,23 @@ def build_index(
         if resume and os.path.exists(man_path):
             with open(man_path) as f:
                 man = json.load(f)
-            if man.get("fingerprint") == fp and man.get("layout_version") == INDEX_LAYOUT_VERSION:
+            if (
+                man.get("fingerprint") == fp
+                and man.get("layout_version") == INDEX_LAYOUT_VERSION
+                and man.get("layout_hash") == cfg_hash
+            ):
                 man["skipped"] = True
                 group_metrics.append(man)
                 continue
         tg = time.time()
         sel = base.filter(F.pmod(F.col("bucket"), F.lit(groups)) == g)
+        enc_cols = ["bucket", "field", "term", "docnum", "tf", "dl"]
+        if cfg.index.store_positions:
+            enc_cols.append("pos")
         enc = (
             sel.repartition(p_enc, "_key")
             .sortWithinPartitions("field", "term", "docnum")
-            .select("bucket", "field", "term", "docnum", "tf", "dl")
+            .select(*enc_cols)
             .mapInPandas(kernel, schema=POSTINGS_SCHEMA)
         )
         out_path = f"{index_dir}/postings/group={g}"
@@ -384,6 +433,7 @@ def build_index(
             "group": g,
             "fingerprint": fp,
             "layout_version": INDEX_LAYOUT_VERSION,
+            "layout_hash": cfg_hash,
             "wall_s": round(wall, 3),
             "postings": int(agg["postings"] or 0),
             "rows": int(agg["rows"] or 0),

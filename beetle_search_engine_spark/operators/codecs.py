@@ -98,6 +98,45 @@ def encode_docgap_rows(docnums: np.ndarray, row_starts: np.ndarray) -> list[byte
     return varint_encode_rows(gaps.astype(np.uint64), row_starts)
 
 
+def encode_positions_rows(
+    allpos: np.ndarray, posting_starts: np.ndarray, row_starts: np.ndarray
+) -> list[bytes]:
+    """Encode per-posting ascending position lists, sliced per output row.
+
+    ``allpos``: every posting's positions concatenated (ascending within a
+    posting); ``posting_starts``: value index where posting i's positions
+    begin (len = n_postings); ``row_starts``: posting indices where rows
+    begin.  Within each posting the first position is absolute and the
+    rest are (delta - 1) — same shape as the docnum gap codec.
+    """
+    a = np.ascontiguousarray(allpos, dtype=np.int64)
+    if a.size == 0:
+        return [b""] * len(row_starts)
+    gaps = np.empty(a.size, dtype=np.int64)
+    gaps[0] = a[0]
+    gaps[1:] = a[1:] - a[:-1] - 1
+    gaps[posting_starts] = a[posting_starts]  # posting-initial absolute
+    return varint_encode_rows(gaps.astype(np.uint64), posting_starts[row_starts])
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one row's position blob back to (flat positions,
+    posting_starts).  ``tfs`` gives each posting's position count."""
+    counts = np.ascontiguousarray(tfs, dtype=np.int64)
+    starts = np.zeros(counts.size, dtype=np.int64)
+    if counts.size > 1:
+        np.cumsum(counts[:-1], out=starts[1:])
+    gaps = varint_decode(buf).astype(np.int64)
+    if gaps.size == 0:
+        return gaps, starts
+    adj = gaps + 1
+    adj[starts] = gaps[starts]  # posting-initial values stay absolute
+    cs = np.cumsum(adj)
+    seg_base = cs[starts] - adj[starts]  # cumsum before each posting
+    vals = cs - np.repeat(seg_base, counts)
+    return vals, starts
+
+
 def encode_docgaps(docnums: np.ndarray) -> bytes:
     """Gap-encode a strictly-increasing docnum array.
 

@@ -20,23 +20,50 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _max_partition_bytes(spark) -> int:
-    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+def _conf_bytes(spark, key: str, default: int) -> int:
+    raw = str(spark.conf.get(key, str(default)))
     digits = "".join(c for c in raw if c.isdigit())
-    return int(digits or "134217728")
+    return int(digits or str(default))
 
 
-def _max_file_bytes(spark, path: str) -> int:
-    """Largest file under ``path`` via the Hadoop FS API (works for any
-    filesystem the cluster can read, not just local disk)."""
+def _file_stats(spark, path: str) -> tuple[int, int, int]:
+    """(largest, total, count) of files under ``path`` via the Hadoop FS
+    API (works for any filesystem the cluster can read, not just local
+    disk)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     it = fs.listFiles(p, True)
-    mx = 0
+    mx = tot = cnt = 0
     while it.hasNext():
-        mx = max(mx, it.next().getLen())
-    return mx
+        f = it.next()
+        if f.getPath().getName().startswith("_"):
+            continue  # _SUCCESS etc.
+        n = f.getLen()
+        mx = max(mx, n)
+        tot += n
+        cnt += 1
+    return mx, tot, cnt
+
+
+def _effective_max_split_bytes(spark, total_bytes: int, n_files: int) -> int:
+    """Spark's real per-task split size: min(maxPartitionBytes,
+    max(openCostInBytes, bytesPerCore)) — FilePartition.maxSplitBytes.
+    Comparing staged files only against maxPartitionBytes is not enough:
+    with a small total, bytesPerCore can drop to openCostInBytes and a
+    file between the two would still be split across read tasks."""
+    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 134217728)
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024)
+    min_parts = int(
+        str(
+            spark.conf.get(
+                "spark.sql.files.minPartitionNum",
+                str(spark.sparkContext.defaultParallelism),
+            )
+        )
+    )
+    bytes_per_core = (total_bytes + n_files * open_cost) // max(min_parts, 1)
+    return min(max_pb, max(open_cost, bytes_per_core))
 
 
 def assign_docnums(
@@ -68,7 +95,7 @@ def assign_docnums(
         # they are never split) and every core busy on the read side
         partitions = spark.sparkContext.defaultParallelism * 2
 
-    def stage(parts: int) -> int:
+    def stage(parts: int) -> tuple[int, int]:
         (
             df.repartition(parts, id_col)
             .sortWithinPartitions(id_col)
@@ -76,22 +103,24 @@ def assign_docnums(
             .write.mode("overwrite")
             .parquet(stage_dir)
         )
-        return _max_file_bytes(spark, stage_dir)
+        mx, tot, cnt = _file_stats(spark, stage_dir)
+        return mx, _effective_max_split_bytes(spark, tot, cnt)
 
-    # ENFORCE the no-split precondition: a staged file larger than
-    # maxPartitionBytes would be split across read tasks and silently
-    # corrupt the numbering.  Auto-rescale partitions until files fit.
-    max_pb = _max_partition_bytes(spark)
-    biggest = stage(partitions)
+    # ENFORCE the no-split precondition: a staged file larger than the
+    # *effective* split size (min(maxPartitionBytes, max(openCost,
+    # bytesPerCore)) — not just maxPartitionBytes) would be split across
+    # read tasks and silently corrupt the numbering.  Auto-rescale
+    # partitions until every file fits one split.
+    biggest, max_split = stage(partitions)
     tries = 0
-    while biggest >= max_pb and tries < 3:
-        partitions = max(partitions * 2, int(partitions * (2.0 * biggest / max_pb)))
-        biggest = stage(partitions)
+    while biggest >= max_split and tries < 3:
+        partitions = max(partitions * 2, int(partitions * (2.0 * biggest / max_split)))
+        biggest, max_split = stage(partitions)
         tries += 1
-    if biggest >= max_pb:
+    if biggest >= max_split:
         raise RuntimeError(
-            f"staged corpus files ({biggest}B) still exceed "
-            f"spark.sql.files.maxPartitionBytes ({max_pb}B) at {partitions} partitions"
+            f"staged corpus files ({biggest}B) still exceed the effective "
+            f"max split size ({max_split}B) at {partitions} partitions"
         )
     h = spark.read.parquet(stage_dir)
     rows = (
@@ -135,9 +164,15 @@ def assign_docnums(
     return h.mapInPandas(number, schema=out_schema), fingerprint
 
 
-def write_docids(dim: DataFrame, path: str, meta_cols: tuple[str, ...] = ()) -> None:
-    """Persist the (docnum -> doc_id [+meta]) dimension.  assign_docnums
-    partitions are already docnum-range-contiguous and sorted, so a plain
-    write keeps row-group pruning on docnum with no extra shuffle."""
+def write_docids(dim: DataFrame, path: str, meta_cols: tuple[str, ...] = (), epoch: int = 0) -> None:
+    """Persist the (docnum -> doc_id [+meta]) dimension under an
+    ``epoch=N`` hive partition.  assign_docnums partitions are already
+    docnum-range-contiguous and sorted, so a plain write keeps row-group
+    pruning on docnum with no extra shuffle.
+
+    The per-epoch partition is what makes incremental appends idempotent:
+    a crashed/redelivered epoch rewrites its own partition with mode
+    overwrite instead of blindly appending rows to a shared directory
+    (Structured Streaming's foreachBatch is at-least-once)."""
     cols = ["docnum", "doc_id", *meta_cols]
-    dim.select(*cols).write.mode("overwrite").parquet(path)
+    dim.select(*cols).write.mode("overwrite").parquet(f"{path}/epoch={epoch}")

@@ -1,8 +1,10 @@
-"""Corpus tokenization -> token rows (docnum, field, term, tf, dl).
+"""Corpus tokenization -> token rows (docnum, field, term, tf, dl[, pos]).
 
-Two implementations of the same Whoosh analyzer semantics:
+Two implementations of the same analyzer semantics (preset-configurable,
+see functions/analyzer.py — "whoosh" is the reference chain, "sql" the
+stem-free DuckDB-reproducible chain):
 
-* :func:`tokenize_jvm` (default) — T1-T3 (regex tokenize, lowercase,
+* :func:`tokenize_jvm` — T1-T3 (regex tokenize, per-token lowercase,
   stop/minsize) run as Catalyst expressions (codegen, no Python in the
   per-token path); T4 (Porter) runs in Python over the batch's *distinct*
   tokens only — a vocabulary-sized dimension, ~3 orders of magnitude
@@ -10,88 +12,176 @@ Two implementations of the same Whoosh analyzer semantics:
   tokens that stem to the same term.  This keeps the memory-bandwidth-
   heavy string work in the JVM, which matters both for absolute speed and
   for parallel scaling (Python string churn saturates a node's memory
-  bandwidth long before its cores).
+  bandwidth long before its cores).  The stem dimension is broadcast by
+  default; pass ``broadcast_stems=False`` to use a shuffle join instead —
+  a 100 TB code corpus has an identifier vocabulary that will not
+  broadcast (build_index flips this automatically above
+  ``IndexConfig.stem_broadcast_max_docs``).  For stem-free presets the
+  whole path is pure Catalyst — zero Python.
 
-* :func:`tokenize_python` — the whole T1-T4 chain per document inside
+* :func:`tokenize_python` — the whole chain per document inside
   mapInPandas (SURVEY.md M6).  Shares functions/analyzer.py with the
   pure-Python oracle, so it is the semantic reference; a parity test pins
   the JVM path to it.
 
+``impl="auto"`` picks by corpus size (``n_docs_hint``): the Python chain
+wins at sandbox scales (this VM's memory bandwidth, not CPU, is the
+binding constraint — see BENCH/BASELINE.md), the JVM chain is the plan
+that survives 100x (per-doc Python string churn is the classic
+scale-killer), so auto = python below AUTO_JVM_DOCS, jvm at or above.
+
 ``dl`` (post-stop-filter token count == Whoosh field length; stemming
 doesn't change counts) rides along as a column so the index embeds doc
 lengths and query time needs no doclen join.
+
+``positions=True`` adds ``pos: array<int>`` — the 0-based token positions
+of each (doc, field, term), ascending — feeding the phrase-capable index
+layout (postings store delta+varint position lists).
 """
 
 from __future__ import annotations
+
+from collections import Counter
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.analyzer import STOP_WORDS, analyze_tf
-from ..functions.porter import stem
+from ..functions.analyzer import STOP_WORDS, get_analyzer
 
 TOKENS_SCHEMA = "docnum long, field string, term string, tf int, dl int"
+TOKENS_SCHEMA_POS = TOKENS_SCHEMA + ", pos array<int>"
 
-# Java regex equivalent of the Whoosh tokenizer pattern; (?U) switches \w
-# to unicode word classes to match Python re's default.
-JVM_TOKEN_PATTERN = r"(?U)\w+(?:\.?\w+)*"
+# impl="auto": python below this many docs, jvm at/above (see module doc)
+AUTO_JVM_DOCS = 500_000
 
 
-def tokenize_jvm(corpus: DataFrame, fields: dict[str, str]) -> DataFrame:
-    """JVM tokenize/stop + distinct-token Python stemming."""
+def resolve_impl(impl: str, n_docs_hint: int | None = None) -> str:
+    if impl != "auto":
+        return impl
+    if n_docs_hint is None:
+        return "jvm"  # unknown size: assume scale
+    return "jvm" if n_docs_hint >= AUTO_JVM_DOCS else "python"
+
+
+def _jvm_raw_tokens(col: str, analyzer) -> F.Column:
+    """T1-T2 as Catalyst expressions: lowered token array, PRE stop/minsize
+    filter (so array indices are Whoosh tokenizer positions)."""
+    if analyzer.lower_first:
+        return F.regexp_extract_all(F.lower(F.col(col)), F.lit(analyzer.jvm_pattern), 0)
+    # Whoosh filter order: tokenize the ORIGINAL text, lowercase per
+    # token (unicode lowercasing can add combining marks; done before
+    # tokenizing it would move token boundaries vs the reference)
+    return F.transform(
+        F.regexp_extract_all(F.col(col), F.lit(analyzer.jvm_pattern), 0),
+        lambda t: F.lower(t),
+    )
+
+
+def _keep(t) -> F.Column:
+    """T3 stop/minsize predicate on a lowered token."""
+    return (F.length(t) >= 2) & ~t.isin(*sorted(STOP_WORDS))
+
+
+def _jvm_token_array(col: str, analyzer) -> F.Column:
+    """T1-T3 as Catalyst expressions, honoring the preset's filter order."""
+    return F.filter(_jvm_raw_tokens(col, analyzer), _keep)
+
+
+def tokenize_jvm(
+    corpus: DataFrame,
+    fields: dict[str, str],
+    analyzer_name: str = "whoosh",
+    broadcast_stems: bool = True,
+    positions: bool = False,
+) -> DataFrame:
+    """JVM tokenize/stop + distinct-token Python stemming (if the preset
+    stems at all — the 'sql' preset is pure Catalyst end-to-end)."""
+    analyzer = get_analyzer(analyzer_name)
     parts = []
     for fname, col in sorted(fields.items()):
-        toks = F.filter(
-            F.regexp_extract_all(F.lower(F.col(col)), F.lit(JVM_TOKEN_PATTERN), 0),
-            lambda t: (F.length(t) >= 2) & ~t.isin(*sorted(STOP_WORDS)),
-        )
         # Materialize the token array as a named column in its own
         # projection BEFORE exploding.  Inlining the regex expression into
         # both size() and explode() lets Catalyst place the (expensive)
         # regex above the Generate, re-evaluating it once per exploded
         # OUTPUT row — observed as a ~100x tokenize blowup.  A column
         # reference is cheap to duplicate; the regex runs once per doc.
-        pre = corpus.select("docnum", F.lit(fname).alias("field"), toks.alias("toks"))
-        parts.append(
-            pre.select(
-                "docnum",
-                "field",
-                F.size("toks").alias("dl"),
-                F.explode("toks").alias("token"),
+        if positions:
+            # positions index the PRE-filter token stream (Whoosh's
+            # tokenizer numbers tokens before StopFilter drops any), so
+            # explode the raw array and filter the exploded rows; dl is
+            # still the post-filter count (Whoosh field length)
+            raw = _jvm_raw_tokens(col, analyzer)
+            pre = corpus.select("docnum", F.lit(fname).alias("field"), raw.alias("raw"))
+            parts.append(
+                pre.select(
+                    "docnum",
+                    "field",
+                    F.size(F.filter(F.col("raw"), _keep)).alias("dl"),
+                    F.posexplode("raw").alias("tokpos", "token"),
+                ).filter(_keep(F.col("token")))
             )
-        )
+        else:
+            toks = _jvm_token_array(col, analyzer)
+            pre = corpus.select("docnum", F.lit(fname).alias("field"), toks.alias("toks"))
+            parts.append(
+                pre.select(
+                    "docnum",
+                    "field",
+                    F.size("toks").alias("dl"),
+                    F.explode("toks").alias("token"),
+                )
+            )
     exploded = parts[0]
     for p in parts[1:]:
         exploded = exploded.unionByName(p)
 
-    def stem_batch(batches):
-        for pdf in batches:
-            yield pd.DataFrame({"token": pdf["token"], "term": [stem(t) for t in pdf["token"]]})
+    if analyzer.do_stem:
+        from ..functions.analyzer import _cached_stem
 
-    # vocabulary-sized dimension (distinct is map-side combined); broadcast
-    # keeps the stem attach map-side, so the whole tokenize costs ONE
-    # shuffle (the tf aggregation).  At vocabularies too large to
-    # broadcast, swap for a shuffle join on token — same semantics.
-    stems = F.broadcast(
-        exploded.select("token").distinct().mapInPandas(stem_batch, "token string, term string")
-    )
+        def stem_batch(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"token": pdf["token"], "term": [_cached_stem(t) for t in pdf["token"]]}
+                )
+
+        # vocabulary-sized dimension (distinct is map-side combined);
+        # broadcast keeps the stem attach map-side, so the whole tokenize
+        # costs ONE shuffle (the tf aggregation).  At vocabularies too
+        # large to broadcast — a 100 TB code corpus's identifier space —
+        # broadcast_stems=False makes this a shuffle join on token
+        # (same semantics, one extra shuffle, no driver/executor OOM).
+        stems = exploded.select("token").distinct().mapInPandas(stem_batch, "token string, term string")
+        if broadcast_stems:
+            stems = F.broadcast(stems)
+        exploded = exploded.join(stems, "token")
+    else:
+        exploded = exploded.withColumn("term", F.col("token"))
+
+    aggs = [F.count(F.lit(1)).cast("int").alias("tf"), F.first("dl").alias("dl")]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list(F.col("tokpos").cast("int"))).alias("pos"))
     return (
-        exploded.join(stems, "token")
-        .groupBy("docnum", "field", "term")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"), F.first("dl").alias("dl"))
-        .select("docnum", "field", "term", "tf", "dl")
+        exploded.groupBy("docnum", "field", "term")
+        .agg(*aggs)
+        .select("docnum", "field", "term", "tf", "dl", *(["pos"] if positions else []))
     )
 
 
-def tokenize_python(corpus: DataFrame, fields: dict[str, str]) -> DataFrame:
+def tokenize_python(
+    corpus: DataFrame,
+    fields: dict[str, str],
+    analyzer_name: str = "whoosh",
+    positions: bool = False,
+) -> DataFrame:
     """fields: index-field name -> source column name.
 
     e.g. {"title": "path", "body": "content"} for the graft corpus
     (mirrors the reference's two-field schema, build_bm25.py:7-13), or
     {"body": "text"} for the testdata documents table.
     """
+    analyzer = get_analyzer(analyzer_name)
     src_cols = sorted(set(fields.values()))
     field_items = sorted(fields.items())
 
@@ -99,14 +189,28 @@ def tokenize_python(corpus: DataFrame, fields: dict[str, str]) -> DataFrame:
         for pdf in batches:
             docnums = pdf["docnum"].to_numpy()
             out_doc, out_field, out_term, out_tf, out_dl = [], [], [], [], []
+            out_pos: list[list[int]] = []
             for fname, col in field_items:
                 texts = pdf[col]
                 for dn, text in zip(docnums, texts):
-                    tf = analyze_tf(text if isinstance(text, str) else "")
-                    if not tf:
-                        continue
+                    txt = text if isinstance(text, str) else ""
+                    if positions:
+                        pairs = analyzer.analyze_pos(txt)
+                        if not pairs:
+                            continue
+                        posmap: dict[str, list[int]] = {}
+                        for t, i in pairs:
+                            posmap.setdefault(t, []).append(i)
+                        tf = {t: len(p) for t, p in posmap.items()}
+                        out_pos.extend(posmap.values())
+                        dl = len(pairs)
+                    else:
+                        terms = analyzer.analyze(txt)
+                        if not terms:
+                            continue
+                        tf = Counter(terms)
+                        dl = len(terms)
                     k = len(tf)
-                    dl = sum(tf.values())
                     out_doc.append(np.full(k, dn, dtype=np.int64))
                     out_field.extend([fname] * k)
                     out_term.extend(tf.keys())
@@ -114,18 +218,31 @@ def tokenize_python(corpus: DataFrame, fields: dict[str, str]) -> DataFrame:
                     out_dl.append(np.full(k, dl, dtype=np.int32))
             if not out_doc:
                 continue
-            yield pd.DataFrame(
-                {
-                    "docnum": np.concatenate(out_doc),
-                    "field": out_field,
-                    "term": out_term,
-                    "tf": np.concatenate(out_tf),
-                    "dl": np.concatenate(out_dl),
-                }
-            )
+            data = {
+                "docnum": np.concatenate(out_doc),
+                "field": out_field,
+                "term": out_term,
+                "tf": np.concatenate(out_tf),
+                "dl": np.concatenate(out_dl),
+            }
+            if positions:
+                data["pos"] = out_pos
+            yield pd.DataFrame(data)
 
-    return corpus.select("docnum", *src_cols).mapInPandas(kernel, schema=TOKENS_SCHEMA)
+    schema = TOKENS_SCHEMA_POS if positions else TOKENS_SCHEMA
+    return corpus.select("docnum", *src_cols).mapInPandas(kernel, schema=schema)
 
 
-def tokenize(corpus: DataFrame, fields: dict[str, str], impl: str = "jvm") -> DataFrame:
-    return tokenize_jvm(corpus, fields) if impl == "jvm" else tokenize_python(corpus, fields)
+def tokenize(
+    corpus: DataFrame,
+    fields: dict[str, str],
+    impl: str = "jvm",
+    analyzer_name: str = "whoosh",
+    broadcast_stems: bool = True,
+    positions: bool = False,
+    n_docs_hint: int | None = None,
+) -> DataFrame:
+    impl = resolve_impl(impl, n_docs_hint)
+    if impl == "jvm":
+        return tokenize_jvm(corpus, fields, analyzer_name, broadcast_stems, positions)
+    return tokenize_python(corpus, fields, analyzer_name, positions)

@@ -33,7 +33,7 @@ import math
 import numpy as np
 import pandas as pd
 
-from .codecs import decode_docgaps, varint_decode
+from .codecs import decode_docgaps, decode_positions, varint_decode
 from .scoring import term_scores
 
 EMPTY = pd.DataFrame({"docnum": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
@@ -42,10 +42,10 @@ EMPTY = pd.DataFrame({"docnum": pd.Series(dtype="int64"), "score": pd.Series(dty
 class _Row:
     __slots__ = (
         "doc_lo", "doc_hi", "max_score", "df", "epoch", "epoch_n",
-        "_docs", "_tfs", "_dls", "_dec",
+        "_docs", "_tfs", "_dls", "_pos", "_dec",
     )
 
-    def __init__(self, doc_lo, doc_hi, max_score, df, epoch, epoch_n, docs, tfs, dls):
+    def __init__(self, doc_lo, doc_hi, max_score, df, epoch, epoch_n, docs, tfs, dls, pos=b""):
         self.doc_lo = doc_lo
         self.doc_hi = doc_hi
         self.max_score = max_score  # encode-time upper bound (rescaled by
@@ -54,6 +54,7 @@ class _Row:
         self.epoch = epoch
         self.epoch_n = epoch_n      # corpus size at this row's encode time
         self._docs, self._tfs, self._dls = docs, tfs, dls
+        self._pos = pos
         self._dec = None
 
     def decode(self):
@@ -64,6 +65,12 @@ class _Row:
                 varint_decode(self._dls).astype(np.float64),
             )
         return self._dec
+
+    def positions(self):
+        """(flat positions, per-posting starts) — requires an index built
+        with store_positions=True."""
+        d, tf, _ = self.decode()
+        return decode_positions(self._pos, tf.astype(np.int64))
 
 
 class _Cursor:
@@ -116,15 +123,76 @@ def _cursors_from_pdf(pdf: pd.DataFrame) -> dict[tuple[str, str], _Cursor]:
     docs = pdf["docs"].to_numpy()
     tfs = pdf["tfs"].to_numpy()
     dls = pdf["dls"].to_numpy()
+    pos = pdf["pos"].to_numpy() if "pos" in pdf.columns else None
     for i in range(len(pdf)):
         groups.setdefault((fields[i], terms[i]), []).append(
-            _Row(int(lo[i]), int(hi[i]), float(ms[i]), int(dfv[i]), int(ep[i]), int(epn[i]), docs[i], tfs[i], dls[i])
+            _Row(
+                int(lo[i]), int(hi[i]), float(ms[i]), int(dfv[i]), int(ep[i]), int(epn[i]),
+                docs[i], tfs[i], dls[i], pos[i] if pos is not None else b"",
+            )
         )
     return {k: _Cursor(k[0], k[1], v) for k, v in groups.items()}
 
 
+def _phrase_mask(
+    phrase: list[tuple[str, int]], cand: np.ndarray, cursors: dict
+) -> np.ndarray:
+    """Boolean mask over sorted candidate docnums: True where the doc
+    contains ``phrase``'s terms at the phrase's relative tokenizer
+    positions within at least one field (Whoosh phrase semantics are
+    per-field; positions are pre-stop-filter, so stopword gaps inside the
+    phrase must be reproduced by the doc).  Decodes position blobs only
+    for rows overlapping the candidate range."""
+    mask = np.zeros(cand.size, dtype=bool)
+    fields = sorted({f for (f, _t) in cursors})
+    for field in fields:
+        if any((field, t) not in cursors for t, _off in phrase):
+            continue  # phrase can't match in a field missing a term
+        # per-phrase-slot {docnum -> positions} restricted to candidates
+        posmaps: list[dict[int, np.ndarray]] = []
+        for t, _off in phrase:
+            pm: dict[int, np.ndarray] = {}
+            for r in cursors[(field, t)].rows:
+                if r.doc_hi < cand[0] or r.doc_lo > cand[-1]:
+                    continue
+                d, tf, _ = r.decode()
+                flat, starts = r.positions()
+                counts = tf.astype(np.int64)
+                idx = np.searchsorted(cand, d)
+                sel = (idx < cand.size) & (cand[np.minimum(idx, cand.size - 1)] == d)
+                for j in np.flatnonzero(sel):
+                    s = int(starts[j])
+                    pm[int(d[j])] = flat[s : s + int(counts[j])]
+            posmaps.append(pm)
+        offsets = [off for _t, off in phrase]
+        for i in range(cand.size):
+            if mask[i]:
+                continue
+            doc = int(cand[i])
+            valid = posmaps[0].get(doc)
+            if valid is None:
+                continue
+            for j in range(1, len(phrase)):
+                pj = posmaps[j].get(doc)
+                if pj is None:
+                    valid = None
+                    break
+                valid = valid[np.isin(valid + offsets[j], pj)]
+                if valid.size == 0:
+                    valid = None
+                    break
+            if valid is not None and valid.size:
+                mask[i] = True
+    return mask
+
+
 def make_wand_kernel(
-    terms: list[str], stats: dict, k: int, mode: str = "and", df_override: dict | None = None
+    terms: list[str],
+    stats: dict,
+    k: int,
+    mode: str = "and",
+    df_override: dict | None = None,
+    phrases: list[list[str]] | None = None,
 ):
     """Build the applyInPandas kernel for one query.
 
@@ -134,6 +202,13 @@ def make_wand_kernel(
     block-max bounds are rescaled by idf drift (linear in idf) and by
     max(1, avgdl_now/avgdl_epoch) — a valid upper-bound factor because the
     tf part of BM25 is increasing in avgdl.
+
+    ``phrases``: quoted-phrase term sequences (already analyzed).  A
+    candidate doc must contain each phrase's terms at consecutive
+    positions within at least one field (requires an index built with
+    store_positions=True).  Phrases act as filters; scoring stays plain
+    BM25F over the query terms.  Honored by the conjunctive kernel only —
+    the query planner forces mode='and' when phrases are present.
     """
     k1, b = stats["k1"], stats["b"]
     n_docs = stats["n_docs"]
@@ -141,6 +216,7 @@ def make_wand_kernel(
     boosts = stats["field_boosts"]
     epoch_stats = stats.get("epochs", {})
     qterms = list(dict.fromkeys(terms))
+    phrases = [p for p in (phrases or []) if len(p) >= 2]
 
     def true_df(cursor: _Cursor, row: _Row) -> int:
         if df_override:
@@ -188,6 +264,10 @@ def make_wand_kernel(
                 cand = docs_t
             else:
                 cand = np.intersect1d(cand, docs_t, assume_unique=True)
+            if cand.size == 0:
+                return EMPTY
+        for phrase in phrases:
+            cand = cand[_phrase_mask(phrase, cand, cursors)]
             if cand.size == 0:
                 return EMPTY
         scores = np.zeros(cand.size, dtype=np.float64)

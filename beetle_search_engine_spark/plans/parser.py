@@ -1,0 +1,88 @@
+"""Query-string parser — the engine analog of the reference's Whoosh
+``MultifieldParser(["title", "body_text"])`` (reference:
+src/search/search_bm25.py:32-33, exposed raw to API users at app.py:28-33).
+
+Supported grammar (a deliberate, documented subset of Whoosh's):
+
+* bare terms            — required (Whoosh's default AndGroup: every term
+                          must match in >=1 field)
+* ``OR`` (uppercase)    — switches the whole query to disjunctive
+                          scoring (any term may match); Whoosh's infix Or
+                          group, flattened
+* ``AND`` (uppercase)   — explicit no-op (conjunctive is the default)
+* ``"quoted phrase"``   — terms must appear consecutively, in order,
+                          within one field (needs an index built with
+                          store_positions=True).  A phrase forces
+                          conjunctive mode: its terms are required, and
+                          Whoosh's Phrase node is likewise an AND-side
+                          constraint.
+
+Terms pass through the same analyzer chain as indexing (each phrase is
+analyzed as a unit, so stop words drop out of phrases exactly as Whoosh's
+analyzer-driven Phrase construction does).  Unsupported Whoosh syntax
+(field prefixes, NOT, ranges, wildcards) is treated as plain text — the
+analyzer strips the punctuation — which matches how a stripped-down
+parser degrades rather than erroring on user input.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..functions.analyzer import Analyzer
+
+_QUOTED = re.compile(r'"([^"]*)"')
+
+
+@dataclass(frozen=True)
+class ParsedQuery:
+    terms: list[str]                  # all scoring terms, deduped, order kept
+    mode: str                         # "and" | "or"
+    # each phrase is [(term, offset)] with offsets = tokenizer positions
+    # relative to the phrase's first kept token; a stopword inside a
+    # quoted phrase therefore contributes a position *gap* that matching
+    # docs must reproduce — exactly Whoosh's pre-filter position semantics
+    phrases: list[list[tuple[str, int]]] = field(default_factory=list)
+
+    @property
+    def empty(self) -> bool:
+        return not self.terms
+
+
+def parse_query(query: str, analyzer: Analyzer) -> ParsedQuery:
+    """Parse a raw user query into (terms, mode, phrases)."""
+    phrases: list[list[tuple[str, int]]] = []
+    singles: list[str] = []  # single-term "phrases" degrade to plain terms
+
+    def grab(m: re.Match) -> str:
+        p = analyzer.analyze_pos(m.group(1))
+        if len(p) >= 2:
+            base = p[0][1]
+            phrases.append([(t, i - base) for t, i in p])
+        elif p:
+            singles.append(p[0][0])  # already analyzed — don't re-stem
+        return " "
+
+    rest = _QUOTED.sub(grab, query)
+
+    mode = "and"
+    bare_terms: list[str] = []
+    for word in rest.split():
+        if word == "OR":
+            mode = "or"
+            continue
+        if word == "AND":
+            continue
+        bare_terms.extend(analyzer.analyze(word))
+
+    seen: dict[str, None] = {}
+    for t in bare_terms + singles:
+        seen.setdefault(t)
+    for p in phrases:
+        for t, _off in p:
+            seen.setdefault(t)
+
+    if phrases:
+        mode = "and"  # a phrase is a conjunctive constraint
+    return ParsedQuery(terms=list(seen), mode=mode, phrases=phrases)

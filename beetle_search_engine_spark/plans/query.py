@@ -21,9 +21,10 @@ import json
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.analyzer import analyze_query
+from ..functions.analyzer import get_analyzer
 from ..functions.xxhash import pmod_bucket
 from ..operators.wand import make_wand_kernel
+from .parser import ParsedQuery, parse_query
 
 RESULT_SCHEMA = "doc_id string, score double, rank int"
 
@@ -31,13 +32,19 @@ RESULT_SCHEMA = "doc_id string, score double, rank int"
 class BM25Index:
     """Handle over a built index directory; caches stats + scan DataFrames
     (the reference reopens its index from disk on every query,
-    search_bm25.py:27 — here the driver holds the cached plan)."""
+    search_bm25.py:27 — here the driver holds the cached plan).
+
+    Queries analyze with the chain the index was BUILT with (the preset
+    name is recorded in stats.json) — the reference relies on declaring
+    the same schema twice (build_bm25.py:7-13 vs search_bm25.py:7-13);
+    here it's single-sourced."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
         with open(f"{index_dir}/stats.json") as f:
             self.stats = json.load(f)
+        self.analyzer = get_analyzer(self.stats.get("analyzer", "whoosh"))
         self.postings = spark.read.parquet(f"{index_dir}/postings")
         self.docids = spark.read.parquet(f"{index_dir}/docids")
 
@@ -66,16 +73,27 @@ class BM25Index:
         self, query: str, top_k: int = 10, mode: str = "and", prefer_local: bool | None = None
     ) -> DataFrame:
         """Top-k BM25F.  mode='and' == Whoosh's default conjunctive parser
-        semantics (§3.1); mode='or' == disjunctive block-max WAND.
+        semantics (§3.1); mode='or' == disjunctive block-max WAND;
+        mode='parse' runs the query through the MultifieldParser-analog
+        grammar (plans/parser.py: bare terms AND'd, explicit OR, quoted
+        phrases) instead of treating it as a bag of words.
 
         ``prefer_local`` short-circuits the distributed kernel when the
         index is small: the bucket-pruned posting rows are collected and
         scored on the driver with the same kernels (2 small jobs instead
         of a shuffle pipeline — interactive latency).  Defaults to
         n_docs <= 200k; results identical by construction."""
-        terms = analyze_query(query)
-        if not terms:
+        if mode == "parse":
+            pq = parse_query(query, self.analyzer)
+        else:
+            pq = ParsedQuery(terms=self.analyzer.analyze_query(query), mode=mode)
+        if pq.empty:
             return self.empty_result()
+        if pq.phrases and not self.stats.get("store_positions"):
+            raise ValueError(
+                "phrase query needs an index built with store_positions=True"
+            )
+        terms, mode, phrases = pq.terms, pq.mode, pq.phrases
         buckets = self._buckets_for(terms)
         scan = self.postings.filter(
             F.col("bucket").isin(sorted(set(buckets.values()))) & F.col("term").isin(terms)
@@ -83,7 +101,7 @@ class BM25Index:
         if prefer_local is None:
             prefer_local = self.stats["n_docs"] <= 200_000
         if prefer_local:
-            return self._search_local(scan, terms, top_k, mode)
+            return self._search_local(scan, terms, top_k, mode, phrases)
         df_override = None
         if len(self.stats.get("epochs", {"0": 0})) > 1:
             # multi-epoch index: true df = sum of per-epoch dfs; one tiny
@@ -96,7 +114,7 @@ class BM25Index:
                 .collect()
             )
             df_override = {(r["field"], r["term"]): int(r["df"]) for r in rows}
-        kernel = make_wand_kernel(terms, self.stats, top_k, mode, df_override)
+        kernel = make_wand_kernel(terms, self.stats, top_k, mode, df_override, phrases)
         scored = scan.groupBy("chunk").applyInPandas(kernel, "docnum long, score double")
         top = scored.orderBy(F.desc("score"), F.asc("docnum")).limit(top_k)
         res = self.docids.join(F.broadcast(top), "docnum", "inner")
@@ -122,13 +140,22 @@ class BM25Index:
         import pyarrow.dataset as ds
 
         if not hasattr(self, "_arrow_docids"):
-            self._arrow_docids = ds.dataset(f"{self.index_dir}/docids", format="parquet")
+            self._arrow_docids = ds.dataset(
+                f"{self.index_dir}/docids", format="parquet", partitioning="hive"
+            )
         t = self._arrow_docids.to_table(
             filter=ds.field("docnum").isin(docnums), columns=["docnum", "doc_id"]
         )
         return dict(zip(t.column("docnum").to_pylist(), t.column("doc_id").to_pylist()))
 
-    def _search_local(self, scan: DataFrame, terms: list[str], top_k: int, mode: str) -> DataFrame:
+    def _search_local(
+        self,
+        scan: DataFrame,
+        terms: list[str],
+        top_k: int,
+        mode: str,
+        phrases: list[list[str]] | None = None,
+    ) -> DataFrame:
         """Driver-side scoring over the pruned scan (same kernels)."""
         try:
             buckets = self._buckets_for(terms)
@@ -142,7 +169,7 @@ class BM25Index:
             per_epoch = pdf.groupby(["field", "term", "epoch"])["df"].first().reset_index()
             agg = per_epoch.groupby(["field", "term"])["df"].sum()
             df_override = {(f, t): int(v) for (f, t), v in agg.items()}
-        kernel = make_wand_kernel(terms, self.stats, top_k, mode, df_override)
+        kernel = make_wand_kernel(terms, self.stats, top_k, mode, df_override, phrases)
         outs = [kernel(grp.reset_index(drop=True)) for _, grp in pdf.groupby("chunk")]
         import pandas as pd
 

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..operators.build import POSTINGS_SCHEMA, _make_encode_kernel
-from ..operators.docnums import assign_docnums
+from ..operators.docnums import assign_docnums, write_docids
 from ..operators.tokenize import tokenize
 
 
@@ -63,11 +63,21 @@ def append_epoch(
     n_new = fp_new["n_docs"]
     dim = dim.withColumn("docnum", F.col("docnum") + F.lit(offset))
 
-    cols = ["docnum", "doc_id", *meta_cols]
-    dim.select(*cols).write.mode("append").parquet(f"{index_dir}/docids")
+    # per-epoch docids partition, overwritten on retry: a crash between
+    # this write and the stats.json commit below + at-least-once foreachBatch
+    # redelivery must not leave duplicate (docnum, doc_id) rows.  The
+    # stats.json write at the end is the epoch's commit point.
+    write_docids(dim, f"{index_dir}/docids", meta_cols, epoch=epoch)
 
     stage_path = f"{index_dir}/_stage/epoch_tokens"
-    tokenize(dim, fields, cfg.tokenizer).write.mode("overwrite").parquet(stage_path)
+    tokenize(
+        dim,
+        fields,
+        cfg.tokenizer,
+        analyzer_name=stats.get("analyzer", "whoosh"),
+        positions=stats.get("store_positions", False),
+        n_docs_hint=n_new,
+    ).write.mode("overwrite").parquet(stage_path)
     tokens = spark.read.parquet(stage_path)
 
     # updated global stats (weighted avgdl over old + new)
@@ -99,7 +109,9 @@ def append_epoch(
             chunk_docs=stats["chunk_docs"],
             block_size=stats["block_size"],
             blocks_per_row=stats.get("blocks_per_row", cfg.index.blocks_per_row),
+            store_positions=stats.get("store_positions", False),
         ),
+        analyzer=stats.get("analyzer", "whoosh"),
     )
     enc_stats = {"n_docs": n_total, "avgdl": avgdl_new}
     kernel = _make_encode_kernel(cfg, enc_stats, hot_df, epoch=epoch)
@@ -118,11 +130,14 @@ def append_epoch(
         ).otherwise(F.lit(0))
     else:
         salt = F.lit(0)
+    enc_cols = ["bucket", "field", "term", "docnum", "tf", "dl"]
+    if cfg.index.store_positions:
+        enc_cols.append("pos")
     enc = (
         base.withColumn("_key", F.xxhash64("bucket", salt.cast("long")))
         .repartition(p_enc, "_key")
         .sortWithinPartitions("field", "term", "docnum")
-        .select("bucket", "field", "term", "docnum", "tf", "dl")
+        .select(*enc_cols)
         .mapInPandas(kernel, schema=POSTINGS_SCHEMA)
     )
     enc.write.mode("overwrite").partitionBy("bucket").parquet(f"{index_dir}/postings/group={1000 + epoch}")

@@ -1,0 +1,143 @@
+"""Query parser + positional index + phrase search.
+
+Covers the MultifieldParser-analog grammar (reference feeds raw user
+strings through Whoosh's parser, src/search/search_bm25.py:32-33), the
+position codec roundtrip, and end-to-end phrase retrieval incl. the
+Whoosh pre-stop-filter position semantics (a stopword inside a phrase is
+a positional gap the doc must reproduce).
+"""
+
+import numpy as np
+import pytest
+
+from beetle_search_engine_spark.config import EngineConfig, IndexConfig
+from beetle_search_engine_spark.functions.analyzer import get_analyzer
+from beetle_search_engine_spark.operators.build import build_index
+from beetle_search_engine_spark.operators.codecs import decode_positions, encode_positions_rows
+from beetle_search_engine_spark.plans.parser import parse_query
+from beetle_search_engine_spark.plans.query import BM25Index
+
+W = get_analyzer("whoosh")
+S = get_analyzer("sql")
+
+
+def test_parse_bare_terms_default_and():
+    pq = parse_query("transformer models", W)
+    assert pq.terms == ["transform", "model"]
+    assert pq.mode == "and"
+    assert pq.phrases == []
+
+
+def test_parse_explicit_or():
+    pq = parse_query("spark OR flink", S)
+    assert pq.mode == "or"
+    assert pq.terms == ["spark", "flink"]
+
+
+def test_parse_and_is_noop():
+    pq = parse_query("spark AND flink", S)
+    assert pq.mode == "and"
+    assert pq.terms == ["spark", "flink"]
+
+
+def test_parse_quoted_phrase_forces_and():
+    pq = parse_query('"transformer models" OR nlp', W)
+    assert pq.mode == "and"  # a phrase is a conjunctive constraint
+    assert pq.phrases == [[("transform", 0), ("model", 1)]]
+    assert set(pq.terms) == {"transform", "model", "nlp"}
+
+
+def test_parse_phrase_keeps_stopword_gap():
+    # "state of the art": of/the are stopwords -> positions 0,3 survive
+    pq = parse_query('"state of the art"', S)
+    assert pq.phrases == [[("state", 0), ("art", 3)]]
+
+
+def test_parse_single_term_phrase_degrades():
+    pq = parse_query('"spark" scan', S)
+    assert pq.phrases == []
+    assert set(pq.terms) == {"spark", "scan"}
+
+
+def test_parse_empty():
+    assert parse_query("", W).empty
+    assert parse_query("the of a", W).empty  # all stopwords
+
+
+def test_position_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n_postings = int(rng.integers(1, 30))
+        plists = []
+        for _p in range(n_postings):
+            k = int(rng.integers(1, 12))
+            plists.append(np.unique(rng.integers(0, 500, size=k)).astype(np.int64))
+        allpos = np.concatenate(plists)
+        counts = np.array([len(p) for p in plists], dtype=np.int64)
+        posting_starts = np.zeros(n_postings, dtype=np.int64)
+        np.cumsum(counts[:-1], out=posting_starts[1:])
+        # two rows: split postings roughly in half
+        row_starts = np.array([0, n_postings // 2] if n_postings > 1 else [0], dtype=np.int64)
+        bins = encode_positions_rows(allpos, posting_starts, row_starts)
+        row_ends = np.append(row_starts[1:], n_postings)
+        for b, (rs, re_) in zip(bins, zip(row_starts, row_ends)):
+            flat, starts = decode_positions(b, counts[rs:re_])
+            expect = np.concatenate(plists[rs:re_])
+            assert np.array_equal(flat, expect)
+
+
+@pytest.fixture(scope="module")
+def phrase_index(spark, tmp_path_factory):
+    rows = [
+        ("a", "the transformer models beat older systems"),   # adjacent
+        ("b", "models transformer pipelines"),                # wrong order
+        ("c", "transformer deep models"),                     # gap
+        ("d", "big transformer models run fast"),             # adjacent
+        ("e", "transformer for models"),                      # stopword gap -> NOT adjacent (Whoosh positions)
+        ("f", "state of the art transformer"),                # for the gap-phrase test
+        ("g", "state art transformer"),                       # no gap -> must NOT match "state of the art"
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id string, content string")
+    idx_dir = str(tmp_path_factory.mktemp("phrase_idx"))
+    cfg = EngineConfig(
+        index=IndexConfig(
+            n_buckets=4, bucket_groups=1, chunk_docs=64, encode_partitions=4,
+            hot_df_threshold=1000, store_positions=True,
+        )
+    )
+    build_index(spark, corpus, idx_dir, fields={"body": "content"}, cfg=cfg)
+    return BM25Index(spark, idx_dir)
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.collect()}
+
+
+def test_phrase_search_adjacent_only(phrase_index):
+    res = phrase_index.search('"transformer models"', 10, mode="parse")
+    assert _ids(res) == {"a", "d"}
+
+
+def test_phrase_stopword_gap_matches_gap_docs(phrase_index):
+    # query phrase has offsets (0, 3); doc f has "state of the art" with
+    # the same tokenizer gap; doc g has "state art" (offset 1) -> no match
+    res = phrase_index.search('"state of the art"', 10, mode="parse")
+    assert _ids(res) == {"f"}
+
+
+def test_parse_mode_or_vs_and(phrase_index):
+    both = phrase_index.search("transformer pipelines", 10, mode="parse")
+    assert _ids(both) == {"b"}  # AND default: only b has both
+    either = phrase_index.search("transformer OR pipelines", 10, mode="parse")
+    assert _ids(either) == {"a", "b", "c", "d", "e", "f", "g"}
+
+
+def test_phrase_on_positionless_index_raises(spark, tmp_path):
+    corpus = spark.createDataFrame([("a", "alpha beta gamma")], "doc_id string, content string")
+    idx_dir = str(tmp_path / "nopos")
+    cfg = EngineConfig(
+        index=IndexConfig(n_buckets=2, bucket_groups=1, chunk_docs=64, encode_partitions=2)
+    )
+    build_index(spark, corpus, idx_dir, fields={"body": "content"}, cfg=cfg)
+    with pytest.raises(ValueError, match="store_positions"):
+        BM25Index(spark, idx_dir).search('"alpha beta"', 10, mode="parse")
