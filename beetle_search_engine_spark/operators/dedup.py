@@ -74,18 +74,36 @@ def lsh_candidate_pairs(
     df: DataFrame,
     num_perm: int = 8,
     band_size: int = 2,
-    shingle_n: int = 1,
+    shingle_n: int = 3,
     text_col="text",
     id_col="doc_id",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """(id_a, id_b): pairs sharing at least one LSH band (band key =
     md5 of the band's concatenated minhashes); the band equi-join is the
-    scale path — no all-pairs comparison ever happens."""
+    scale path — no all-pairs comparison ever happens.
+
+    ``max_bucket`` is the skew guard: the self-join is quadratic PER band
+    key, so one degenerate bucket (empty docs, license boilerplate)
+    would stall the stage at scale.  Bucket sizes are counted first (one
+    map-side-combined aggregation) and buckets above the cap are dropped
+    before the join — standard web-scale MinHash-dedup practice; members
+    of a mega-bucket are near-dups of boilerplate, not of each other's
+    payload, and exact/fingerprint dedup catches the true-identical ones.
+    """
     sig = minhash_signatures(df, num_perm, shingle_n, text_col, id_col)
     bands = (
         sig.withColumn("band", F.floor(F.col("seed") / band_size).cast("int"))
         .groupBy(id_col, "band")
         .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash").cast("string"))))).alias("band_key"))
+    )
+    sizes = bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_bsz"))
+    bands = (
+        bands.join(
+            sizes.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)),
+            ["band", "band_key"],
+        )
+        .drop("_bsz")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -132,22 +150,37 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, bits: int = 16, text_col="text", id_col="doc_id") -> DataFrame:
-    """(id, simhash): bitwise majority over distinct-term hashes."""
+    """(id, simhash): bitwise majority over distinct-term hashes.
+
+    One hash aggregation with ``bits`` conditional-sum columns — no row
+    inflation (the naive explode-per-bit shape multiplies the token
+    stream x64 at production simhash widths), fully codegen'd, one
+    shuffle, map-side combined.  Each 32-bit word of the fingerprint
+    draws from an independently-seeded term hash, so widths up to 64 get
+    real entropy.  Bit 63's weight wraps to int64 min in both Spark and
+    DuckDB, so the packed value is the signed reinterpretation of the
+    bit pattern — consistent across engines."""
     toks = sql_tokens(df, text_col, id_col).distinct()
-    h = toks.select(F.col(id_col), _h64(F.col("term"), 0).alias("h"))
-    bit = df.sparkSession.range(bits).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        h.crossJoin(F.broadcast(bit))
-        .select(
-            F.col(id_col),
-            "bit",
-            F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias("v"),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("v").alias("s"))
+    n_words = (bits + 31) // 32
+    h = toks.select(
+        F.col(id_col), *[_h64(F.col("term"), w).alias(f"h{w}") for w in range(n_words)]
     )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"shiftright(h{b // 32}, {b % 32})").bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
+    weight = lambda b: (1 << b) if b < 63 else -(1 << 63)  # noqa: E731
+    packed = sum(
+        (
+            F.when(F.col(f"s{b}") > 0, F.lit(weight(b)).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return votes.select(F.col(id_col), packed.alias("simhash"))

@@ -13,6 +13,8 @@ own bucket (equi-join partition pruning instead of a full scan).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -78,20 +80,31 @@ def knn_cosine(emb: DataFrame, query_id: int, top_k: int = 10, id_col="vec_id", 
 # scale path: sign-LSH bucketing
 
 
-def _sign_bits(vec_col, dim: int, planes: int, seed: int) -> F.Column:
-    """LSH bucket key: sign bits of dot products against `planes`
-    deterministic pseudo-random hyperplanes.  Plane component p[j,i] is
-    derived from xxhash64(j, i, seed) mapped to [-1, 1] — reproducible on
-    any cluster with no stored model."""
-    def comp(j, i):
-        return (F.pmod(F.xxhash64(F.lit(j), F.lit(i), F.lit(seed)), F.lit(2001)) - 1000.0) / 1000.0
+def plane_component(j: int, i: int, seed: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1],
+    derived from md5(j:i:seed) — reproducible on any cluster with no
+    stored model, and bit-identical in any engine with md5 (the DuckDB
+    oracle inlines the same constants)."""
+    h = int(hashlib.md5(f"{j}:{i}:{seed}".encode()).hexdigest()[:8], 16)
+    return ((h % 2001) - 1000) / 1000.0
 
+
+def plane_matrix(dim: int, planes: int, seed: int) -> list[list[float]]:
+    return [[plane_component(j, i, seed) for i in range(dim)] for j in range(planes)]
+
+
+def _sign_bits(vec_col, dim: int, planes: int, seed: int) -> F.Column:
+    """LSH bucket key: sign bits of dot products against the deterministic
+    hyperplanes.  Plane components are driver-computed constants folded
+    into the plan as literal arrays — the executors only do multiply-adds
+    (no per-row hashing)."""
+    mat = plane_matrix(dim, planes, seed)
     bits = []
     for j in range(planes):
         d = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array([comp(j, i) for i in range(dim)]),
+                F.array([F.lit(x) for x in mat[j]]),
                 lambda x, p: (x * p).cast("double"),
             ),
             F.lit(0.0),
