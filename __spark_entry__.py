@@ -261,6 +261,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round(F.lit(1.0) / (F.lit(60) + F.col("doc_id") + 1), 6).alias("rrf_at_rank"),
     )
 
+    # --- URL + ISO-timestamp functions (F10/F12/F13: parse_url,
+    # ISO-8601-Z date_format — reference: website_crawler.py:16,21-22,
+    # parse.py:51-55,204).  URLs synthesized from doc columns then parsed
+    # back with Spark's parse_url; timestamps derived from doc_id.
+    def _url_time(s, d):
+        docs = _docs(s, d)
+        url = F.concat(
+            F.lit("https://ex-"), F.col("source"), F.lit(".org/"), F.col("lang"),
+            F.lit("/doc/"), F.col("doc_id").cast("string"), F.lit("?ref="), F.col("source"),
+        )
+        ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+        return docs.select(
+            "doc_id",
+            url.alias("url"),
+            F.parse_url(url, F.lit("HOST")).alias("host"),
+            F.parse_url(url, F.lit("PATH")).alias("path"),
+            F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_ts"),
+            F.unix_timestamp(F.to_timestamp(F.date_format(ts, "yyyy-MM-dd HH:mm:ss"))).alias("roundtrip_epoch"),
+        )
+
+    q["url_time_funcs"] = _url_time
+
     # --- set operations (U1-U3)
     def _set_ops(s, d):
         docs = _docs(s, d)
@@ -329,7 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _docs(s, d)
         weak = textops.heuristic_label(docs).select("doc_id", "label")
-        _, preds = train_weak_to_strong(docs.join(weak, "doc_id"))
+        _, preds, _metrics = train_weak_to_strong(docs.join(weak, "doc_id"))
         return preds
 
     q["weak_to_strong_labels"] = _weak_strong
@@ -644,6 +667,23 @@ def oracle_sql() -> dict[str, str]:
              coalesce(contains(text, 'spark'), false) AS mentions_spark,
              round(1.0 / (60 + doc_id + 1), 6) AS rrf_at_rank
       FROM documents
+    """
+
+    o["url_time_funcs"] = r"""
+      WITH u AS (
+        SELECT doc_id,
+               'https://ex-' || source || '.org/' || lang || '/doc/' || doc_id
+                 || '?ref=' || source AS url,
+               epoch_ms((1704067200 + doc_id * 60) * 1000) AS ts
+        FROM documents
+      )
+      SELECT doc_id, url,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref,
+             strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_ts,
+             epoch(ts)::bigint AS roundtrip_epoch
+      FROM u
     """
 
     o["set_ops"] = """

@@ -27,20 +27,40 @@ def train_weak_to_strong(
     label_col: str = "label",
     vocab_size: int = 5000,
     seed: int = 42,
+    test_fraction: float = 0.2,
 ):
     """Train the TF-IDF + LR classifier on weak labels.  Input needs
-    (text_col, label_col in {'keep','drop'}).  Returns (model, predictions
-    DataFrame with prediction/probability columns)."""
+    (text_col, label_col in {'keep','drop'}).
+
+    Mirrors the reference's full protocol (train_tfidf.py:48,57,66-74):
+    seeded row shuffle (K2), stratified train/test split (K3 —
+    ``sampleBy`` per class, seed fixed), fit on the train split only,
+    report precision/recall/F1 on the held-out split, then predict
+    strong labels for ALL rows.  Spark's sampleBy is approximate where
+    sklearn's split is exact; documented model-equivalence, not
+    bit-identity.
+
+    Returns (model, predictions DataFrame, metrics dict with
+    precision/recall/f1/accuracy + split sizes).
+    """
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.feature import IDF, CountVectorizer, NGram, RegexTokenizer, VectorAssembler
 
     df = docs_with_labels.withColumn("y", (F.col(label_col) == "keep").cast("double"))
-    # balanced class weights (sklearn class_weight="balanced" analog)
-    counts = {r["y"]: r["c"] for r in df.groupBy("y").agg(F.count(F.lit(1)).alias("c")).collect()}
+    # K2: deterministic shuffle (reference: df.sample(frac=1, random_state=42))
+    df = df.orderBy(F.rand(seed))
+    # K3: stratified 80/20 split (reference: train_test_split(stratify=y))
+    fractions = {0.0: 1.0 - test_fraction, 1.0: 1.0 - test_fraction}
+    train = df.sampleBy("y", fractions, seed=seed)
+    test = df.join(train.select("doc_id"), "doc_id", "left_anti")
+
+    # balanced class weights on the TRAIN split (sklearn class_weight="balanced")
+    counts = {r["y"]: r["c"] for r in train.groupBy("y").agg(F.count(F.lit(1)).alias("c")).collect()}
     total = sum(counts.values())
     w = {y: total / (2.0 * c) for y, c in counts.items()}
-    df = df.withColumn(
+    weighted = train.withColumn(
         "w", F.when(F.col("y") == 1.0, F.lit(w.get(1.0, 1.0))).otherwise(F.lit(w.get(0.0, 1.0)))
     )
 
@@ -53,13 +73,28 @@ def train_weak_to_strong(
         IDF(inputCol="tf", outputCol="features"),
         LogisticRegression(featuresCol="features", labelCol="y", weightCol="w", maxIter=50),
     ]
-    model = Pipeline(stages=stages).fit(df)
+    model = Pipeline(stages=stages).fit(weighted)
+
+    # held-out evaluation (reference prints classification_report)
+    test_pred = model.transform(test).select("y", "prediction")
+    metrics = {"n_train": train.count(), "n_test": test.count()}
+    if metrics["n_test"]:
+        ev = MulticlassClassificationEvaluator(labelCol="y", predictionCol="prediction")
+        for mname, key in (
+            ("weightedPrecision", "precision"),
+            ("weightedRecall", "recall"),
+            ("f1", "f1"),
+            ("accuracy", "accuracy"),
+        ):
+            metrics[key] = round(ev.setMetricName(mname).evaluate(test_pred), 6)
+
+    # strong labels for every row (reference: predict-all, train_tfidf.py:72-74)
     preds = model.transform(df).select(
         "doc_id",
         F.col("y").alias("weak_label"),
         F.col("prediction").alias("strong_label"),
     )
-    return model, preds
+    return model, preds, metrics
 
 
 def ivf_index(emb: DataFrame, n_clusters: int = 16, seed: int = 42, vec_col: str = "embedding"):

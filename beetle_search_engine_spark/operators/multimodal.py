@@ -72,15 +72,29 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     return (raw % 1000).astype(np.float32) / 1000.0
 
 
-def extract_features(media: DataFrame, dim: int = 8, thumb: tuple[int, int] = (64, 64)) -> DataFrame:
-    """Decode + featurize + "resize" each payload in Arrow batches."""
+def extract_features(
+    media: DataFrame,
+    dim: int = 8,
+    thumb: tuple[int, int] = (64, 64),
+    decoder_factory=None,
+) -> DataFrame:
+    """Decode + featurize + "resize" each payload in Arrow batches.
+
+    ``decoder_factory`` is the model-injection seam (same shape as the
+    reranker's, plans/pipeline.py): a zero-arg callable run ONCE PER TASK
+    on the executor (lazy model singleton — the pattern the reference
+    uses for SPLADE, src/search/search_splade.py:22-29) returning
+    ``decode(payload: bytes, dim: int) -> np.ndarray``.  Default is the
+    deterministic sandbox fake; drop in a real PIL/torchaudio decoder
+    without touching the operator."""
     tw, th = thumb
 
     def kernel(batches):
+        decode = (decoder_factory or (lambda: _fake_decode))()
         for pdf in batches:
             payloads = pdf["payload"]
             feats = [
-                _fake_decode(bytes(p), dim).tolist() if p is not None else None
+                decode(bytes(p), dim).tolist() if p is not None else None
                 for p in payloads
             ]
             yield pd.DataFrame(

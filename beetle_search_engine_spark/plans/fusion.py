@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 
 def with_rank(df: DataFrame, score_col: str, id_col: str, ascending: bool = False) -> DataFrame:
-    """Attach a deterministic 1-based rank: (score, id asc) tiebreak."""
+    """Attach a deterministic 1-based rank: (score, id asc) tiebreak.
+
+    SCOPE: for the small already-top-k'd frames RRF fuses (<= a few
+    hundred rows) — the global, partition-less window is a deliberate
+    single-task sort of k rows.  Do NOT apply to large frames; rank a big
+    frame per-partition-key instead (e.g. textops.top_per_group)."""
     order = [F.asc(score_col) if ascending else F.desc(score_col), F.asc(id_col)]
     return df.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 

@@ -59,13 +59,21 @@ def search_and_rerank(
     embeddings: DataFrame | None = None,
     query_vec_id: int | None = None,
     reranker_factory: Callable | None = None,
+    or_fallback: bool = False,
 ) -> DataFrame:
-    """documents: (doc_id string, text string [, ...display cols])."""
+    """documents: (doc_id string, text string [, ...display cols]).
+
+    ``or_fallback=False`` (default) keeps reference parity: the
+    reference's MultifieldParser is AND-only (search_bm25.py:32-33), so a
+    query whose conjunction matches nothing returns an empty set.  Opt in
+    to ``or_fallback=True`` to retry disjunctively on zero hits — a
+    deliberate, documented deviation that costs a second search on every
+    zero-hit AND query."""
     if method == "bm25":
         # collect the tiny top-k once: probing emptiness lazily would
         # re-execute the whole retrieval for every downstream action
         rows = index.search(query, top_k, mode="and").collect()
-        if not rows:
+        if not rows and or_fallback:
             rows = index.search(query, top_k, mode="or").collect()
         if not rows:
             return spark.createDataFrame([], "doc_id string, score double, rank int")

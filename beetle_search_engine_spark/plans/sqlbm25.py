@@ -64,29 +64,72 @@ def sql_bm25_topk(
     )
 
 
+def splade_postings(
+    docs: DataFrame,
+    encoder_factory=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, term, weight) sparse expansion via an injected encoder.
+
+    ``encoder_factory`` is the model-injection seam (same shape as the
+    reranker's, plans/pipeline.py, and the multimodal decoder's): a
+    zero-arg callable run ONCE PER TASK on the executor (lazy model
+    singleton — the reference's own pattern, src/search/
+    search_splade.py:22-29) returning ``encode(texts: list[str]) ->
+    list[dict[str, float]]`` — one {term: weight} expansion per text.
+    This is where a real SPLADE MLM head (reference:
+    src/index/build_splade.py:14-31, log1p(relu(logits)) max-pool) plugs
+    in; no operator code changes."""
+    import pandas as pd
+
+    def kernel(batches):
+        encode = encoder_factory()
+        for pdf in batches:
+            texts = [t if isinstance(t, str) else "" for t in pdf[text_col]]
+            maps = encode(texts)
+            ids, terms, weights = [], [], []
+            for i, m in zip(pdf[id_col], maps):
+                for t, w in m.items():
+                    ids.append(i)
+                    terms.append(t)
+                    weights.append(float(w))
+            yield pd.DataFrame({id_col: ids, "term": terms, "weight": weights})
+
+    id_type = dict(docs.dtypes)[id_col]
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, term string, weight double"
+    )
+
+
 def splade_like_topk(
     docs: DataFrame,
     query_terms: list[str],
     top_k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    encoder_factory=None,
 ) -> DataFrame:
     """Weighted-posting dot-product retrieval: doc weight =
     log1p(tf) * ln(1 + N/df) (a SPLADE-shaped sparse expansion stand-in —
     the sandbox has no model downloads), query weight = 1.  Score =
-    sum of matched weights (SURVEY A5)."""
-    tf = term_frequencies(docs, text_col, id_col)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
-    weighted = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(stats)
-        .select(
-            F.col(id_col),
-            "term",
-            (F.log1p(F.col("tf")) * F.log(1.0 + F.col("n_docs") / F.col("df"))).alias("weight"),
+    sum of matched weights (SURVEY A5).  Pass ``encoder_factory`` to
+    source weights from a real model via :func:`splade_postings`."""
+    if encoder_factory is not None:
+        weighted = splade_postings(docs, encoder_factory, text_col, id_col)
+    else:
+        tf = term_frequencies(docs, text_col, id_col)
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        stats = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+        weighted = (
+            tf.join(F.broadcast(dfreq), "term")
+            .crossJoin(stats)
+            .select(
+                F.col(id_col),
+                "term",
+                (F.log1p(F.col("tf")) * F.log(1.0 + F.col("n_docs") / F.col("df"))).alias("weight"),
+            )
         )
-    )
     return (
         weighted.filter(F.col("term").isin(query_terms))
         .groupBy(id_col)

@@ -12,12 +12,19 @@ def test_weak_to_strong_classifier(spark):
     docs = load_documents(spark, SF)
     weak = heuristic_label(docs).select("doc_id", "label")
     data = docs.join(weak, "doc_id")
-    _, preds = train_weak_to_strong(data)
+    _, preds, metrics = train_weak_to_strong(data)
     rows = preds.collect()
     assert len(rows) == docs.count()
     # classifier should mostly reproduce its training labels
     agree = sum(1 for r in rows if float(r["strong_label"]) == float(r["weak_label"]))
     assert agree / len(rows) > 0.9
+    # held-out report exists (reference prints classification_report on a
+    # stratified 20% split, train_tfidf.py:57,68-69) and is non-degenerate
+    assert metrics["n_train"] > 0 and metrics["n_test"] > 0
+    assert metrics["precision"] > 0.5 and metrics["recall"] > 0.5 and metrics["f1"] > 0.5
+    # both classes actually predicted (not a constant classifier)
+    predicted = {float(r["strong_label"]) for r in rows}
+    assert predicted == {0.0, 1.0}
 
 
 def test_ivf_recall_vs_bruteforce(spark):
