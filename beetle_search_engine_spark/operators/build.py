@@ -2,8 +2,10 @@
 
 Pipeline (all DataFrame, one Python kernel):
 
-  corpus ── assign_docnums ──> dim (docnum, doc_id, meta)
-  dim ── tokenize (Arrow UDF) ──> tokens (docnum, field, term, tf, dl)   [persist]
+  corpus ── stage_corpus ──> staged parquet + offsets (docnum basis)
+  staged ── numbered(doc_id [+meta]) ──> docids dimension      [pruned pass]
+  staged ── numbered(text cols) ── tokenize (Arrow UDF)
+         ──> tokens (docnum, field, term, tf, dl)              [staged]
   tokens ── groupBy(field).sum(tf) ──────> avgdl per field      (map-side combine)
   tokens ── groupBy(field,term).count ──> df; df>threshold ──> hot set (broadcast)
   tokens ── +bucket +salt, repartition(xxhash64(term,salt))
@@ -45,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from .codecs import encode_docgap_rows, encode_positions_rows, varint_encode_rows
-from .docnums import assign_docnums, write_docids
+from .docnums import numbered, stage_corpus, write_docids
 from .tokenize import tokenize
 
 INDEX_LAYOUT_VERSION = 4  # bump when POSTINGS_SCHEMA / stats layout changes
@@ -210,6 +212,53 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
     return kernel
 
 
+def _group_metrics_agg(spark: SparkSession, out_path: str) -> dict:
+    """Per-group build metrics (postings/rows/bytes + per-bucket storage
+    skew) over 3 tiny int columns of the just-written group.
+
+    Driver-local pyarrow read first: a freshly-written group is hundreds
+    of one-per-bucket files, and a Spark scan pays per-file footer/task
+    overhead that can exceed the encode it measures at low core counts.
+    Falls back to a column-pruned Spark aggregation on filesystems the
+    driver can't read directly (the path that matters on a real cluster,
+    where this agg is trivially parallel)."""
+    try:
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(out_path, format="parquet", partitioning="hive").to_table(
+            columns=["bucket", "n", "row_bytes"]
+        )
+        pdf = t.to_pandas()
+        per_bucket = pdf.groupby("bucket")["n"].sum()
+        return {
+            "postings": int(pdf["n"].sum()),
+            "rows": int(len(pdf)),
+            "bytes": int(pdf["row_bytes"].sum()),
+            "max_bucket": int(per_bucket.max()) if len(per_bucket) else 0,
+            "avg_bucket": float(per_bucket.mean()) if len(per_bucket) else 1.0,
+        }
+    except Exception:
+        row = (
+            spark.read.parquet(out_path)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n").alias("postings"),
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("row_bytes").alias("bytes"),  # column-pruned: never
+                # rereads the binary posting blobs
+            )
+            .agg(
+                F.sum("postings").alias("postings"),
+                F.sum("rows").alias("rows"),
+                F.sum("bytes").alias("bytes"),
+                F.max("postings").alias("max_bucket"),
+                F.avg("postings").alias("avg_bucket"),
+            )
+            .collect()[0]
+        )
+        return {k: row[k] for k in ("postings", "rows", "bytes", "max_bucket", "avg_bucket")}
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -232,7 +281,7 @@ def build_index(
             print(f"[build] {label}: +{now - _last[0]:.2f}s (t={now - t0:.2f}s)", flush=True)
             _last[0] = now
 
-    dim, fp = assign_docnums(corpus, f"{index_dir}/_stage/corpus")
+    staged, offsets, fp = stage_corpus(corpus, f"{index_dir}/_stage/corpus")
     _mark('docnums + fingerprint')
     n_docs = fp["n_docs"]
     # hash of layout + scoring + fields + analyzer: a config change is a
@@ -286,7 +335,8 @@ def build_index(
                             os.remove(p)
 
     if prior is None:
-        write_docids(dim, f"{index_dir}/docids", meta_cols)
+        # pruned numbering pass: only (doc_id [+meta]) ride through Arrow
+        write_docids(numbered(staged, offsets, ["doc_id", *meta_cols]), f"{index_dir}/docids", meta_cols)
         _mark('write_docids')
 
     # Stage tokens to parquet once (columnar, splittable) rather than
@@ -295,8 +345,11 @@ def build_index(
     # local concurrency, while a parquet round-trip scales linearly and
     # doubles as the resume point for multi-group builds.
     stage_path = f"{index_dir}/_stage/tokens"
+    # pruned numbering pass: only the text source columns ride through
+    # Arrow into the tokenizer (no doc_id strings, no meta)
+    tok_input = numbered(staged, offsets, sorted(set(fields.values())))
     tokenize(
-        dim,
+        tok_input,
         fields,
         cfg.tokenizer,
         analyzer_name=cfg.analyzer,
@@ -317,18 +370,22 @@ def build_index(
         .persist(StorageLevel.MEMORY_ONLY)
     )
     if prior is None:
-        avg_rows = dfs.groupBy("field").agg(F.sum("tfsum").alias("s")).collect()
+        # one pass gives avgdl AND vocab size (per-field term counts)
+        avg_rows = dfs.groupBy("field").agg(
+            F.sum("tfsum").alias("s"), F.count(F.lit(1)).alias("v")
+        ).collect()
         _mark('df/avgdl (tokens materialize)')
         avgdl = {r["field"]: float(r["s"]) / n_docs for r in avg_rows}
         for fname in fields:
             avgdl.setdefault(fname, 1.0)
+        vocab_size = sum(int(r["v"]) for r in avg_rows)
     else:
         avgdl = prior["avgdl"]
+        vocab_size = prior.get("vocab_size", 0)
 
     # ---- hot-term detection (Zipf head -> salted encode)
     hot_rows = dfs.filter(F.col("df") > thr).select("field", "term", "df").collect()
     hot_df = {(r["field"], r["term"]): int(r["df"]) for r in hot_rows}
-    vocab_size = dfs.count()
     dfs.unpersist()
     _mark('hot df + vocab')
 
@@ -409,26 +466,9 @@ def build_index(
         )
         out_path = f"{index_dir}/postings/group={g}"
         enc.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
-        _mark(f'encode group {g}')
+        _mark(f'encode group {g} write')
         wall = time.time() - tg
-        agg = (
-            spark.read.parquet(out_path)
-            .groupBy("bucket")
-            .agg(
-                F.sum("n").alias("postings"),
-                F.count(F.lit(1)).alias("rows"),
-                F.sum("row_bytes").alias("bytes"),  # column-pruned: never
-                # rereads the binary posting blobs
-            )
-            .agg(
-                F.sum("postings").alias("postings"),
-                F.sum("rows").alias("rows"),
-                F.sum("bytes").alias("bytes"),
-                F.max("postings").alias("max_bucket"),
-                F.avg("postings").alias("avg_bucket"),
-            )
-            .collect()[0]
-        )
+        agg = _group_metrics_agg(spark, out_path)
         man = {
             "group": g,
             "fingerprint": fp,
@@ -442,6 +482,7 @@ def build_index(
             "skew_ratio": round(float(agg["max_bucket"] or 0) / max(float(agg["avg_bucket"] or 1), 1e-9), 3),
             "skipped": False,
         }
+        _mark(f'group {g} metrics agg')
         with open(man_path, "w") as f:
             json.dump(man, f, indent=1)
         group_metrics.append(man)
@@ -451,6 +492,7 @@ def build_index(
     _sh.rmtree(f"{index_dir}/_stage", ignore_errors=True)
     with open(stats_path, "w") as f:
         json.dump(stats, f, indent=1)
+    _mark('stage cleanup + stats')
 
     wall = time.time() - t0
     built = [m for m in group_metrics if not m.get("skipped")]

@@ -66,32 +66,35 @@ def _effective_max_split_bytes(spark, total_bytes: int, n_files: int) -> int:
     return min(max_pb, max(open_cost, bytes_per_core))
 
 
-def assign_docnums(
+def stage_corpus(
     df: DataFrame,
     stage_dir: str,
     id_col: str = "doc_id",
     partitions: int | None = None,
-) -> tuple[DataFrame, dict]:
-    """Return (df + dense ``docnum`` long column (0..N-1), fingerprint).
+) -> tuple[DataFrame, dict[int, int], dict]:
+    """Stage the corpus for dense docnum assignment.  Returns
+    (staged DataFrame incl. ``_pid``, per-partition docnum offsets,
+    fingerprint).
 
     One shuffle pass writes the id-sorted corpus to ``stage_dir`` as
     parquet (one file per hash partition, tagged with its partition id);
     a column-pruned aggregation over the stage yields per-partition counts
     (which double as the corpus fingerprint — row count +
-    order-independent xor of id hashes), and numbering is then a narrow
-    Arrow pass adding offset + per-partition position.  No JVM caching:
-    the in-memory columnar store anti-scales under high local concurrency
-    and evicts under memory pressure, while parquet staging is linear and
-    spill-free at any parallelism.
+    order-independent xor of id hashes).  No JVM caching: the in-memory
+    columnar store anti-scales under high local concurrency and evicts
+    under memory pressure, while parquet staging is linear and spill-free
+    at any parallelism.
 
     Numbering correctness relies on each staged file being read in order
-    and not split across tasks: files are written well under
-    ``spark.sql.files.maxPartitionBytes`` (packing several files into one
-    task is fine — the kernel keeps one counter per partition id).
+    and not split across tasks: files are written well under the
+    EFFECTIVE max split size (enforced below; packing several whole files
+    into one task is fine — the numbering kernel keeps one counter per
+    partition id).
     """
     spark = df.sparkSession
     if partitions is None:
-        # 2x parallelism keeps staged files small (< maxPartitionBytes, so
+        # 2x parallelism keeps staged files small (~half of
+        # totalBytes/parallelism, Spark's bytes-per-core split floor, so
         # they are never split) and every core busy on the read side
         partitions = spark.sparkContext.defaultParallelism * 2
 
@@ -138,6 +141,20 @@ def assign_docnums(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    return h, offsets, fingerprint
+
+
+def numbered(h: DataFrame, offsets: dict[int, int], columns: list[str] | None = None) -> DataFrame:
+    """Attach the dense ``docnum`` to a PROJECTION of the staged corpus.
+
+    The numbering kernel is a mapInPandas, which Catalyst cannot prune
+    columns through — so prune here, per consumer: the docids writer asks
+    for (doc_id) only and the tokenizer for the text columns only, and
+    neither pays an Arrow round-trip for bytes it doesn't use (at corpus
+    scale the content column IS the corpus)."""
+    spark = h.sparkSession
+    if columns is not None:
+        h = h.select("_pid", *columns)
     bc = spark.sparkContext.broadcast(offsets)
     out_fields = [f for f in h.schema.fields if f.name != "_pid"]
     out_schema = T.StructType(out_fields + [T.StructField("docnum", T.LongType())])
@@ -161,7 +178,20 @@ def assign_docnums(
             pdf["docnum"] = docnum
             yield pdf
 
-    return h.mapInPandas(number, schema=out_schema), fingerprint
+    return h.mapInPandas(number, schema=out_schema)
+
+
+def assign_docnums(
+    df: DataFrame,
+    stage_dir: str,
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Compatibility wrapper: (all-columns numbered DataFrame,
+    fingerprint).  Callers that consume different projections should use
+    stage_corpus + numbered directly to keep the Arrow passes pruned."""
+    h, offsets, fingerprint = stage_corpus(df, stage_dir, id_col, partitions)
+    return numbered(h, offsets), fingerprint
 
 
 def write_docids(dim: DataFrame, path: str, meta_cols: tuple[str, ...] = (), epoch: int = 0) -> None:

@@ -4,8 +4,10 @@ The reference trains a TF-IDF (max_features=5000, 1-2 grams) + logistic
 regression (balanced class weights, seed 42) blog classifier on weak
 heuristic labels and uses it to produce strong labels
 (reference: src/models/train_tfidf.py:24-84).  Here the same shape runs on
-Spark ML: RegexTokenizer -> unigram+bigram CountVectorizers (vocab 5000)
--> IDF -> LogisticRegression with a balanced weight column.  sklearn and
+Spark ML: lemmatizing tokenizer (Arrow pandas UDF; rule-based WordNet
+stand-in with a real-model seam) -> unigram+bigram CountVectorizers
+(vocab 5000) -> IDF -> LogisticRegression with a balanced weight column.
+sklearn and
 Spark ML differ in solver details and tf-idf normalization, so outputs are
 model-equivalent, not bit-identical (documented; SURVEY K2/K3 notes).
 
@@ -17,6 +19,7 @@ re-expressed as cluster-pruned DataFrame scans.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +31,7 @@ def train_weak_to_strong(
     vocab_size: int = 5000,
     seed: int = 42,
     test_fraction: float = 0.2,
+    lemmatizer_factory=None,
 ):
     """Train the TF-IDF + LR classifier on weak labels.  Input needs
     (text_col, label_col in {'keep','drop'}).
@@ -40,15 +44,41 @@ def train_weak_to_strong(
     sklearn's split is exact; documented model-equivalence, not
     bit-identity.
 
+    Feature preprocessing mirrors the reference's (train_tfidf.py:24-34):
+    lowercase -> strip punctuation -> LEMMATIZE -> drop stopwords.  The
+    lemmatizer is the rule-based stand-in in functions/lemmatizer.py
+    (WordNet data can't download here); ``lemmatizer_factory`` is the
+    model-injection seam — pass one returning NLTK's
+    WordNetLemmatizer().lemmatize to get reference-exact lemmas.
+
     Returns (model, predictions DataFrame, metrics dict with
     precision/recall/f1/accuracy + split sizes).
     """
+    import re
+
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
-    from pyspark.ml.feature import IDF, CountVectorizer, NGram, RegexTokenizer, VectorAssembler
+    from pyspark.ml.feature import IDF, CountVectorizer, NGram, VectorAssembler
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.analyzer import STOP_WORDS
+    from ..functions.lemmatizer import lemmatize
+
+    factory = lemmatizer_factory or (lambda: lemmatize)
+    word_re = re.compile(r"[a-z0-9_]+")
+
+    @pandas_udf("array<string>")
+    def lemma_tokens(texts: pd.Series) -> pd.Series:
+        lem = factory()  # once per task: executor-side lazy model init
+        out = []
+        for t in texts:
+            toks = word_re.findall((t or "").lower())
+            out.append([lem(x) for x in toks if x not in STOP_WORDS])
+        return pd.Series(out)
 
     df = docs_with_labels.withColumn("y", (F.col(label_col) == "keep").cast("double"))
+    df = df.withColumn("toks", lemma_tokens(F.col(text_col)))
     # K2: deterministic shuffle (reference: df.sample(frac=1, random_state=42))
     df = df.orderBy(F.rand(seed))
     # K3: stratified 80/20 split (reference: train_test_split(stratify=y))
@@ -65,7 +95,6 @@ def train_weak_to_strong(
     )
 
     stages = [
-        RegexTokenizer(inputCol=text_col, outputCol="toks", pattern=r"[^a-z0-9_]+", toLowercase=True),
         NGram(n=2, inputCol="toks", outputCol="bigrams"),
         CountVectorizer(inputCol="toks", outputCol="tf1", vocabSize=vocab_size),
         CountVectorizer(inputCol="bigrams", outputCol="tf2", vocabSize=vocab_size),

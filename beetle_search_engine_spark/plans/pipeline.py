@@ -70,9 +70,13 @@ def search_and_rerank(
     deliberate, documented deviation that costs a second search on every
     zero-hit AND query."""
     if method == "bm25":
+        # the reference hands the RAW user string to Whoosh's
+        # MultifieldParser (search_bm25.py:32-33) — mode='parse' is our
+        # grammar analog (AndGroup default, explicit OR, quoted phrases);
+        # a plain term query parses to exactly the conjunctive semantics.
         # collect the tiny top-k once: probing emptiness lazily would
         # re-execute the whole retrieval for every downstream action
-        rows = index.search(query, top_k, mode="and").collect()
+        rows = index.search(query, top_k, mode="parse").collect()
         if not rows and or_fallback:
             rows = index.search(query, top_k, mode="or").collect()
         if not rows:

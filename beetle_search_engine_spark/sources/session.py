@@ -50,13 +50,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.sql.parquet.filterPushdown", "true")
-        # one staged file == one read partition: openCost >= maxPartition/2
-        # prevents file packing (which silently caps stage parallelism at
-        # total_bytes/maxPartitionBytes tasks) and, with files kept under
-        # maxPartitionBytes, prevents splitting (which would break the
-        # order-dependent docnum numbering pass)
+        # NOTE on the docnum staging no-split invariant: staged corpus
+        # files must never be split across read tasks (order-dependent
+        # numbering).  That is guaranteed arithmetically — staging writes
+        # 2x-parallelism files, so Spark's maxSplitBytes = max(openCost,
+        # totalBytes/parallelism) ~= 2x the average staged file — and
+        # ENFORCED per build by docnums._effective_max_split_bytes (auto
+        # rescale + hard error).  Keep openCostInBytes at its default
+        # (4 MB): inflating it to "prevent splits" makes EVERY multi-file
+        # read pack only ~2 files per task — a 512-file posting read then
+        # schedules ~256 tasks and a 3-column metrics agg takes longer
+        # than the encode it measures.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1,0 +1,44 @@
+"""T6 lemmatizer stand-in + S9/S10 CSV label sink/scan roundtrip."""
+
+from beetle_search_engine_spark.functions.lemmatizer import lemmatize, lemmatize_tokens
+from beetle_search_engine_spark.operators.textops import heuristic_label
+from beetle_search_engine_spark.sources.corpus import load_documents
+
+
+def test_lemmatize_nouns():
+    assert lemmatize("models") == "model"
+    assert lemmatize("classes") == "class"
+    assert lemmatize("boxes") == "box"
+    assert lemmatize("studies") == "study"
+    assert lemmatize("indices") == "index"
+    assert lemmatize("children") == "child"
+    assert lemmatize("pass") == "pass"      # -ss kept
+    assert lemmatize("was") == "be"         # irregular
+
+
+def test_lemmatize_verbs():
+    assert lemmatize("running") == "run"    # degemination
+    assert lemmatize("stopped") == "stop"
+    assert lemmatize("parsed") == "pars"    # dictionary-free: consistent, not perfect
+    assert lemmatize("go") == "go"
+
+
+def test_lemmatize_idempotent_enough():
+    # the TF-IDF sidecar only needs a CONSISTENT mapping
+    words = ["tables", "tokens", "queries", "indexed", "scanning", "data"]
+    once = lemmatize_tokens(words)
+    assert lemmatize_tokens(once) == [lemmatize(w) for w in once]
+
+
+def test_csv_label_sink_scan_roundtrip(spark, tmp_path):
+    """S9/S10: the reference's label CSVs (heuristic_label.py:169-183,
+    train_tfidf.py:81-84) as spark.write/read.csv with explicit schema."""
+    labels = heuristic_label(load_documents(spark, "/root/testdata/sf0.001"))
+    path = str(tmp_path / "weak_labels_csv")
+    labels.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema("doc_id long, score int, label string, reasoning string").option(
+        "header", True
+    ).csv(path)
+    a = sorted(tuple(r) for r in labels.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b

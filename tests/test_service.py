@@ -38,6 +38,17 @@ def test_handle_bad_method(svc):
     assert svc.handle({"query": "x", "search_method": "nope"})["status"] == 400
 
 
+def test_handle_parser_grammar(svc):
+    # raw query strings go through the MultifieldParser-analog grammar
+    # (reference exposes Whoosh parser syntax straight to API users)
+    resp = svc.handle({"query": "transformer OR models", "top_k": 10, "rerank_k": 5})
+    assert resp["status"] == 200 and resp["total_results"] == 5
+    # quoted phrase on a positionless index -> clean 400, not a crash
+    resp = svc.handle({"query": '"transformer models"'})
+    assert resp["status"] == 400
+    assert "store_positions" in resp["error"]
+
+
 def test_config(svc):
     c = svc.config()
     assert c["index"]["n_docs"] == 200

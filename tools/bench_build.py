@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--docs", type=int, default=40000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--queries", type=int, default=0, help="also time N engine queries")
+    ap.add_argument("--tokenizer", default="auto", help="auto|python|jvm — pin jvm to measure the at-scale configuration")
     ap.add_argument("--master", default=None, help="e.g. spark://127.0.0.1:7077 for the local standalone cluster")
     args = ap.parse_args()
 
@@ -45,6 +46,7 @@ def main():
     # bucket-major shuffle key has n_buckets(+salt) distinct values, so
     # too-few buckets turns reducers into balls-in-bins stragglers.
     cfg = EngineConfig(
+        tokenizer=args.tokenizer,
         index=IndexConfig(
             n_buckets=512,
             bucket_groups=1,
@@ -67,6 +69,7 @@ def main():
     out = {
         "cores": args.cores,
         "master": args.master or "local",
+        "tokenizer": args.tokenizer,
         "docs": args.docs,
         "build_s": round(build_s, 3),
         "docs_per_sec": round(args.docs / build_s, 1),
