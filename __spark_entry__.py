@@ -209,6 +209,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rrf_hybrid"] = _rrf
 
+    # hybrid fusion over the REAL engine (nostem index -> WAND top-50) +
+    # brute-force knn — the reference's hybrid_search.py lifecycle with
+    # the flagship path in the BM25 seat, still DuckDB-provable
+    def _engine_rrf(s, d):
+        b = (
+            _engine_index_nostem(s, d)
+            .search(ENGINE_QUERY, 50, "or")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "rank")
+        )
+        k = with_rank(
+            knnp.knn_dot(_emb(s, d), 0, 50).withColumnRenamed("vec_id", "doc_id"), "score", "doc_id"
+        )
+        return rrf_fuse({"bm25": b, "knn": k}, "doc_id", 60, 10)
+
+    q["engine_rrf_hybrid"] = _engine_rrf
+
+    # M1 embed -> ANN end-to-end on text: deterministic hash-projection
+    # embedding (the sandbox's model stand-in; operators/embed.py carries
+    # the real-model seam) + exact cosine top-k
+    def _text_embed_knn(s, d):
+        from beetle_search_engine_spark.operators.embed import embed_texts
+
+        emb = embed_texts(_docs(s, d), dim=8)
+        return knnp.knn_cosine(emb, 0, 10, id_col="doc_id")
+
+    q["text_embed_knn"] = _text_embed_knn
+
     # --- dedup family
     q["dedup_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_docs(s, d), 8, 3)
@@ -469,6 +496,46 @@ def oracle_sql() -> dict[str, str]:
       FROM unioned GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10
     """
     )
+
+    o["engine_rrf_hybrid"] = (
+        _bm25_ctes(["spark", "table", "scan"])
+        + f"""
+      , bm25_rank AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+        FROM scores QUALIFY rank <= 50
+      ),
+      knn_top AS (
+        SELECT vec_id AS doc_id, round(sum(a * b), 4) AS score FROM ({_zip})
+        GROUP BY vec_id ORDER BY score DESC, doc_id LIMIT 50
+      ),
+      knn_rank AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM knn_top
+      ),
+      unioned AS (
+        SELECT * FROM bm25_rank UNION ALL SELECT * FROM knn_rank
+      )
+      SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score, count(*) AS n_systems
+      FROM unioned GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+    )
+
+    o["text_embed_knn"] = f"""
+      WITH toks AS ({_FTOKS}),
+      dt AS (SELECT DISTINCT doc_id, term FROM toks),
+      comp AS (
+        SELECT doc_id, i,
+               round(sum((('0x' || substr(md5(term || '#e' || i), 1, 8))::bigint % 2001 - 1000) / 1000.0), 6)::float AS e
+        FROM dt CROSS JOIN (SELECT unnest(range(8))::int AS i)
+        GROUP BY doc_id, i
+      ),
+      q AS (SELECT i, e FROM comp WHERE doc_id = 0),
+      z AS (
+        SELECT c.doc_id, c.e::double AS a, q.e::double AS b
+        FROM comp c JOIN q USING (i) WHERE c.doc_id <> 0
+      )
+      SELECT doc_id, round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4) AS score
+      FROM z GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+    """
 
     o["dedup_exact"] = """
       SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id

@@ -53,13 +53,21 @@ from ..functions.analyzer import STOP_WORDS, get_analyzer
 TOKENS_SCHEMA = "docnum long, field string, term string, tf int, dl int"
 TOKENS_SCHEMA_POS = TOKENS_SCHEMA + ", pos array<int>"
 
-# impl="auto": python below this many docs, jvm at/above (see module doc)
+# impl="auto": python below this many docs on a single-node master, jvm
+# at/above and on any real cluster (see module doc + resolve_impl)
 AUTO_JVM_DOCS = 500_000
 
 
-def resolve_impl(impl: str, n_docs_hint: int | None = None) -> str:
+def resolve_impl(impl: str, n_docs_hint: int | None = None, master: str = "") -> str:
+    """auto-selection: the python chain wins only where one shared memory
+    bus serves all cores (a local[] master at modest corpus size —
+    measured 1.8x faster at 8 cores on this VM); a multi-executor cluster
+    gives each node its own bandwidth, where per-doc Python string churn
+    is the classic scale-killer, so any non-local master gets jvm."""
     if impl != "auto":
         return impl
+    if master and not master.startswith("local"):
+        return "jvm"
     if n_docs_hint is None:
         return "jvm"  # unknown size: assume scale
     return "jvm" if n_docs_hint >= AUTO_JVM_DOCS else "python"
@@ -242,7 +250,8 @@ def tokenize(
     positions: bool = False,
     n_docs_hint: int | None = None,
 ) -> DataFrame:
-    impl = resolve_impl(impl, n_docs_hint)
+    master = str(corpus.sparkSession.conf.get("spark.master", ""))
+    impl = resolve_impl(impl, n_docs_hint, master)
     if impl == "jvm":
         return tokenize_jvm(corpus, fields, analyzer_name, broadcast_stems, positions)
     return tokenize_python(corpus, fields, analyzer_name, positions)

@@ -24,6 +24,30 @@ def test_decoder_factory_injection(spark):
         assert r["feature"] == [float(r["n_bytes"])] * 4  # injected decoder used
 
 
+def test_embed_encoder_factory_injection(spark):
+    from beetle_search_engine_spark.operators.embed import embed_texts
+
+    docs = spark.createDataFrame([(1, "aa bb"), (2, "cc")], "doc_id long, text string")
+
+    def factory():
+        def encode(texts):
+            return [[float(len(t))] * 4 for t in texts]
+
+        return encode
+
+    rows = {r["doc_id"]: r["embedding"] for r in embed_texts(docs, 4, factory).collect()}
+    assert rows[1] == [5.0] * 4 and rows[2] == [2.0] * 4
+
+
+def test_embed_default_deterministic(spark):
+    from beetle_search_engine_spark.operators.embed import embed_texts
+
+    docs = spark.createDataFrame([(1, "alpha beta"), (2, "alpha beta")], "doc_id long, text string")
+    rows = [r["embedding"] for r in embed_texts(docs, 8).orderBy("doc_id").collect()]
+    assert rows[0] == rows[1]  # same text -> same vector
+    assert len(rows[0]) == 8 and any(abs(x) > 0 for x in rows[0])
+
+
 def test_splade_encoder_factory_injection(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma delta")],
