@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.analyzer import get_analyzer
@@ -136,10 +136,29 @@ class BM25Index:
             df_override = {(r["field"], r["term"]): int(r["df"]) for r in rows}
         kernel = make_wand_kernel(terms, self.stats, top_k, mode, df_override, phrases)
         scored = scan.groupBy("chunk").applyInPandas(kernel, "docnum long, score double")
-        top = scored.orderBy(F.desc("score"), F.asc("docnum")).limit(top_k)
-        res = self.docids.join(F.broadcast(top), "docnum", "inner")
-        w = Window.orderBy(F.desc("score"), F.asc("docnum"))
-        return res.withColumn("rank", F.row_number().over(w)).select("doc_id", "score", "rank")
+        top_rows = (
+            scored.orderBy(F.desc("score"), F.asc("docnum")).limit(top_k).collect()
+        )  # k rows on the driver — the global top-k merge
+        if not top_rows:
+            return self.empty_result()
+        # docid fetch with the k docnums pushed into the scan as an IN
+        # filter: a broadcast join alone cannot prune the docids
+        # dimension, so every query would pay a full scan of it at scale;
+        # the docids parquet is docnum-contiguous-sorted, so the pushed
+        # filter skips whole row groups.
+        ranked = self.spark.createDataFrame(
+            [
+                (int(r["docnum"]), float(r["score"]), i + 1)
+                for i, r in enumerate(top_rows)
+            ],
+            "docnum long, score double, rank int",
+        )
+        pruned = self.docids.filter(F.col("docnum").isin([int(r["docnum"]) for r in top_rows]))
+        return (
+            pruned.join(F.broadcast(ranked), "docnum", "inner")
+            .orderBy(F.asc("rank"))
+            .select("doc_id", "score", "rank")
+        )
 
 
     def _pruned_rows_arrow(self, terms: list[str], buckets: dict[str, int]):
