@@ -161,6 +161,45 @@ def _engine_index_nostem(spark: SparkSession, sf_dir: str) -> BM25Index:
     return _cached_index(spark, sf_dir, _NOSTEM_CFG, "_nostem")
 
 
+def _engine_index_incremental(spark: SparkSession, sf_dir: str) -> BM25Index:
+    """Stem-free index built on HALF the corpus then refreshed with the
+    other half via append_epoch — incremental results are provably equal
+    to a from-scratch build (bound rescaling + summed per-epoch dfs), so
+    the SAME full-corpus DuckDB oracle gates this entry."""
+    import json
+
+    from beetle_search_engine_spark.operators.build import INDEX_LAYOUT_VERSION
+    from beetle_search_engine_spark.streaming.incremental import append_epoch
+
+    tag = sf_dir.strip("/").replace("/", "_") + "_incr"
+    idx_dir = f"/tmp/beetle_idx_{tag}"
+    src_mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
+    fresh = False
+    if os.path.exists(f"{idx_dir}/stats.json"):
+        with open(f"{idx_dir}/stats.json") as f:
+            st = json.load(f)
+        fresh = (
+            st.get("layout_version") == INDEX_LAYOUT_VERSION
+            and st.get("source_mtime") == src_mtime
+            and len(st.get("epochs", {})) == 2  # both halves applied
+        )
+    if not fresh:
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        corpus = documents_as_corpus(spark, sf_dir)
+        even = corpus.filter(F.col("doc_id").cast("long") % 2 == 0)
+        odd = corpus.filter(F.col("doc_id").cast("long") % 2 == 1)
+        build_index(spark, even, idx_dir, fields={"body": "content"}, cfg=_NOSTEM_CFG)
+        append_epoch(spark, idx_dir, odd, fields={"body": "content"}, cfg=_NOSTEM_CFG, batch_tag="half2")
+        with open(f"{idx_dir}/stats.json") as f:
+            st = json.load(f)
+        st["source_mtime"] = src_mtime
+        with open(f"{idx_dir}/stats.json", "w") as f:
+            json.dump(st, f, indent=1)
+    return BM25Index(spark, idx_dir)
+
+
 ENGINE_QUERY = "spark table scan"  # in-vocabulary for the testdata docs;
 # the reference's own smoke query ("transformer models",
 # search_bm25.py:48) is exercised against the synthetic graft corpus in
@@ -371,7 +410,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["engine_phrase"] = _phrase
 
+    # incremental refresh (SURVEY §2.11 / streaming): half the corpus
+    # built, half appended as an epoch — gated by the FULL-corpus oracle,
+    # proving epoch scoring equals a from-scratch rebuild
+    def _incr(s, d):
+        res = _engine_index_incremental(s, d).search(ENGINE_QUERY, 10, "or")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["engine_incremental_bm25"] = _incr
+
     q["ann_lsh_cosine"] = lambda s, d: knnp.ann_lsh_cosine(_emb(s, d), 0, EMB_DIM, 10)
+    # embedding-cosine near-duplicate pairs (LSH-bucketed, skew-capped);
+    # the synthetic embeddings have no true near-dups (max same-bucket
+    # cosine 0.46), so the entry thresholds at 0.3 to exercise a
+    # non-empty verify stage — production default stays 0.9
+    q["embedding_near_dups"] = lambda s, d: knnp.cosine_near_dup_pairs(_emb(s, d), EMB_DIM, 0.3)
 
     # --- ML sidecars (M3/M4/M5) + search pipeline (§3.1) — rows-only
     def _weak_strong(s, d):
@@ -848,6 +901,39 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT vec_id, round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4) AS score
       FROM z GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10
+    """
+
+    # incremental entry: epoch-append scoring is exactly a from-scratch
+    # rebuild, so the full-corpus BM25 oracle applies verbatim
+    o["engine_incremental_bm25"] = o["engine_bm25_nostem_or"]
+
+    o["embedding_near_dups"] = f"""
+      WITH pl AS (SELECT unnest(range({_PLANES}))::int AS j, unnest({mat_sql}) AS pvec),
+      bkt AS (
+        SELECT e.vec_id,
+               sum(CASE WHEN list_dot_product(e.embedding::double[], pl.pvec::double[]) >= 0
+                        THEN (1::int << pl.j) ELSE 0 END)::int AS bucket
+        FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id
+      ),
+      bsz AS (SELECT bucket, count(*) AS c FROM bkt GROUP BY bucket),
+      keepb AS (
+        SELECT bkt.vec_id, bkt.bucket FROM bkt JOIN bsz USING (bucket)
+        WHERE bsz.c BETWEEN 2 AND 2000
+      ),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM keepb a JOIN keepb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ),
+      z AS (
+        SELECT p.id_a, p.id_b,
+               unnest(ea.embedding)::double AS a, unnest(eb.embedding)::double AS b
+        FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
+                     JOIN embeddings eb ON eb.vec_id = p.id_b
+      )
+      SELECT id_a, id_b,
+             round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4) AS cosine
+      FROM z GROUP BY id_a, id_b
+      HAVING round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4) >= 0.3
     """
 
     # engine_bm25_and / engine_bm25_or: rows-only (Porter stemming is not

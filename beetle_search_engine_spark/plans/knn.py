@@ -121,6 +121,46 @@ def lsh_index(emb: DataFrame, dim: int, planes: int = 6, seed: int = 42, vec_col
     return emb.withColumn("lsh_bucket", _sign_bits(F.col(vec_col), dim, planes, seed))
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    min_cosine: float = 0.9,
+    planes: int = 6,
+    seed: int = 42,
+    id_col="vec_id",
+    vec_col="embedding",
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """(id_a, id_b, cosine): embedding near-duplicate pairs via sign-LSH
+    bucketing — candidates are pairs sharing a bucket (same-key equi-join,
+    never all-pairs; vectors with cosine >= ~0.9 agree on most hyperplane
+    signs, so same-bucket recall is high at 6 planes), verified with the
+    exact cosine.  ``max_bucket`` drops degenerate buckets before the
+    quadratic self-join (same skew guard as MinHash-LSH banding)."""
+    idx = lsh_index(emb, dim, planes, seed, vec_col)
+    sizes = idx.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+    idx = idx.join(
+        sizes.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)), "lsh_bucket"
+    ).drop("_bsz")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    va, vb = F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    return (
+        a.join(
+            b,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
 def ann_lsh_cosine(
     emb: DataFrame,
     query_id: int,
