@@ -1,0 +1,93 @@
+"""Physical-plan invariants: the plans we claim at 100 TB scale must
+actually be the plans Catalyst produces.  Each assertion here is one of
+the scale properties documented in README/SURVEY — pushdown reaching the
+parquet scan, broadcast on the small side, no accidental cartesian or
+full-dimension scans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from beetle_search_engine_spark.operators import dedup, textops
+from beetle_search_engine_spark.plans import knn as knnp
+from beetle_search_engine_spark.plans.sqlbm25 import sql_bm25_topk
+from beetle_search_engine_spark.sources.corpus import load_documents, load_embeddings
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_postings_scan_prunes_partitions_and_pushes_terms(spark):
+    idx = entrymod._engine_index(spark, SF)
+    scan = idx.postings.filter(F.col("bucket").isin([1, 3]) & F.col("term").isin(["spark"]))
+    p = _plan(scan)
+    assert "PartitionFilters" in p and "bucket" in p.split("PartitionFilters")[1][:200]
+    assert "PushedFilters" in p and "term" in p.split("PushedFilters")[1][:200]
+
+
+def test_knn_broadcasts_query_vector_no_shuffle(spark):
+    df = knnp.knn_cosine(load_embeddings(spark, SF), 0, 10)
+    p = _plan(df)
+    assert "BroadcastNestedLoopJoin" in p  # 1-row query vector broadcast
+    assert "TakeOrderedAndProject" in p    # top-k, not a global sort
+    # the embeddings table itself is never exchanged
+    scan_side = p.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange hashpartitioning" not in scan_side
+
+
+def test_sql_bm25_uses_broadcast_and_topk(spark):
+    df = sql_bm25_topk(load_documents(spark, SF), ["spark", "table"], 10, "or")
+    p = _plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p  # df/stats dims
+
+
+def test_filter_pushdown_reaches_documents_scan(spark):
+    docs = load_documents(spark, SF).filter(F.col("text").isNotNull() & (F.col("n_chars") > 100))
+    p = _plan(docs.select("doc_id"))
+    pushed = p.split("PushedFilters")[1][:300] if "PushedFilters" in p else ""
+    assert "IsNotNull(text)" in pushed and "GreaterThan(n_chars" in pushed
+    # column pruning: projection reads only what it needs
+    rs = p.split("ReadSchema")[1][:200]
+    assert "text" not in rs.split("n_chars")[0] or "doc_id" in rs
+
+
+def test_lsh_candidates_equi_join_not_cartesian(spark):
+    cand = dedup.lsh_candidate_pairs(load_documents(spark, SF), 8, 2, 3)
+    p = _plan(cand)
+    assert "CartesianProduct" not in p  # band equi-join, never all-pairs
+
+
+def test_term_frequencies_partial_aggregation(spark):
+    tf = textops.term_frequencies(load_documents(spark, SF))
+    p = _plan(tf)
+    # map-side combine: partial_count before the exchange, final after
+    assert p.count("HashAggregate") >= 2 and "partial_count" in p
+
+
+def test_simhash_single_aggregation_no_explode_per_bit(spark):
+    sh = dedup.simhash(load_documents(spark, SF), 64)
+    p = _plan(sh)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # one generate (the token explode), not one per bit
+    assert p.count("Generate explode") <= 1
+
+
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_distributed_search_single_shuffle_chunks(spark, mode):
+    idx = entrymod._engine_index(spark, SF)
+    terms = ["spark", "table", "scan"]
+    buckets = idx._buckets_for(terms)
+    scan = idx.postings.filter(
+        F.col("bucket").isin(sorted(set(buckets.values()))) & F.col("term").isin(terms)
+    )
+    from beetle_search_engine_spark.operators.wand import make_wand_kernel
+
+    kernel = make_wand_kernel(terms, idx.stats, 10, mode)
+    scored = scan.groupBy("chunk").applyInPandas(kernel, "docnum long, score double")
+    p = _plan(scored)
+    # exactly one exchange: the chunk shuffle into the kernel
+    assert p.count("Exchange hashpartitioning") == 1
