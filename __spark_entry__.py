@@ -138,6 +138,7 @@ def _cached_index(spark: SparkSession, sf_dir: str, cfg: EngineConfig, tag_suffi
         fresh = (
             st.get("layout_version") == INDEX_LAYOUT_VERSION
             and st.get("source_mtime") == src_mtime  # source data unchanged
+            and st.get("layout_hash") == cfg.layout_hash({"body": "content"})
         )
     if not fresh:
         import shutil
@@ -181,6 +182,7 @@ def _engine_index_incremental(spark: SparkSession, sf_dir: str) -> BM25Index:
         fresh = (
             st.get("layout_version") == INDEX_LAYOUT_VERSION
             and st.get("source_mtime") == src_mtime
+            and st.get("layout_hash") == _NOSTEM_CFG.layout_hash({"body": "content"})
             and len(st.get("epochs", {})) == 2  # both halves applied
         )
     if not fresh:

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..operators.build import POSTINGS_SCHEMA, _make_encode_kernel
-from ..operators.docnums import assign_docnums, write_docids
+from ..operators.docnums import numbered, stage_corpus, write_docids
 from ..operators.tokenize import tokenize
 
 
@@ -59,19 +59,23 @@ def append_epoch(
     offset = stats["n_docs"]
     epoch = max(int(e) for e in stats["epochs"]) + 1
 
-    dim, fp_new = assign_docnums(new_corpus, f"{index_dir}/_stage/epoch_corpus")
+    staged, offsets, fp_new = stage_corpus(new_corpus, f"{index_dir}/_stage/epoch_corpus")
     n_new = fp_new["n_docs"]
-    dim = dim.withColumn("docnum", F.col("docnum") + F.lit(offset))
+    # epoch docnums continue from the previous corpus total
+    offsets = {pid: off + offset for pid, off in offsets.items()}
 
     # per-epoch docids partition, overwritten on retry: a crash between
     # this write and the stats.json commit below + at-least-once foreachBatch
     # redelivery must not leave duplicate (docnum, doc_id) rows.  The
-    # stats.json write at the end is the epoch's commit point.
-    write_docids(dim, f"{index_dir}/docids", meta_cols, epoch=epoch)
+    # stats.json write at the end is the epoch's commit point.  Numbering
+    # passes are pruned per consumer (see operators/docnums.numbered).
+    write_docids(
+        numbered(staged, offsets, ["doc_id", *meta_cols]), f"{index_dir}/docids", meta_cols, epoch=epoch
+    )
 
     stage_path = f"{index_dir}/_stage/epoch_tokens"
     tokenize(
-        dim,
+        numbered(staged, offsets, sorted(set(fields.values()))),
         fields,
         cfg.tokenizer,
         analyzer_name=stats.get("analyzer", "whoosh"),
