@@ -123,7 +123,18 @@ _NOSTEM_CFG = EngineConfig(
 )
 
 
-def _cached_index(spark: SparkSession, sf_dir: str, cfg: EngineConfig, tag_suffix: str = "") -> BM25Index:
+def _cached_index(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: EngineConfig,
+    tag_suffix: str = "",
+    builder=None,
+    extra_fresh=None,
+) -> BM25Index:
+    """Build-or-reuse an index under /tmp keyed by (sf_dir, suffix).
+    Freshness = layout version + source mtime + config layout hash
+    [+ extra_fresh(stats)].  ``builder(spark, sf_dir, idx_dir)`` defaults
+    to a plain full build of the adapted corpus."""
     import json
 
     from beetle_search_engine_spark.operators.build import INDEX_LAYOUT_VERSION
@@ -139,13 +150,17 @@ def _cached_index(spark: SparkSession, sf_dir: str, cfg: EngineConfig, tag_suffi
             st.get("layout_version") == INDEX_LAYOUT_VERSION
             and st.get("source_mtime") == src_mtime  # source data unchanged
             and st.get("layout_hash") == cfg.layout_hash({"body": "content"})
+            and (extra_fresh is None or extra_fresh(st))
         )
     if not fresh:
         import shutil
 
         shutil.rmtree(idx_dir, ignore_errors=True)
-        corpus = documents_as_corpus(spark, sf_dir)
-        build_index(spark, corpus, idx_dir, fields={"body": "content"}, cfg=cfg)
+        if builder is None:
+            corpus = documents_as_corpus(spark, sf_dir)
+            build_index(spark, corpus, idx_dir, fields={"body": "content"}, cfg=cfg)
+        else:
+            builder(spark, sf_dir, idx_dir)
         with open(f"{idx_dir}/stats.json") as f:
             st = json.load(f)
         st["source_mtime"] = src_mtime
@@ -167,39 +182,20 @@ def _engine_index_incremental(spark: SparkSession, sf_dir: str) -> BM25Index:
     other half via append_epoch — incremental results are provably equal
     to a from-scratch build (bound rescaling + summed per-epoch dfs), so
     the SAME full-corpus DuckDB oracle gates this entry."""
-    import json
-
-    from beetle_search_engine_spark.operators.build import INDEX_LAYOUT_VERSION
     from beetle_search_engine_spark.streaming.incremental import append_epoch
 
-    tag = sf_dir.strip("/").replace("/", "_") + "_incr"
-    idx_dir = f"/tmp/beetle_idx_{tag}"
-    src_mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
-    fresh = False
-    if os.path.exists(f"{idx_dir}/stats.json"):
-        with open(f"{idx_dir}/stats.json") as f:
-            st = json.load(f)
-        fresh = (
-            st.get("layout_version") == INDEX_LAYOUT_VERSION
-            and st.get("source_mtime") == src_mtime
-            and st.get("layout_hash") == _NOSTEM_CFG.layout_hash({"body": "content"})
-            and len(st.get("epochs", {})) == 2  # both halves applied
-        )
-    if not fresh:
-        import shutil
-
-        shutil.rmtree(idx_dir, ignore_errors=True)
-        corpus = documents_as_corpus(spark, sf_dir)
+    def build_half_then_append(s, d, idx_dir):
+        corpus = documents_as_corpus(s, d)
         even = corpus.filter(F.col("doc_id").cast("long") % 2 == 0)
         odd = corpus.filter(F.col("doc_id").cast("long") % 2 == 1)
-        build_index(spark, even, idx_dir, fields={"body": "content"}, cfg=_NOSTEM_CFG)
-        append_epoch(spark, idx_dir, odd, fields={"body": "content"}, cfg=_NOSTEM_CFG, batch_tag="half2")
-        with open(f"{idx_dir}/stats.json") as f:
-            st = json.load(f)
-        st["source_mtime"] = src_mtime
-        with open(f"{idx_dir}/stats.json", "w") as f:
-            json.dump(st, f, indent=1)
-    return BM25Index(spark, idx_dir)
+        build_index(s, even, idx_dir, fields={"body": "content"}, cfg=_NOSTEM_CFG)
+        append_epoch(s, idx_dir, odd, fields={"body": "content"}, cfg=_NOSTEM_CFG, batch_tag="half2")
+
+    return _cached_index(
+        spark, sf_dir, _NOSTEM_CFG, "_incr",
+        builder=build_half_then_append,
+        extra_fresh=lambda st: len(st.get("epochs", {})) == 2,  # both halves applied
+    )
 
 
 ENGINE_QUERY = "spark table scan"  # in-vocabulary for the testdata docs;
@@ -393,7 +389,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- engine entries, stem-free preset (DRIVER-GREEN: the full
     # build -> block-max WAND -> top-k pipeline is DuckDB-reproducible).
     # rank dropped / scores rounded AFTER top-k so float formatting can't
-    # flip hash compares on exact-score ties.
+    # flip hash compares on exact-score ties.  Residual risk (accepted,
+    # same exposure as the long-green bm25_topk entries): the engine
+    # breaks EXACT float64 score ties by docnum while the oracle uses
+    # doc_id — an exact tie straddling the top-k boundary would flip
+    # membership, which requires two docs with identical (tf vector, dl)
+    # for the query terms.
     def _nostem(mode):
         def run(s, d):
             res = _engine_index_nostem(s, d).search(ENGINE_QUERY, 10, mode)

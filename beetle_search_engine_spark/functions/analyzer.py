@@ -94,7 +94,12 @@ class Analyzer:
     lower_first: bool
 
     def analyze(self, text: str) -> list[str]:
-        """Tokenize -> lowercase -> stop/minsize [-> stem]; order kept."""
+        """Tokenize -> lowercase -> stop/minsize [-> stem]; order kept.
+
+        Kept as a separate tight loop from :meth:`analyze_pos` (no tuple
+        per token) because this is the per-document hot path of the
+        python tokenizer; the golden fixtures, jvm-parity and phrase
+        property tests pin the two implementations to each other."""
         if not text:
             return []
         if self.lower_first:

@@ -51,11 +51,11 @@ def lemmatize(word: str) -> str:
     -ing/-ed verb detachments with degemination).  Dictionary-free, so a
     consistent approximation rather than WordNet-exact — see module doc."""
     w = word.lower()
-    if len(w) <= 2:
-        return w
     irr = _IRREGULAR.get(w)
     if irr is not None:
-        return irr
+        return irr  # before the length guard: 'is' -> 'be'
+    if len(w) <= 2:
+        return w
     if w.endswith("s") and not w.endswith("ss"):
         for suf, rep in _NOUN_RULES:
             if w.endswith(suf):

@@ -335,6 +335,11 @@ def build_index(
                             os.remove(p)
 
     if prior is None:
+        # full rebuild: clear the WHOLE docids dir first — write_docids
+        # overwrites only its epoch=0 partition, so stale epoch=N
+        # partitions from a previous corpus (or pre-v4 flat files) would
+        # otherwise survive and collide with the new docnum range
+        _sh.rmtree(f"{index_dir}/docids", ignore_errors=True)
         # pruned numbering pass: only (doc_id [+meta]) ride through Arrow
         write_docids(numbered(staged, offsets, ["doc_id", *meta_cols]), f"{index_dir}/docids", meta_cols)
         _mark('write_docids')

@@ -74,7 +74,10 @@ def train_weak_to_strong(
         out = []
         for t in texts:
             toks = word_re.findall((t or "").lower())
-            out.append([lem(x) for x in toks if x not in STOP_WORDS])
+            # reference order: lemmatize THEN drop stopwords (the stopword
+            # check applies to the lemma — 'was' -> 'be' -> dropped)
+            lemmas = (lem(x) for x in toks)
+            out.append([x for x in lemmas if x not in STOP_WORDS])
         return pd.Series(out)
 
     df = docs_with_labels.withColumn("y", (F.col(label_col) == "keep").cast("double"))

@@ -29,6 +29,25 @@ from .parser import ParsedQuery, parse_query
 RESULT_SCHEMA = "doc_id string, score double, rank int"
 
 
+def read_index_metrics(index_dir: str) -> dict:
+    """Per-group build manifests -> {groups, postings, max_skew_ratio}.
+    Shared by BM25Index.metrics() and bench.py's skew block."""
+    import os
+
+    man_dir = f"{index_dir}/_manifest"
+    groups = []
+    if os.path.isdir(man_dir):
+        for fn in sorted(os.listdir(man_dir)):
+            if fn.startswith("group_"):
+                with open(f"{man_dir}/{fn}") as f:
+                    groups.append(json.load(f))
+    return {
+        "groups": groups,
+        "postings": sum(g.get("postings", 0) for g in groups),
+        "max_skew_ratio": max((g.get("skew_ratio", 0.0) for g in groups), default=None),
+    }
+
+
 class BM25Index:
     """Handle over a built index directory; caches stats + scan DataFrames
     (the reference reopens its index from disk on every query,
@@ -62,20 +81,7 @@ class BM25Index:
         visible via bench.py's `skew` block; here as a library surface).
         Returns {groups: [{group, postings, skew_ratio, wall_s, ...}],
         postings, max_skew_ratio}."""
-        import os
-
-        man_dir = f"{self.index_dir}/_manifest"
-        groups = []
-        if os.path.isdir(man_dir):
-            for fn in sorted(os.listdir(man_dir)):
-                if fn.startswith("group_"):
-                    with open(f"{man_dir}/{fn}") as f:
-                        groups.append(json.load(f))
-        return {
-            "groups": groups,
-            "postings": sum(g.get("postings", 0) for g in groups),
-            "max_skew_ratio": max((g.get("skew_ratio", 0.0) for g in groups), default=None),
-        }
+        return read_index_metrics(self.index_dir)
 
     def refresh_stats(self) -> None:
         """Re-read stats.json (after an incremental append_epoch)."""

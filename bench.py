@@ -123,8 +123,8 @@ def _bench_build(cores: int, repeats: int, tokenizer: str = "jvm") -> dict:
 
 
 def run_scaling() -> dict:
-    repeats = int(os.environ.get("BEETLE_BENCH_REPEATS", "2"))
-    max_pairs = int(os.environ.get("BEETLE_BENCH_MAX_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("BEETLE_BENCH_REPEATS", "2")))
+    max_pairs = max(repeats, int(os.environ.get("BEETLE_BENCH_MAX_REPEATS", "3")))
     n = SCALING_N
     # interleave the N and 2N measurements (1,2,1,2,...) so a slow phase
     # of this shared VM hits both sides of the headline ratio; take the
@@ -182,18 +182,16 @@ def engine_skew() -> dict:
     """Per-term-bucket storage-skew metrics from the query-suite engine
     index's group manifests (max/avg bucket postings per group) — surfaced
     so skew regressions show in BENCH diffs across rounds."""
+    from beetle_search_engine_spark.plans.query import read_index_metrics
+
     tag = SF_DIR.strip("/").replace("/", "_")
-    man_dir = f"/tmp/beetle_idx_{tag}/_manifest"
-    groups = []
-    if os.path.isdir(man_dir):
-        for f in sorted(os.listdir(man_dir)):
-            if f.startswith("group_"):
-                with open(f"{man_dir}/{f}") as fh:
-                    m = json.load(fh)
-                groups.append({"group": m["group"], "postings": m["postings"], "skew_ratio": m["skew_ratio"]})
+    m = read_index_metrics(f"/tmp/beetle_idx_{tag}")
     return {
-        "groups": groups,
-        "max_skew_ratio": max((g["skew_ratio"] for g in groups), default=None),
+        "groups": [
+            {"group": g["group"], "postings": g["postings"], "skew_ratio": g["skew_ratio"]}
+            for g in m["groups"]
+        ],
+        "max_skew_ratio": m["max_skew_ratio"],
     }
 
 
