@@ -1,0 +1,76 @@
+"""URL functions for crawler-shaped pipelines (SURVEY F10/F11, P6, A10).
+
+The reference's crawler joins relative links against the page URL and
+canonicalizes them (reference: src/ETL/website_crawler.py:50, urljoin +
+w3lib.canonicalize_url) and filters to the seed's domain
+(website_crawler.py:15-16,51).  The corpus arrives as a table in this
+graft, so these are offered as reusable column functions: Spark has no
+urljoin/canonicalize builtin, so those two are an Arrow-batched pandas
+UDF over stdlib urllib (the only non-Catalyst members of this module);
+the domain predicate and the pattern scorer are pure column expressions.
+
+Canonicalization semantics (the stable core of w3lib's): lowercase
+scheme/host, strip fragments, drop default ports, sort query parameters,
+normalize an empty path to '/'.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(url: str) -> str:
+    """Pure-Python canonicalizer (deterministic, dependency-free)."""
+    s = urlsplit(url.strip())
+    scheme = s.scheme.lower()
+    host = s.hostname.lower() if s.hostname else ""
+    port = s.port
+    netloc = host if port is None or str(port) == _DEFAULT_PORTS.get(scheme) else f"{host}:{port}"
+    path = s.path or "/"
+    query = urlencode(sorted(parse_qsl(s.query, keep_blank_values=True)))
+    return urlunsplit((scheme, netloc, path, query, ""))  # fragment dropped
+
+
+def urljoin_canonical(base_col, href_col) -> F.Column:
+    """F11: urljoin(base, href) + canonicalize, Arrow-batched.  The UDF
+    is constructed lazily — pandas_udf parses its DDL against the active
+    session, so a module-level decorator would require Spark at import."""
+
+    @pandas_udf("string")
+    def _join(base: pd.Series, href: pd.Series) -> pd.Series:
+        out = []
+        for b, h in zip(base, href):
+            try:
+                out.append(canonicalize_url(urljoin(b or "", h or "")))
+            except ValueError:
+                out.append(None)
+        return pd.Series(out)
+
+    return _join(base_col, href_col)
+
+
+def same_domain(url_a, url_b) -> F.Column:
+    """P6: case-insensitive host equality (reference:
+    website_crawler.py:15-16) as a pure column expression."""
+    return F.lower(F.parse_url(url_a, F.lit("HOST"))) == F.lower(
+        F.parse_url(url_b, F.lit("HOST"))
+    )
+
+
+def url_pattern_score(url_col, patterns: list[tuple[str, int]]) -> F.Column:
+    """A10: first-match-only regex-table URL scorer (the reference ships
+    this shape at src/ETL/heuristic_label.py:14-58 but never calls it —
+    ported as a generic when-chain; callers supply their own pattern
+    table).  Returns 0 when nothing matches."""
+    expr = None
+    path = F.lower(F.parse_url(url_col, F.lit("PATH")))
+    for pat, score in patterns:
+        cond = path.rlike(pat)
+        expr = F.when(cond, score) if expr is None else expr.when(cond, score)
+    return (expr.otherwise(0) if expr is not None else F.lit(0)).alias("url_score")
