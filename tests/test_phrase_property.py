@@ -74,6 +74,28 @@ def test_phrase_with_stopword_gap_random(spark, tmp_path):
     assert got == expect
 
 
+def test_phrase_is_per_field(spark, tmp_path):
+    """Whoosh phrase semantics: terms must be adjacent WITHIN one field —
+    a phrase never spans the title/body boundary."""
+    rows = [
+        ("x", "alpha beta", "gamma delta"),        # phrase candidates split across fields
+        ("y", "alpha", "beta gamma"),              # 'beta gamma' adjacent in body only
+        ("z", "alpha beta", "other words here"),   # 'alpha beta' adjacent in title
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id string, title string, content string")
+    idx_dir = str(tmp_path / "mf_idx")
+    build_index(spark, corpus, idx_dir, fields={"title": "title", "body": "content"}, cfg=CFG)
+    idx = BM25Index(spark, idx_dir)
+
+    def ids(q):
+        return {r["doc_id"] for r in idx.search(q, 10, "parse").collect()}
+
+    assert ids('"alpha beta"') == {"x", "z"}
+    assert ids('"beta gamma"') == {"y"}       # NOT x: beta(title) + gamma(body)
+    assert ids('"gamma delta"') == {"x"}
+    assert ids('"delta gamma"') == set()      # order matters
+
+
 def test_phrase_across_epochs(spark, tmp_path):
     rng = random.Random(7)
     base = _mk_docs(rng, 30)
