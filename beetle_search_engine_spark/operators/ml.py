@@ -140,6 +140,59 @@ def ivf_index(emb: DataFrame, n_clusters: int = 16, seed: int = 42, vec_col: str
     return km.transform(v).drop("_v"), km
 
 
+def write_ivf_index(assigned: DataFrame, km, path: str, vec_col: str = "embedding") -> None:
+    """Persist the IVF layout the way FAISS persists its index
+    (reference: build_faiss.py:36-43 write_index + doc-id JSON): vectors
+    as parquet PARTITIONED BY cluster — so a probe is a partition-pruned
+    scan that never opens non-probed clusters' files — plus the centroid
+    table as JSON (the coarse quantizer)."""
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/vectors")
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
+    # k-row dimension table, same role as FAISS's stored quantizer
+    assigned.sparkSession.createDataFrame(
+        centers, "cluster int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_stored(
+    spark,
+    path: str,
+    query_vec,
+    top_k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Query a stored IVF index: rank centroids on the driver (k tiny
+    rows), then scan ONLY the nprobe nearest cluster partitions — the
+    plan shows PartitionFilters [cluster IN (...)], so non-probed
+    clusters' files are never opened (the on-disk analog of FAISS's
+    inverted lists)."""
+    import numpy as np
+
+    from ..plans.knn import _dot
+
+    crows = spark.read.parquet(f"{path}/centroids").collect()  # k tiny rows
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    dists = sorted(
+        (float(np.linalg.norm(q - np.asarray(r["center"]))), int(r["cluster"])) for r in crows
+    )
+    probe = [c for _d, c in dists[:nprobe]]
+
+    vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("cluster").isin(probe))
+    if exclude_id is not None:
+        vecs = vecs.filter(F.col(id_col) != exclude_id)
+    qvec = F.lit([float(x) for x in q])
+    v = F.col(vec_col)
+    cos = _dot(v, qvec) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qvec, qvec)))
+    return (
+        vecs.select(F.col(id_col), F.round(cos, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
 def ivf_search(
     assigned: DataFrame,
     km,

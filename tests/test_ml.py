@@ -27,6 +27,25 @@ def test_weak_to_strong_classifier(spark):
     assert predicted == {0.0, 1.0}
 
 
+def test_ivf_stored_partition_pruned(spark, tmp_path):
+    """write_ivf_index -> cluster-partitioned parquet; a probe scans only
+    the nprobe clusters (PartitionFilters in the plan) and returns the
+    same results as the in-memory probe."""
+    from beetle_search_engine_spark.operators.ml import ivf_probe_stored, write_ivf_index
+
+    emb = load_embeddings(spark, SF)
+    assigned, km = ivf_index(emb, n_clusters=8, seed=42)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, km, path)
+
+    qvec = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    stored = ivf_probe_stored(spark, path, qvec, 10, nprobe=4, exclude_id=0)
+    mem = ivf_search(assigned, km, 0, 10, nprobe=4)
+    assert [tuple(r) for r in stored.collect()] == [tuple(r) for r in mem.collect()]
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     emb = load_embeddings(spark, SF)
     assigned, km = ivf_index(emb, n_clusters=8, seed=42)
