@@ -325,6 +325,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.round(F.lit(1.0) / (F.lit(60) + F.col("doc_id") + 1), 6).alias("rrf_at_rank"),
     )
 
+    # --- BPE-ish subword stats (code-corpus token counting: camelCase /
+    # snake_case identifiers split into subwords; whitespace-word count
+    # alongside).  Pattern is lookahead-free so Java regex (Spark) and
+    # RE2 (DuckDB) agree byte-for-byte.
+    def _subwords(s, d):
+        docs = _docs(s, d)
+        txt = F.coalesce(F.col("text"), F.lit(""))
+        sub_pat = r"[A-Z][a-z0-9]*|[a-z][a-z0-9]*|[0-9]+"
+        subs = F.regexp_extract_all(txt, F.lit(sub_pat), 0)
+        words = F.split(txt, r"\s+")
+        return docs.select(
+            "doc_id",
+            F.size(subs).cast("long").alias("n_subwords"),
+            F.size(words).cast("long").alias("n_ws_words"),
+            F.round(
+                F.aggregate(subs, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+                / F.greatest(F.size(subs), F.lit(1)),
+                6,
+            ).alias("avg_subword_len"),
+        )
+
+    q["subword_stats"] = _subwords
+
     # --- URL + ISO-timestamp functions (F10/F12/F13: parse_url,
     # ISO-8601-Z date_format — reference: website_crawler.py:16,21-22,
     # parse.py:51-55,204).  URLs synthesized from doc columns then parsed
@@ -790,6 +813,21 @@ def oracle_sql() -> dict[str, str]:
              coalesce(contains(text, 'spark'), false) AS mentions_spark,
              round(1.0 / (60 + doc_id + 1), 6) AS rrf_at_rank
       FROM documents
+    """
+
+    o["subword_stats"] = r"""
+      WITH s AS (
+        SELECT doc_id,
+               regexp_extract_all(coalesce(text, ''), '[A-Z][a-z0-9]*|[a-z][a-z0-9]*|[0-9]+') AS subs,
+               regexp_split_to_array(coalesce(text, ''), '\s+') AS words
+        FROM documents
+      )
+      SELECT doc_id,
+             len(subs)::bigint AS n_subwords,
+             len(words)::bigint AS n_ws_words,
+             round(list_sum(list_transform(subs, x -> length(x)))
+                   / greatest(len(subs), 1), 6) AS avg_subword_len
+      FROM s
     """
 
     o["url_time_funcs"] = r"""

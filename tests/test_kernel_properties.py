@@ -50,7 +50,7 @@ def brute_force(postings, n_docs, avgdl, k1=1.2, b=0.75, boosts=None, terms=(), 
     return out[:k]
 
 
-def run_kernels(seed, n_docs, mode, hot_salts):
+def run_kernels(seed, n_docs, mode, hot_salts, taat_density=0.25):
     rng = random.Random(seed)
     cfg = EngineConfig(
         bm25=BM25Params(field_boosts={"body": 1.0}),
@@ -123,7 +123,7 @@ def run_kernels(seed, n_docs, mode, hot_salts):
     # query: 1-3 random terms
     terms = [rng.choice(VOCAB) for _ in range(rng.randint(1, 3))]
     k = rng.choice([3, 10])
-    wk = make_wand_kernel(terms, stats, k, mode)
+    wk = make_wand_kernel(terms, stats, k, mode, taat_density=taat_density)
     results = []
     for chunk, grp in enc[enc.term.isin(terms)].groupby("chunk"):
         results.append(wk(grp.reset_index(drop=True)))
@@ -140,12 +140,31 @@ def run_kernels(seed, n_docs, mode, hot_salts):
     n_docs=st.integers(5, 120),
     mode=st.sampled_from(["and", "or"]),
     hot_salts=st.sampled_from([1, 2, 3]),
+    # 0.0 forces the vectorized TAAT path, 2.0 forces block-max WAND,
+    # 0.25 is the production auto-switch — all three must match brute force
+    taat_density=st.sampled_from([0.0, 0.25, 2.0]),
 )
-@settings(max_examples=120, deadline=None)
-def test_kernels_match_brute_force(seed, n_docs, mode, hot_salts):
-    got, want = run_kernels(seed, n_docs, mode, hot_salts)
+@settings(max_examples=150, deadline=None)
+def test_kernels_match_brute_force(seed, n_docs, mode, hot_salts, taat_density):
+    got, want = run_kernels(seed, n_docs, mode, hot_salts, taat_density)
     assert len(got) == len(want), (got, want)
     for (gd, gs), (wd, ws) in zip(got, want):
         assert abs(gs - ws) < 1e-9, (got, want)
         if gd != wd:  # tie swap only
             assert abs(gs - ws) < 1e-9
+
+
+@given(seed=st.integers(0, 5_000), n_docs=st.integers(20, 120))
+@settings(max_examples=60, deadline=None)
+def test_taat_equals_wand(seed, n_docs):
+    """Dense-query fallback and block-max WAND agree doc-for-doc with
+    scores equal to 1e-9 (summation ORDER differs between the dense
+    accumulator and the per-window union, so last-ulp drift is expected
+    — the same tolerance every oracle comparison uses)."""
+    got_taat, _ = run_kernels(seed, n_docs, "or", 1, taat_density=0.0)
+    got_wand, _ = run_kernels(seed, n_docs, "or", 1, taat_density=2.0)
+    assert len(got_taat) == len(got_wand)
+    for (td, ts), (wd, ws) in zip(got_taat, got_wand):
+        assert abs(ts - ws) < 1e-9
+        if td != wd:  # permissible only as an exact-score tie swap
+            assert abs(ts - ws) < 1e-9
