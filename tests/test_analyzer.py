@@ -85,3 +85,15 @@ def test_reference_smoke_query_terms():
 
 def test_sql_tokenize_matches_reduced_chain():
     assert sql_tokenize("The a Scan x2 scan.filter") == ["scan", "x2", "scan.filter"]
+
+
+def test_whoosh_filter_order_tokenize_then_lowercase():
+    """Whoosh tokenizes the ORIGINAL text and lowercases per token.
+    'İ'.lower() adds a combining mark (U+0307); tokenizing the original
+    keeps one token, while a lower-first shortcut could move boundaries.
+    Golden-pins the per-token ordering (ADVICE round 1)."""
+    assert analyze("İstanbul Straße CAFÉ") == ["i̇stanbul", "straße", "café"]
+    # position indexes the pre-filter token stream (stopword 'The' = slot 0)
+    from beetle_search_engine_spark.functions.analyzer import get_analyzer
+
+    assert get_analyzer("whoosh").analyze_pos("The İstanbul") == [("i̇stanbul", 1)]
