@@ -446,6 +446,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_incremental_bm25"] = _incr
 
     q["ann_lsh_cosine"] = lambda s, d: knnp.ann_lsh_cosine(_emb(s, d), 0, EMB_DIM, 10)
+    # ANN quality report: recall@10 of the LSH probe vs exact cosine —
+    # the measurement a user needs before trusting the approximate path
+    def _ann_recall(s, d):
+        exact = knnp.knn_cosine(_emb(s, d), 0, 10).select("vec_id").withColumn("_e", F.lit(1))
+        approx = (
+            knnp.ann_lsh_cosine(_emb(s, d), 0, EMB_DIM, 10).select("vec_id").withColumn("_a", F.lit(1))
+        )
+        both = exact.join(approx, "vec_id", "full")
+        return both.agg(
+            F.sum("_e").alias("n_exact"),
+            F.sum("_a").alias("n_approx"),
+            F.sum(F.coalesce(F.col("_e"), F.lit(0)) * F.coalesce(F.col("_a"), F.lit(0))).alias("n_overlap"),
+        ).select(
+            "n_exact",
+            "n_approx",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_exact"), 6).alias("recall_at_10"),
+        )
+
+    q["ann_recall"] = _ann_recall
+
     # embedding-cosine near-duplicate pairs (LSH-bucketed, skew-capped);
     # the synthetic embeddings have no true near-dups (max same-bucket
     # cosine 0.46), so the entry thresholds at 0.3 to exercise a
@@ -947,6 +968,21 @@ def oracle_sql() -> dict[str, str]:
     # incremental entry: epoch-append scoring is exactly a from-scratch
     # rebuild, so the full-corpus BM25 oracle applies verbatim
     o["engine_incremental_bm25"] = o["engine_bm25_nostem_or"]
+
+    o["ann_recall"] = f"""
+      WITH e AS ({o["knn_cosine_topk"]}),
+      a AS ({o["ann_lsh_cosine"]}),
+      f AS (
+        SELECT coalesce(e.vec_id, a.vec_id) AS vec_id,
+               CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS _e,
+               CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS _a
+        FROM e FULL JOIN a ON e.vec_id = a.vec_id
+      )
+      SELECT sum(_e)::bigint AS n_exact, sum(_a)::bigint AS n_approx,
+             sum(_e * _a)::bigint AS n_overlap,
+             round(sum(_e * _a) / sum(_e), 6) AS recall_at_10
+      FROM f
+    """
 
     o["embedding_near_dups"] = f"""
       WITH pl AS (SELECT unnest(range({_PLANES}))::int AS j, unnest({mat_sql}) AS pvec),
