@@ -170,9 +170,17 @@ def ann_lsh_cosine(
     seed: int = 42,
     id_col="vec_id",
     vec_col="embedding",
+    hamming_radius: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k: probe only vectors in the query's LSH
-    bucket (at scale: bucket-partitioned storage -> partition-pruned scan)."""
+    """Approximate cosine top-k via multi-probe sign-LSH: probe every
+    bucket within ``hamming_radius`` sign-bit flips of the query's bucket
+    (standard multi-probe LSH — a near neighbor differs from the query on
+    at most a few hyperplane signs, so probing the Hamming ball recovers
+    most of the recall single-bucket probing loses; radius 0 = classic
+    single-bucket).  At scale the ball is a small explicit bucket list
+    (planes+1 buckets at radius 1) over bucket-partitioned storage ->
+    partition-pruned scan; here the 1-row query bucket is broadcast and
+    the ball test is a bit_count on the JVM side."""
     idx = lsh_index(emb, dim, planes, seed, vec_col)
     qrow = F.broadcast(
         idx.filter(F.col(id_col) == query_id).select(
@@ -181,8 +189,9 @@ def ann_lsh_cosine(
     )
     v, qv = F.col(vec_col), F.col("qvec")
     cos = _dot(v, qv) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qv, qv)))
+    ball = F.bit_count(idx.lsh_bucket.bitwiseXOR(F.col("qbucket"))) <= hamming_radius
     return (
-        idx.join(qrow, idx.lsh_bucket == F.col("qbucket"))
+        idx.join(qrow, ball)
         .filter(F.col(id_col) != query_id)
         .select(F.col(id_col), F.round(cos, 4).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
