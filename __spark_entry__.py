@@ -852,7 +852,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id,
              len(subs)::bigint AS n_subwords,
              len(words)::bigint AS n_ws_words,
-             round(list_sum(list_transform(subs, x -> length(x)))
+             round(coalesce(list_sum(list_transform(subs, x -> length(x))), 0)
                    / greatest(len(subs), 1), 6) AS avg_subword_len
       FROM s
     """

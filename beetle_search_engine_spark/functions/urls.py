@@ -26,15 +26,19 @@ _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
 def canonicalize_url(url: str) -> str:
-    """Pure-Python canonicalizer (deterministic, dependency-free)."""
+    """Pure-Python canonicalizer (deterministic, dependency-free).
+    Preserves userinfo verbatim and IPv6 bracket literals."""
     s = urlsplit(url.strip())
     scheme = s.scheme.lower()
+    userinfo, sep, _hostport = s.netloc.rpartition("@")
     host = s.hostname.lower() if s.hostname else ""
+    if ":" in host:  # IPv6 literal — urlsplit strips the brackets
+        host = f"[{host}]"
     port = s.port
-    netloc = host if port is None or str(port) == _DEFAULT_PORTS.get(scheme) else f"{host}:{port}"
+    hostport = host if port is None or str(port) == _DEFAULT_PORTS.get(scheme) else f"{host}:{port}"
     path = s.path or "/"
     query = urlencode(sorted(parse_qsl(s.query, keep_blank_values=True)))
-    return urlunsplit((scheme, netloc, path, query, ""))  # fragment dropped
+    return urlunsplit((scheme, userinfo + sep + hostport, path, query, ""))  # fragment dropped
 
 
 def urljoin_canonical(base_col, href_col) -> F.Column:
@@ -67,10 +71,13 @@ def url_pattern_score(url_col, patterns: list[tuple[str, int]]) -> F.Column:
     """A10: first-match-only regex-table URL scorer (the reference ships
     this shape at src/ETL/heuristic_label.py:14-58 but never calls it —
     ported as a generic when-chain; callers supply their own pattern
-    table).  Returns 0 when nothing matches."""
+    table).  Matching is case-insensitive (the reference lowercases the
+    URL first, heuristic_label.py:23; patterns get the (?i) flag so
+    caller tables with uppercase letters still match).  Returns 0 when
+    nothing matches."""
     expr = None
     path = F.lower(F.parse_url(url_col, F.lit("PATH")))
     for pat, score in patterns:
-        cond = path.rlike(pat)
+        cond = path.rlike(f"(?i){pat}")
         expr = F.when(cond, score) if expr is None else expr.when(cond, score)
     return (expr.otherwise(0) if expr is not None else F.lit(0)).alias("url_score")

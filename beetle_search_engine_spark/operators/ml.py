@@ -140,12 +140,37 @@ def ivf_index(emb: DataFrame, n_clusters: int = 16, seed: int = 42, vec_col: str
     return km.transform(v).drop("_v"), km
 
 
-def write_ivf_index(assigned: DataFrame, km, path: str, vec_col: str = "embedding") -> None:
+def _nearest_clusters(q, centers: list[tuple[int, list[float]]], nprobe: int) -> list[int]:
+    """Driver-side coarse quantization: the nprobe cluster ids nearest
+    the query vector (centers: [(cluster_id, center_vec)])."""
+    import numpy as np
+
+    qa = np.asarray(list(q), dtype=np.float64)
+    dists = sorted((float(np.linalg.norm(qa - np.asarray(c))), int(i)) for i, c in centers)
+    return [c for _d, c in dists[:nprobe]]
+
+
+def _cosine_topk(vecs: DataFrame, q, top_k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Exact cosine top-k of a (pre-pruned) vector frame against a
+    literal query vector — shared by both IVF probe paths."""
+    from ..plans.knn import _dot
+
+    qvec = F.lit([float(x) for x in q])
+    v = F.col(vec_col)
+    cos = _dot(v, qvec) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qvec, qvec)))
+    return (
+        vecs.select(F.col(id_col), F.round(cos, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+def write_ivf_index(assigned: DataFrame, km, path: str) -> None:
     """Persist the IVF layout the way FAISS persists its index
     (reference: build_faiss.py:36-43 write_index + doc-id JSON): vectors
     as parquet PARTITIONED BY cluster — so a probe is a partition-pruned
-    scan that never opens non-probed clusters' files — plus the centroid
-    table as JSON (the coarse quantizer)."""
+    scan that never opens non-probed clusters' files — plus a k-row
+    centroid parquet table (the coarse quantizer)."""
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/vectors")
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
     # k-row dimension table, same role as FAISS's stored quantizer
@@ -169,28 +194,12 @@ def ivf_probe_stored(
     plan shows PartitionFilters [cluster IN (...)], so non-probed
     clusters' files are never opened (the on-disk analog of FAISS's
     inverted lists)."""
-    import numpy as np
-
-    from ..plans.knn import _dot
-
     crows = spark.read.parquet(f"{path}/centroids").collect()  # k tiny rows
-    q = np.asarray(list(query_vec), dtype=np.float64)
-    dists = sorted(
-        (float(np.linalg.norm(q - np.asarray(r["center"]))), int(r["cluster"])) for r in crows
-    )
-    probe = [c for _d, c in dists[:nprobe]]
-
+    probe = _nearest_clusters(query_vec, [(r["cluster"], r["center"]) for r in crows], nprobe)
     vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("cluster").isin(probe))
     if exclude_id is not None:
         vecs = vecs.filter(F.col(id_col) != exclude_id)
-    qvec = F.lit([float(x) for x in q])
-    v = F.col(vec_col)
-    cos = _dot(v, qvec) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qvec, qvec)))
-    return (
-        vecs.select(F.col(id_col), F.round(cos, 4).alias("score"))
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(top_k)
-    )
+    return _cosine_topk(vecs, query_vec, top_k, id_col, vec_col)
 
 
 def ivf_search(
@@ -205,22 +214,7 @@ def ivf_search(
     """Probe the nprobe clusters nearest the query vector, exact cosine
     inside them only (cluster-pruned scan — at scale, cluster is a
     partition column and pruning skips whole files)."""
-    import numpy as np
-
-    from ..plans.knn import _dot
-
-    qrow = assigned.filter(F.col(id_col) == query_id).select(vec_col).collect()[0][0]
-    q = np.array(qrow, dtype=np.float64)
-    centers = km.clusterCenters()
-    order = np.argsort([float(np.linalg.norm(q - np.asarray(c))) for c in centers])[:nprobe]
-    probe = [int(i) for i in order]
-
-    qvec = F.lit([float(x) for x in q])
-    v = F.col(vec_col)
-    cos = _dot(v, qvec) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qvec, qvec)))
-    return (
-        assigned.filter(F.col("cluster").isin(probe) & (F.col(id_col) != query_id))
-        .select(F.col(id_col), F.round(cos, 4).alias("score"))
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(top_k)
-    )
+    q = assigned.filter(F.col(id_col) == query_id).select(vec_col).collect()[0][0]
+    probe = _nearest_clusters(q, list(enumerate(km.clusterCenters())), nprobe)
+    vecs = assigned.filter(F.col("cluster").isin(probe) & (F.col(id_col) != query_id))
+    return _cosine_topk(vecs, q, top_k, id_col, vec_col)

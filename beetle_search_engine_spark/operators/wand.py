@@ -211,10 +211,11 @@ def make_wand_kernel(
     BM25F over the query terms.  Honored by the conjunctive kernel only —
     the query planner forces mode='and' when phrases are present.
 
-    ``taat_density``: when the query's postings cover more than this
-    fraction of the chunk's docnum range, block-max pruning cannot win
-    (the top-k floor never beats bounds that nearly every doc can reach)
-    and the per-window pivot loop just adds Python overhead — the kernel
+    ``taat_density``: when the query's AVERAGE per-cursor posting density
+    (total postings / (chunk span x number of cursors), so always in
+    [0, 1]) exceeds this threshold, block-max pruning cannot win (the
+    top-k floor never beats bounds that nearly every doc can reach) and
+    the per-window pivot loop just adds Python overhead — the kernel
     switches to a fully-vectorized term-at-a-time accumulation over a
     dense per-chunk score array (exact same scores, ~10x faster on
     all-stopword-like queries).  Set >1 to force WAND, 0 to force TAAT.
@@ -321,7 +322,8 @@ def make_wand_kernel(
         span = max(r.doc_hi for c in cursors for r in c.rows) - min(
             r.doc_lo for c in cursors for r in c.rows
         ) + 1
-        if total_postings >= taat_density * span:
+        # average per-cursor density, bounded by 1 — so >1 forces WAND
+        if total_postings >= taat_density * span * len(cursors):
             return _taat(cursors)
         for c in cursors:
             c.rescale(bound_scale)
