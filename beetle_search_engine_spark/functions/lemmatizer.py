@@ -25,7 +25,12 @@ _IRREGULAR = {
     "did": "do", "went": "go", "made": "make", "said": "say", "ran": "run",
 }
 
-# WordNet morphy noun detachment rules (suffix -> replacement), in order
+# WordNet morphy noun detachment rules (suffix -> replacement), in order.
+# Morphy proper checks each candidate stem against the WordNet dictionary;
+# with no dictionary available, the ("ses", "s") rule is gated on a
+# consonant before the suffix ('senses' -> 'sens') so vowel-stem nouns
+# fall through to the plain ("s", "") rule ('houses' -> 'house',
+# 'causes' -> 'cause') instead of being clipped to 'hous'/'caus'.
 _NOUN_RULES = [
     ("ches", "ch"), ("shes", "sh"), ("xes", "x"), ("zes", "z"),
     ("sses", "ss"), ("ses", "s"), ("ies", "y"), ("s", ""),
@@ -58,10 +63,13 @@ def lemmatize(word: str) -> str:
         return w
     if w.endswith("s") and not w.endswith("ss"):
         for suf, rep in _NOUN_RULES:
-            if w.endswith(suf):
-                stem = w[: -len(suf)] + rep
-                if len(stem) >= 2:
-                    return stem
+            if not w.endswith(suf):
+                continue
+            if suf == "ses" and (len(w) < 4 or w[-4] in _VOWELS):
+                continue  # vowel+ses: defer to the plain 's' rule
+            stem = w[: -len(suf)] + rep
+            if len(stem) >= 2:
+                return stem
         return w
     for suf in ("ing", "ed"):
         if w.endswith(suf):

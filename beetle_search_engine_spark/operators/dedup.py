@@ -19,10 +19,10 @@ Catalyst hash aggregations/joins that AQE can re-plan for skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textops import sql_tokens, sql_tokens_pos
+from .textops import sql_tokens, token_array
 
 
 def _h64(col: F.Column, seed) -> F.Column:
@@ -42,31 +42,65 @@ def exact_dedup(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
     )
 
 
+def _shingle_array(text_col, n: int):
+    """array<string> of n-gram word shingles for one doc, built inside the
+    projection — ``transform(sequence(...))`` + ``slice`` over the token
+    array.  No posexplode, no window sort: at 100 TB the earlier
+    window-lead shape shuffled and sorted the whole token stream, paid by
+    every consumer of the minhash -> LSH -> near-dup chain.  For tokens
+    t1..tm the shingles are t_i..t_{i+n-1}, i = 1..m-n+1 (empty when
+    m < n — sequence() would otherwise count DOWN from 1)."""
+    toks = token_array(text_col)
+    m = F.size(toks)
+    return F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(df: DataFrame, n: int = 3, text_col="text", id_col="doc_id") -> DataFrame:
-    """(id, shingle): distinct n-gram word shingles via window lead —
-    expressible identically in ANSI SQL."""
-    t = sql_tokens_pos(df, text_col, id_col)
-    w = Window.partitionBy(id_col).orderBy("ord")
-    cols = [F.col("term")] + [F.lead("term", i).over(w) for i in range(1, n)]
-    return (
-        t.select(F.col(id_col), F.concat_ws(" ", *cols).alias("shingle"), *[c.alias(f"_l{i}") for i, c in enumerate(cols[1:])])
-        .filter(F.col(f"_l{n-2}").isNotNull() if n > 1 else F.lit(True))
-        .select(id_col, "shingle")
-        .distinct()
+    """(id, shingle): distinct n-gram word shingles.  array_distinct runs
+    per row, so the only exploded rows are already unique — no shuffle."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingle_array(F.col(text_col), n))).alias("shingle"),
+    )
+
+
+def _minhash_array(text_col, num_perm: int, shingle_n: int):
+    """array<long> of num_perm min-hashes, computed in ONE pass over the
+    shingle array (``aggregate`` + elementwise ``zip_with``/``least``) —
+    the whole signature is a narrow projection, zero shuffles.  Duplicate
+    shingles can't change a min, so no per-doc distinct is needed.  Docs
+    with no shingles yield an all-NULL array (least() skips nulls), which
+    callers filter — matching the exploded shape where such docs simply
+    have no rows."""
+    zero = F.array(*[F.lit(None).cast("long") for _ in range(num_perm)])
+    return F.aggregate(
+        _shingle_array(text_col, shingle_n),
+        zero,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[_h64(x, s) for s in range(num_perm)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
 def minhash_signatures(
     df: DataFrame, num_perm: int = 8, shingle_n: int = 3, text_col="text", id_col="doc_id"
 ) -> DataFrame:
-    """(id, seed, minhash): num_perm seeded min-hashes over n-gram shingles."""
-    sh = shingles(df, shingle_n, text_col, id_col)
-    seeds = df.sparkSession.range(num_perm).select(F.col("id").cast("int").alias("seed"))
+    """(id, seed, minhash): num_perm seeded min-hashes over n-gram
+    shingles.  The signature is one projection; posexplode only unpacks
+    the final num_perm-element array (narrow, no shuffle anywhere)."""
+    mh = _minhash_array(F.col(text_col), num_perm, shingle_n)
     return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(F.col(id_col), "seed", _h64(F.col("shingle"), F.col("seed")).alias("h"))
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+        df.select(F.col(id_col), F.posexplode(mh).alias("seed", "minhash"))
+        .filter(F.col("minhash").isNotNull())
+        .select(F.col(id_col), F.col("seed").cast("int").alias("seed"), "minhash")
     )
 
 
@@ -91,11 +125,35 @@ def lsh_candidate_pairs(
     of a mega-bucket are near-dups of boilerplate, not of each other's
     payload, and exact/fingerprint dedup catches the true-identical ones.
     """
-    sig = minhash_signatures(df, num_perm, shingle_n, text_col, id_col)
+    mh = _minhash_array(F.col(text_col), num_perm, shingle_n)
+    n_bands = num_perm // band_size
+    # band keys computed in the same projection as the signature (md5 of
+    # the band's string-sorted minhashes — identical to the former
+    # groupBy(id, band) + collect_list agg, minus its shuffle)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.sort_array(
+                            F.transform(
+                                F.slice(F.col("_mh"), b * band_size + 1, band_size),
+                                lambda x: x.cast("string"),
+                            )
+                        ),
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
     bands = (
-        sig.withColumn("band", F.floor(F.col("seed") / band_size).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash").cast("string"))))).alias("band_key"))
+        df.select(F.col(id_col), mh.alias("_mh"))
+        .filter(F.element_at(F.col("_mh"), 1).isNotNull())  # shingle-less docs have no bands
+        .select(F.col(id_col), F.explode(band_structs).alias("bs"))
+        .select(id_col, "bs.band", "bs.band_key")
     )
     sizes = bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_bsz"))
     bands = (

@@ -20,6 +20,7 @@ re-expressed as cluster-pruned DataFrame scans.
 from __future__ import annotations
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,6 +33,7 @@ def train_weak_to_strong(
     seed: int = 42,
     test_fraction: float = 0.2,
     lemmatizer_factory=None,
+    shuffle: bool = True,
 ):
     """Train the TF-IDF + LR classifier on weak labels.  Input needs
     (text_col, label_col in {'keep','drop'}).
@@ -45,11 +47,24 @@ def train_weak_to_strong(
     bit-identity.
 
     Feature preprocessing mirrors the reference's (train_tfidf.py:24-34):
-    lowercase -> strip punctuation -> LEMMATIZE -> drop stopwords.  The
-    lemmatizer is the rule-based stand-in in functions/lemmatizer.py
-    (WordNet data can't download here); ``lemmatizer_factory`` is the
-    model-injection seam — pass one returning NLTK's
-    WordNetLemmatizer().lemmatize to get reference-exact lemmas.
+    lowercase -> strip punctuation -> drop stopwords -> LEMMATIZE (the
+    stopword check applies to the SURFACE token, before lemmatization —
+    reference: ``lemmatizer.lemmatize(word) for word in ... if word not
+    in stop_words``, train_tfidf.py:33).  The stop list is the Whoosh
+    list shared with the index chain, a documented substitution for the
+    reference's NLTK english list (which can't download here); both are
+    ~the same frequent-function-word set.  The lemmatizer is the
+    rule-based stand-in in functions/lemmatizer.py;
+    ``lemmatizer_factory`` is the model-injection seam — pass one
+    returning NLTK's WordNetLemmatizer().lemmatize for reference-exact
+    lemmas.
+
+    ``shuffle=True`` (default) keeps reference parity: a global seeded
+    row shuffle (K2, ``df.sample(frac=1, random_state=42)``) before the
+    split.  At scale that is a full corpus sort feeding nothing else —
+    ``shuffle=False`` is the documented fast path: the split membership
+    is derived from a hash of doc_id instead (per-row, shuffle-free, and
+    deterministic under any input order or AQE re-plan).
 
     Returns (model, predictions DataFrame, metrics dict with
     precision/recall/f1/accuracy + split sizes).
@@ -74,19 +89,32 @@ def train_weak_to_strong(
         out = []
         for t in texts:
             toks = word_re.findall((t or "").lower())
-            # reference order: lemmatize THEN drop stopwords (the stopword
-            # check applies to the lemma — 'was' -> 'be' -> dropped)
-            lemmas = (lem(x) for x in toks)
-            out.append([x for x in lemmas if x not in STOP_WORDS])
+            # reference order: stopword check on the SURFACE token, then
+            # lemmatize the survivors (train_tfidf.py:33)
+            out.append([lem(x) for x in toks if x not in STOP_WORDS])
         return pd.Series(out)
 
     df = docs_with_labels.withColumn("y", (F.col(label_col) == "keep").cast("double"))
     df = df.withColumn("toks", lemma_tokens(F.col(text_col)))
-    # K2: deterministic shuffle (reference: df.sample(frac=1, random_state=42))
-    df = df.orderBy(F.rand(seed))
-    # K3: stratified 80/20 split (reference: train_test_split(stratify=y))
-    fractions = {0.0: 1.0 - test_fraction, 1.0: 1.0 - test_fraction}
-    train = df.sampleBy("y", fractions, seed=seed)
+    if shuffle:
+        # K2: deterministic shuffle (reference: df.sample(frac=1,
+        # random_state=42)), then K3: stratified 80/20 sampleBy split
+        # (reference: train_test_split(stratify=y))
+        df = df.orderBy(F.rand(seed))
+        fractions = {0.0: 1.0 - test_fraction, 1.0: 1.0 - test_fraction}
+        train = df.sampleBy("y", fractions, seed=seed)
+        # freeze the sampled membership: sampleBy over a shuffled frame is
+        # lazily re-evaluated per action, so without materialization the
+        # fit / anti-join / counts could each see a different split
+        train = train.persist(StorageLevel.MEMORY_AND_DISK)
+        train.count()
+    else:
+        # scale path: split membership = hash(doc_id) — per-row, no sort,
+        # no persist needed (every re-evaluation computes the same bit).
+        # Per-class Bernoulli(0.8) is what sampleBy does too, so the
+        # split is stratified in expectation exactly like the default.
+        bucket = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)), F.lit(1000))
+        train = df.filter(bucket < int((1.0 - test_fraction) * 1000))
     test = df.join(train.select("doc_id"), "doc_id", "left_anti")
 
     # balanced class weights on the TRAIN split (sklearn class_weight="balanced")
@@ -120,6 +148,8 @@ def train_weak_to_strong(
         ):
             metrics[key] = round(ev.setMetricName(mname).evaluate(test_pred), 6)
 
+    if shuffle:
+        train.unpersist()
     # strong labels for every row (reference: predict-all, train_tfidf.py:72-74)
     preds = model.transform(df).select(
         "doc_id",

@@ -27,6 +27,23 @@ def test_weak_to_strong_classifier(spark):
     assert predicted == {0.0, 1.0}
 
 
+def test_weak_to_strong_hash_split(spark):
+    """shuffle=False scale path: split membership from hash(doc_id) — no
+    global orderBy(rand) sort, deterministic under re-evaluation, and the
+    two splits partition the input exactly."""
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    weak = heuristic_label(docs).select("doc_id", "label")
+    data = docs.join(weak, "doc_id")
+    _, preds, metrics = train_weak_to_strong(data, shuffle=False)
+    n = data.count()
+    assert metrics["n_train"] + metrics["n_test"] == n
+    assert 0.6 < metrics["n_train"] / n < 0.95  # ~80/20
+    assert preds.count() == n
+    # deterministic: the same call yields the same split sizes
+    _, _, m2 = train_weak_to_strong(data, shuffle=False)
+    assert (m2["n_train"], m2["n_test"]) == (metrics["n_train"], metrics["n_test"])
+
+
 def test_ivf_stored_partition_pruned(spark, tmp_path):
     """write_ivf_index -> cluster-partitioned parquet; a probe scans only
     the nprobe clusters (PartitionFilters in the plan) and returns the
