@@ -94,6 +94,70 @@ scores AS (
 _BM25_CTES = _bm25_ctes(BM25_TERMS)
 
 
+def _bm25f_fielded_sql(terms: list[str], fielded: dict | None = None, excluded: list | None = None) -> str:
+    """Two-field BM25F oracle over (title = substr(text,1,60), body =
+    text): per-field tokenization, dl/avgdl/df, title boost 2.0 — the
+    exact per-field sum the engine's kernel computes (scoring.py:23-31,
+    avgdl_field = total field tokens / n_docs as in build.py).  Optional
+    ``fielded`` restricts a term to one field; ``excluded`` drops docs
+    containing a term in any field (parser field:term / NOT semantics)."""
+    fielded = fielded or {}
+    q_in = ", ".join(f"'{t}'" for t in terms)
+    tok = (
+        lambda src: f"list_filter(regexp_extract_all(lower({src}), '{PAT}'), "
+        f"x -> length(x) >= 2 AND x NOT IN ({STOP_SQL}))"
+    )
+    match_pred = " OR ".join(
+        f"(tf.term = '{t}'" + (f" AND tf.field = '{fielded[t]}'" if t in fielded else "") + ")"
+        for t in terms
+    )
+    excl = ""
+    if excluded:
+        e_in = ", ".join(f"'{t}'" for t in excluded)
+        excl = f"AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM ftoks WHERE term IN ({e_in}))"
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         coalesce(text, '') AS body_txt,
+         substr(coalesce(text, ''), 1, 60) AS title_txt
+  FROM documents
+),
+ftoks AS (
+  SELECT doc_id, 'body' AS field, unnest({tok('body_txt')}) AS term FROM docs2
+  UNION ALL
+  SELECT doc_id, 'title' AS field, unnest({tok('title_txt')}) AS term FROM docs2
+),
+dl AS (SELECT field, doc_id, count(*)::double AS dl FROM ftoks GROUP BY field, doc_id),
+st AS (SELECT count(*)::double AS n_docs FROM documents),
+av AS (SELECT field, sum(dl) / (SELECT n_docs FROM st) AS avgdl FROM dl GROUP BY field),
+tf AS (
+  SELECT field, doc_id, term, count(*)::double AS tf FROM ftoks
+  WHERE term IN ({q_in}) GROUP BY field, doc_id, term
+),
+dfq AS (
+  SELECT field, term, count(DISTINCT doc_id) AS df FROM ftoks
+  WHERE term IN ({q_in}) GROUP BY field, term
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         (ln(st.n_docs / (dfq.df + 1.0)) + 1.0)
+         * (tf.tf * (CASE WHEN tf.field = 'title' THEN 2.0 ELSE 1.0 END) * 2.2)
+         / (tf.tf * (CASE WHEN tf.field = 'title' THEN 2.0 ELSE 1.0 END)
+            + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / av.avgdl)) AS s
+  FROM tf
+  JOIN dfq USING (field, term) JOIN dl USING (field, doc_id) JOIN av USING (field)
+  CROSS JOIN st
+  WHERE ({match_pred}) {excl}
+),
+scores AS (
+  SELECT doc_id, sum(s) AS s, count(DISTINCT term) AS nt FROM contrib GROUP BY doc_id
+)
+SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores
+WHERE nt = {len(terms)}
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
 def _docs(spark, sf_dir):
     return load_documents(spark, sf_dir)
 
@@ -130,6 +194,7 @@ def _cached_index(
     tag_suffix: str = "",
     builder=None,
     extra_fresh=None,
+    fields: dict[str, str] | None = None,
 ) -> BM25Index:
     """Build-or-reuse an index under /tmp keyed by (sf_dir, suffix).
     Freshness = layout version + source mtime + config layout hash
@@ -139,6 +204,7 @@ def _cached_index(
 
     from beetle_search_engine_spark.operators.build import INDEX_LAYOUT_VERSION
 
+    fields = fields or {"body": "content"}
     tag = sf_dir.strip("/").replace("/", "_") + tag_suffix
     idx_dir = f"/tmp/beetle_idx_{tag}"
     src_mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
@@ -149,7 +215,7 @@ def _cached_index(
         fresh = (
             st.get("layout_version") == INDEX_LAYOUT_VERSION
             and st.get("source_mtime") == src_mtime  # source data unchanged
-            and st.get("layout_hash") == cfg.layout_hash({"body": "content"})
+            and st.get("layout_hash") == cfg.layout_hash(fields)
             and (extra_fresh is None or extra_fresh(st))
         )
     if not fresh:
@@ -158,7 +224,7 @@ def _cached_index(
         shutil.rmtree(idx_dir, ignore_errors=True)
         if builder is None:
             corpus = documents_as_corpus(spark, sf_dir)
-            build_index(spark, corpus, idx_dir, fields={"body": "content"}, cfg=cfg)
+            build_index(spark, corpus, idx_dir, fields=fields, cfg=cfg)
         else:
             builder(spark, sf_dir, idx_dir)
         with open(f"{idx_dir}/stats.json") as f:
@@ -175,6 +241,34 @@ def _engine_index(spark: SparkSession, sf_dir: str) -> BM25Index:
 
 def _engine_index_nostem(spark: SparkSession, sf_dir: str) -> BM25Index:
     return _cached_index(spark, sf_dir, _NOSTEM_CFG, "_nostem")
+
+
+# Two-field, stem-free index: title synthesized as the first 60 chars of
+# the text (SQL-expressible: substr(text, 1, 60)), body = full text.
+# This makes the boosted BM25F path (reference build_bm25.py:11,
+# field_boost=2.0) DuckDB-provable end-to-end — per-field dl/avgdl/df and
+# the w = tf*2.0 title weight all land in the oracle.
+_FIELDED_CFG = EngineConfig(
+    analyzer="sql",
+    index=IndexConfig(
+        n_buckets=8, bucket_groups=1, chunk_docs=256, encode_partitions=8,
+        hot_df_threshold=300,
+    ),
+)
+_FIELDED_FIELDS = {"title": "title", "body": "content"}
+
+
+def _engine_index_fielded(spark: SparkSession, sf_dir: str) -> BM25Index:
+    def build_titled(s, d, idx_dir):
+        corpus = documents_as_corpus(s, d).withColumn(
+            "title", F.substring(F.col("content"), 1, 60)
+        )
+        build_index(s, corpus, idx_dir, fields=_FIELDED_FIELDS, cfg=_FIELDED_CFG)
+
+    return _cached_index(
+        spark, sf_dir, _FIELDED_CFG, "_fielded",
+        builder=build_titled, fields=_FIELDED_FIELDS,
+    )
 
 
 def _engine_index_incremental(spark: SparkSession, sf_dir: str) -> BM25Index:
@@ -428,6 +522,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_nostem_and"] = _nostem("and")
     q["engine_bm25_nostem_or"] = _nostem("or")
 
+    # two-field BM25F with the reference's title boost 2.0
+    # (build_bm25.py:11): bare terms through the parser (AndGroup) over a
+    # (title, body) index — per-field stats + boosted weights are all in
+    # the DuckDB oracle, making the boost itself driver-green
+    def _fielded(s, d):
+        res = _engine_index_fielded(s, d).search(ENGINE_QUERY, 10, "parse")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["engine_bm25_fielded"] = _fielded
+
+    # field-restricted term (title:spark) + NOT exclusion through the
+    # parser grammar — Whoosh FieldsPlugin + AndNot semantics, oracle'd
+    def _fielded_not(s, d):
+        res = _engine_index_fielded(s, d).search("title:spark scan NOT filter", 10, "parse")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["engine_fielded_not"] = _fielded_not
+
     # quoted-phrase retrieval through the parser + positional postings —
     # also DuckDB-provable (adjacency over pre-stop-filter positions)
     def _phrase(s, d):
@@ -490,19 +602,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weak_to_strong_labels"] = _weak_strong
 
-    def _ivf(s, d):
-        from beetle_search_engine_spark.operators.ml import ivf_index, ivf_search
+    # the deterministic scaffolding of the weak->strong pipeline, fully
+    # oracle-checked: weak label + the EXACT hash-split membership that
+    # train_weak_to_strong(shuffle=False) uses (shared split_bucket) —
+    # the LR predictions themselves stay rows-only above (not ANSI SQL)
+    def _weak_split(s, d):
+        from beetle_search_engine_spark.operators.ml import split_bucket
 
-        assigned, km = ivf_index(_emb(s, d), n_clusters=8)
-        return ivf_search(assigned, km, 0, 10, nprobe=4)
+        weak = textops.heuristic_label(_docs(s, d)).select("doc_id", "label")
+        return weak.select(
+            "doc_id",
+            "label",
+            F.when(split_bucket(F.col("doc_id"), 42) < 800, F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+
+    q["weak_label_split"] = _weak_split
+
+    # IVF ANN with the deterministic numpy quantizer (fit_centroids_np):
+    # centroids are a pure function of (data, seed), so the SQL oracle
+    # re-fits the same centroids and inlines them as literals — the probe
+    # is now hash-checked, not rows-only.  The Spark-ML-KMeans variant
+    # (stored, partition-pruned layout) stays pytest-gated in test_ml.
+    def _ivf(s, d):
+        from beetle_search_engine_spark.operators.ml import ivf_search_deterministic
+
+        return ivf_search_deterministic(
+            s, f"{d}/embeddings.parquet", query_id=0, top_k=10, nprobe=4, n_clusters=8
+        )
 
     q["ivf_ann_cosine"] = _ivf
 
+    # full §3.1 lifecycle (parse -> retrieve -> fetch -> rerank ->
+    # rerank_k) on the stem-free index: the overlap reranker is pure
+    # token arithmetic in the index's own term space, so the WHOLE
+    # pipeline is DuckDB-provable (was rows-only on the Porter index)
     def _pipeline(s, d):
         from beetle_search_engine_spark.plans.pipeline import search_and_rerank
 
         docs = _docs(s, d).selectExpr("cast(doc_id as string) as doc_id", "text")
-        return search_and_rerank(s, _engine_index(s, d), docs, ENGINE_QUERY, "bm25", 10, 5, rerank=True)
+        res = search_and_rerank(
+            s, _engine_index_nostem(s, d), docs, ENGINE_QUERY, "bm25", 10, 5, rerank=True
+        )
+        return res.select("doc_id", F.round("score", 6).alias("score"), "rank")
 
     q["search_rerank_pipeline"] = _pipeline
 
@@ -787,6 +930,27 @@ def oracle_sql() -> dict[str, str]:
       FROM sc
     """
 
+    o["weak_label_split"] = """
+      WITH base AS (
+        SELECT doc_id, n_chars, lang, source,
+               len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS wc
+        FROM documents
+      ),
+      sc AS (
+        SELECT doc_id,
+               (CASE WHEN n_chars >= 300 THEN 3 ELSE -20 END
+                + CASE WHEN wc >= 50 THEN 3 ELSE 0 END
+                + CASE WHEN lang = 'en' THEN 3 ELSE 0 END
+                + CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3 ELSE 0 END) AS score
+        FROM base
+      )
+      SELECT doc_id,
+             CASE WHEN score >= 6 THEN 'keep' ELSE 'drop' END AS label,
+             CASE WHEN ('0x' || substr(md5(doc_id::varchar || '#42'), 1, 8))::bigint % 1000 < 800
+                  THEN 'train' ELSE 'test' END AS split
+      FROM sc
+    """
+
     o["lang_id"] = f"""
       SELECT doc_id,
              CASE WHEN round(len(list_filter(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+'),
@@ -916,6 +1080,13 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE nt = {len(_eq_terms)} ORDER BY s DESC, doc_id LIMIT 10"
     )
 
+    # two-field BM25F: the title boost made driver-green (per-field
+    # stats + boosted weight in ANSI SQL; see _bm25f_fielded_sql)
+    o["engine_bm25_fielded"] = _bm25f_fielded_sql(_eq_terms)
+    o["engine_fielded_not"] = _bm25f_fielded_sql(
+        ["spark", "scan"], fielded={"spark": "title"}, excluded=["filter"]
+    )
+
     # phrase entry: adjacency over PRE-stop-filter tokenizer positions
     # (exactly the engine's positional-posting semantics), then BM25 over
     # the phrase terms with the conjunctive nt filter
@@ -976,6 +1147,30 @@ def oracle_sql() -> dict[str, str]:
     # rebuild, so the full-corpus BM25 oracle applies verbatim
     o["engine_incremental_bm25"] = o["engine_bm25_nostem_or"]
 
+    # §3.1 pipeline: conjunctive top-10 retrieval, then the overlap
+    # reranker (qterm hits with multiplicity / (doc tokens + 1)) and the
+    # rerank_k=5 cut — tiebreaks on doc_id AS STRING, matching the
+    # pipeline's string doc_id ordering
+    o["search_rerank_pipeline"] = (
+        _bm25_ctes(_eq_terms)
+        + f"""
+      , top10 AS (
+        SELECT doc_id FROM scores WHERE nt = {len(_eq_terms)}
+        ORDER BY s DESC, doc_id LIMIT 10
+      ),
+      tl AS ({_TOKLIST}),
+      rr AS (
+        SELECT t.doc_id::varchar AS doc_id,
+               len(list_filter(tl.l, x -> x IN ({", ".join(f"'{t}'" for t in _eq_terms)})))
+                 / (len(tl.l) + 1.0) AS rs
+        FROM top10 t JOIN tl ON tl.doc_id = t.doc_id
+      )
+      SELECT doc_id, round(rs, 6) AS score,
+             row_number() OVER (ORDER BY rs DESC, doc_id)::int AS rank
+      FROM rr ORDER BY rs DESC, doc_id LIMIT 5
+    """
+    )
+
     o["ann_recall"] = f"""
       WITH e AS ({o["knn_cosine_topk"]}),
       a AS ({o["ann_lsh_cosine"]}),
@@ -989,6 +1184,53 @@ def oracle_sql() -> dict[str, str]:
              sum(_e * _a)::bigint AS n_overlap,
              round(sum(_e * _a) / sum(_e), 6) AS recall_at_10
       FROM f
+    """
+
+    # --- IVF ANN: the deterministic quantizer is re-fit HERE (same
+    # function, same data, same seed as the Spark entry) and its centroid
+    # matrix + driver-ranked probe clusters are inlined as literals —
+    # exactly the ann_lsh_cosine plane-constant pattern.  The oracle runs
+    # at the driver's sf0.01; override with SPARK_GRAFT_ORACLE_SF.
+    import numpy as _np
+
+    from beetle_search_engine_spark.operators.ml import _read_embeddings_np, fit_centroids_np
+
+    _osf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    _ids, _X = _read_embeddings_np(f"{_osf}/embeddings.parquet")
+    _C = fit_centroids_np(_X, 8, 42, 20)
+    _qv = _X[_ids == 0][0]
+    _cd = ((_C - _qv) ** 2).sum(axis=1)
+    _probe = [int(j) for j in _np.lexsort((_np.arange(8), _cd))[:4]]
+    _cent_sql = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in _C
+    ) + "]"
+    o["ivf_ann_cosine"] = f"""
+      WITH cent AS (SELECT unnest(range(8))::int AS cid, unnest({_cent_sql}) AS cvec),
+      d AS (
+        SELECT vec_id, cid, sum((a - b) * (a - b)) AS dist FROM (
+          SELECT e.vec_id, c.cid,
+                 unnest(e.embedding)::double AS a, unnest(c.cvec)::double AS b
+          FROM embeddings e CROSS JOIN cent c
+        ) GROUP BY vec_id, cid
+      ),
+      asg AS (
+        SELECT vec_id, cid AS cluster FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d
+        ) WHERE rn = 1
+      ),
+      qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      cand AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e JOIN asg USING (vec_id)
+        WHERE asg.cluster IN ({", ".join(str(p) for p in _probe)}) AND e.vec_id <> 0
+      ),
+      z AS (
+        SELECT vec_id, unnest(embedding)::double AS a, unnest(qv.qvec)::double AS b
+        FROM cand, qv
+      )
+      SELECT vec_id, round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4) AS score
+      FROM z GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10
     """
 
     o["embedding_near_dups"] = f"""

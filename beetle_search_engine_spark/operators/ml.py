@@ -25,6 +25,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def split_bucket(id_col, seed: int = 42) -> F.Column:
+    """Deterministic split bucket in [0, 1000): first 8 hex chars of
+    md5('<id>#<seed>') as an int, mod 1000.  Shared by
+    train_weak_to_strong(shuffle=False) and the oracle-checked split
+    entry — md5 is bit-identical in Spark and DuckDB, so the exact split
+    membership the trainer uses is ANSI-SQL-checkable."""
+    s = F.concat(id_col.cast("string"), F.lit("#"), F.lit(str(seed)))
+    return F.pmod(F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"), F.lit(1000))
+
+
 def train_weak_to_strong(
     docs_with_labels: DataFrame,
     text_col: str = "text",
@@ -113,8 +123,7 @@ def train_weak_to_strong(
         # no persist needed (every re-evaluation computes the same bit).
         # Per-class Bernoulli(0.8) is what sampleBy does too, so the
         # split is stratified in expectation exactly like the default.
-        bucket = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)), F.lit(1000))
-        train = df.filter(bucket < int((1.0 - test_fraction) * 1000))
+        train = df.filter(split_bucket(F.col("doc_id"), seed) < int((1.0 - test_fraction) * 1000))
     test = df.join(train.select("doc_id"), "doc_id", "left_anti")
 
     # balanced class weights on the TRAIN split (sklearn class_weight="balanced")
@@ -157,6 +166,92 @@ def train_weak_to_strong(
         F.col("prediction").alias("strong_label"),
     )
     return model, preds, metrics
+
+
+def fit_centroids_np(X, k: int, seed: int = 42, iters: int = 20):
+    """Deterministic Lloyd's k-means in numpy float64: k-means++ init from
+    RandomState(seed), a fixed iteration count, argmin ties broken by the
+    lowest cluster id.  Training the coarse quantizer on a driver-side
+    (bounded) sample is the standard IVF shape — FAISS trains its
+    quantizer on ~256*k sampled vectors regardless of corpus size — and a
+    deterministic fit means the fitted centroids can be inlined as SQL
+    literals, making the whole IVF probe DuckDB-provable."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    rng = np.random.RandomState(seed)
+    idx = [int(rng.randint(n))]
+    d2 = ((X - X[idx[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        p = d2 / d2.sum()
+        idx.append(int(rng.choice(n, p=p)))
+        d2 = np.minimum(d2, ((X - X[idx[-1]]) ** 2).sum(axis=1))
+    C = X[idx].copy()
+    for _ in range(iters):
+        D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(D, axis=1)  # ties -> lowest cluster id
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def _read_embeddings_np(path: str):
+    """Driver-side (vec_id-sorted) read of an embeddings parquet — the
+    deterministic sample the numpy quantizer trains on."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    t = ds.dataset(path, format="parquet").to_table(columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], X[order]
+
+
+def ivf_search_deterministic(
+    spark,
+    emb_path: str,
+    query_id: int = 0,
+    top_k: int = 10,
+    nprobe: int = 4,
+    n_clusters: int = 8,
+    seed: int = 42,
+    iters: int = 20,
+) -> DataFrame:
+    """IVF probe whose coarse quantizer is fit_centroids_np — the same
+    function the DuckDB oracle calls, so both sides share bit-identical
+    centroid literals.  Assignment is a JVM-side argmin over the k
+    centroid distance expressions (no Python in the scan); the probe
+    filters to the nprobe clusters nearest the query (driver-computed,
+    same tiebreak) and runs exact cosine on the survivors only."""
+    import numpy as np
+
+    ids, X = _read_embeddings_np(emb_path)
+    C = fit_centroids_np(X, n_clusters, seed, iters)
+    q = X[ids == query_id][0]
+    cd = ((C - q) ** 2).sum(axis=1)
+    probe = [int(j) for j in np.lexsort((np.arange(n_clusters), cd))[:nprobe]]
+
+    emb = spark.read.parquet(emb_path)
+    v = F.col("embedding").cast("array<double>")
+    dists = [
+        F.aggregate(
+            F.zip_with(v, F.lit([float(x) for x in C[j]]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for j in range(n_clusters)
+    ]
+    darr = F.array(*dists)
+    cluster = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")  # first
+    # occurrence -> lowest cluster id on exact ties, same as the oracle
+    cand = emb.withColumn("cluster", cluster).filter(
+        F.col("cluster").isin(probe) & (F.col("vec_id") != query_id)
+    )
+    return _cosine_topk(cand, [float(x) for x in q], top_k, "vec_id", "embedding")
 
 
 def ivf_index(emb: DataFrame, n_clusters: int = 16, seed: int = 42, vec_col: str = "embedding"):

@@ -134,6 +134,18 @@ def _cursors_from_pdf(pdf: pd.DataFrame) -> dict[tuple[str, str], _Cursor]:
     return {k: _Cursor(k[0], k[1], v) for k, v in groups.items()}
 
 
+def _gather_segments(flat: np.ndarray, starts: np.ndarray, counts: np.ndarray):
+    """Vectorized variable-length gather: concatenation of
+    flat[starts[i] : starts[i]+counts[i]] plus each value's segment id."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    seg_ids = np.repeat(np.arange(starts.size, dtype=np.int64), counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    vals = flat[np.repeat(starts, counts) + within]
+    return vals.astype(np.int64), seg_ids
+
+
 def _phrase_mask(
     phrase: list[tuple[str, int]], cand: np.ndarray, cursors: dict
 ) -> np.ndarray:
@@ -142,16 +154,25 @@ def _phrase_mask(
     positions within at least one field (Whoosh phrase semantics are
     per-field; positions are pre-stop-filter, so stopword gaps inside the
     phrase must be reproduced by the doc).  Decodes position blobs only
-    for rows overlapping the candidate range."""
+    for rows overlapping the candidate range.
+
+    Fully vectorized: slot j's occurrences become int64 keys
+    (docnum << 32) + (pos - offset_j) — a phrase occurrence with base
+    position p yields the SAME key (doc << 32) + p in every slot, so the
+    matching docs are the high halves of the slots' key intersection.
+    (pos - offset stays within +/-2^31, so keys are collision-free.)
+    No per-candidate Python loop — a phrase of two stop-like terms over a
+    dense chunk stays O(postings log postings) numpy work."""
     mask = np.zeros(cand.size, dtype=bool)
     fields = sorted({f for (f, _t) in cursors})
     for field in fields:
+        if mask.all():
+            break
         if any((field, t) not in cursors for t, _off in phrase):
             continue  # phrase can't match in a field missing a term
-        # per-phrase-slot {docnum -> positions} restricted to candidates
-        posmaps: list[dict[int, np.ndarray]] = []
-        for t, _off in phrase:
-            pm: dict[int, np.ndarray] = {}
+        keys = None  # intersection of per-slot key sets
+        for t, off in phrase:
+            parts = []
             for r in cursors[(field, t)].rows:
                 if r.doc_hi < cand[0] or r.doc_lo > cand[-1]:
                     continue
@@ -160,29 +181,20 @@ def _phrase_mask(
                 counts = tf.astype(np.int64)
                 idx = np.searchsorted(cand, d)
                 sel = (idx < cand.size) & (cand[np.minimum(idx, cand.size - 1)] == d)
-                for j in np.flatnonzero(sel):
-                    s = int(starts[j])
-                    pm[int(d[j])] = flat[s : s + int(counts[j])]
-            posmaps.append(pm)
-        offsets = [off for _t, off in phrase]
-        for i in range(cand.size):
-            if mask[i]:
-                continue
-            doc = int(cand[i])
-            valid = posmaps[0].get(doc)
-            if valid is None:
-                continue
-            for j in range(1, len(phrase)):
-                pj = posmaps[j].get(doc)
-                if pj is None:
-                    valid = None
-                    break
-                valid = valid[np.isin(valid + offsets[j], pj)]
-                if valid.size == 0:
-                    valid = None
-                    break
-            if valid is not None and valid.size:
-                mask[i] = True
+                if not sel.any():
+                    continue
+                vals, seg = _gather_segments(flat, starts[sel], counts[sel])
+                parts.append((d[sel].astype(np.int64)[seg] << 32) + (vals - off))
+            if not parts:
+                keys = None
+                break
+            k = np.unique(np.concatenate(parts) if len(parts) > 1 else parts[0])
+            keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+            if keys.size == 0:
+                keys = None
+                break
+        if keys is not None and keys.size:
+            mask |= np.isin(cand, np.unique(keys >> 32))
     return mask
 
 
@@ -194,6 +206,8 @@ def make_wand_kernel(
     df_override: dict | None = None,
     phrases: list[list[str]] | None = None,
     taat_density: float = 0.25,
+    fielded: dict[str, str] | None = None,
+    excluded: list[str] | None = None,
 ):
     """Build the applyInPandas kernel for one query.
 
@@ -211,6 +225,17 @@ def make_wand_kernel(
     BM25F over the query terms.  Honored by the conjunctive kernel only —
     the query planner forces mode='and' when phrases are present.
 
+    ``fielded``: term -> field restriction (parser ``field:term``): the
+    term only matches/scores in that one field — other fields' cursors
+    for it are ignored (Whoosh FieldsPlugin semantics).
+
+    ``excluded``: NOT terms (Whoosh AndNot).  A doc containing any of
+    them in ANY field is dropped before scoring; excluded terms never
+    contribute to scores.  The query planner includes them in the
+    posting scan so their cursors arrive here.  A NOT on a stop-like
+    term decodes that term's full posting range for the chunk — the
+    documented cost of negation, bounded per chunk.
+
     ``taat_density``: when the query's AVERAGE per-cursor posting density
     (total postings / (chunk span x number of cursors), so always in
     [0, 1]) exceeds this threshold, block-max pruning cannot win (the
@@ -227,6 +252,21 @@ def make_wand_kernel(
     epoch_stats = stats.get("epochs", {})
     qterms = list(dict.fromkeys(terms))
     phrases = [p for p in (phrases or []) if len(p) >= 2]
+    fielded = fielded or {}
+    excluded_set = set(excluded or [])
+
+    def _allowed(c: _Cursor) -> bool:
+        want = fielded.get(c.term)
+        return want is None or c.field == want
+
+    def _excluded_docs(cursors: dict):
+        """Sorted unique docnums containing any excluded term (any field)."""
+        parts = [
+            r.decode()[0]
+            for (_f, t), c in cursors.items() if t in excluded_set
+            for r in c.rows
+        ]
+        return np.unique(np.concatenate(parts)) if parts else None
 
     def true_df(cursor: _Cursor, row: _Row) -> int:
         if df_override:
@@ -255,6 +295,8 @@ def make_wand_kernel(
         cursors = _cursors_from_pdf(pdf)
         by_term: dict[str, list[_Cursor]] = {}
         for (f, t), c in cursors.items():
+            if t in excluded_set or not _allowed(c):
+                continue  # NOT terms / off-field cursors never score
             by_term.setdefault(t, []).append(c)
         if any(t not in by_term for t in qterms):
             return EMPTY  # a required term is absent from this chunk
@@ -276,6 +318,12 @@ def make_wand_kernel(
                 cand = np.intersect1d(cand, docs_t, assume_unique=True)
             if cand.size == 0:
                 return EMPTY
+        if excluded_set:
+            ex = _excluded_docs(cursors)
+            if ex is not None:
+                cand = cand[~np.isin(cand, ex)]
+                if cand.size == 0:
+                    return EMPTY
         for phrase in phrases:
             cand = cand[_phrase_mask(phrase, cand, cursors)]
             if cand.size == 0:
@@ -297,7 +345,7 @@ def make_wand_kernel(
         return pd.DataFrame({"docnum": cand[sel], "score": scores[sel]})
 
     # ---------------- disjunctive: vectorized TAAT (dense queries) -----
-    def _taat(cursors) -> pd.DataFrame:
+    def _taat(cursors, ex=None) -> pd.DataFrame:
         lo = min(r.doc_lo for c in cursors for r in c.rows)
         hi = max(r.doc_hi for c in cursors for r in c.rows)
         scores = np.zeros(hi - lo + 1, dtype=np.float64)
@@ -306,6 +354,9 @@ def make_wand_kernel(
                 d, sc = contribs(c, r)
                 # docs unique within one row -> fancy-index += is exact
                 scores[d - lo] += sc
+        if ex is not None:
+            exm = ex[(ex >= lo) & (ex <= hi)]
+            scores[exm - lo] = 0.0  # NOT docs drop out of the nz scan
         nz = np.flatnonzero(scores)  # BM25 contributions are > 0
         if nz.size == 0:
             return EMPTY
@@ -315,16 +366,21 @@ def make_wand_kernel(
 
     # ---------------- disjunctive (block-max WAND) ----------------
     def kernel_or(pdf: pd.DataFrame) -> pd.DataFrame:
-        cursors = [c for c in _cursors_from_pdf(pdf).values() if c.term in qterms]
+        all_cursors = _cursors_from_pdf(pdf)
+        cursors = [
+            c for c in all_cursors.values()
+            if c.term in qterms and c.term not in excluded_set and _allowed(c)
+        ]
         if not cursors:
             return EMPTY
+        ex = _excluded_docs(all_cursors) if excluded_set else None
         total_postings = int(pdf["n"].sum())
         span = max(r.doc_hi for c in cursors for r in c.rows) - min(
             r.doc_lo for c in cursors for r in c.rows
         ) + 1
         # average per-cursor density, bounded by 1 — so >1 forces WAND
         if total_postings >= taat_density * span * len(cursors):
-            return _taat(cursors)
+            return _taat(cursors, ex)
         for c in cursors:
             c.rescale(bound_scale)
         heap: list[tuple[float, int]] = []  # (score, -docnum) min-heap, size <= k
@@ -382,6 +438,8 @@ def make_wand_kernel(
             for c in involved:
                 d, sc = contribs(c, c.cur)
                 m = (d >= pivot_doc) & (d <= H)
+                if ex is not None:
+                    m &= ~np.isin(d, ex)  # NOT docs never enter the heap
                 if m.any():
                     all_d.append(d[m])
                     all_s.append(sc[m])

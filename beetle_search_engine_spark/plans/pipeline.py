@@ -19,25 +19,28 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.analyzer import analyze_query
 from .fusion import rrf_fuse, with_rank
 from .knn import knn_cosine
 from .query import BM25Index
 
 
-def overlap_reranker(query: str) -> Callable:
-    """Default rerank scorer: query-term overlap ratio x log doc length —
-    a deterministic stand-in with the CrossEncoder's exact plumbing
-    (mapInPandas over (doc_id, text) batches -> rerank_score)."""
-    qterms = set(analyze_query(query))
+def overlap_reranker(query: str, analyzer_name: str = "whoosh") -> Callable:
+    """Default rerank scorer: query-term overlap ratio — a deterministic
+    stand-in with the CrossEncoder's exact plumbing (mapInPandas over
+    (doc_id, text) batches -> rerank_score).  Tokenizes with the SAME
+    analyzer preset the index was built with (search_and_rerank passes
+    the index's), so overlap is computed in the engine's own term space —
+    and, for the stem-free preset, is ANSI-SQL-expressible."""
+    from ..functions.analyzer import get_analyzer
+
+    analyzer = get_analyzer(analyzer_name)
+    qterms = set(analyzer.analyze_query(query))
 
     def score(batches):
-        from ..functions.analyzer import analyze
-
         for pdf in batches:
             scores = []
             for text in pdf["text"]:
-                terms = analyze(text or "")
+                terms = analyzer.analyze(text or "")
                 hit = sum(1 for t in terms if t in qterms)
                 scores.append(hit / (len(terms) + 1.0))
             out = pdf[["doc_id"]].copy()
@@ -112,7 +115,11 @@ def search_and_rerank(
             .orderBy(F.asc("rank"))
             .limit(rerank_k)
         )
-    scorer = (reranker_factory or overlap_reranker)(query)
+    if reranker_factory is None:
+        reranker_factory = lambda q: overlap_reranker(  # noqa: E731
+            q, index.stats.get("analyzer", "whoosh")
+        )
+    scorer = reranker_factory(query)
     scored = hits.select("doc_id", "text").mapInPandas(scorer, "doc_id string, rerank_score double")
     return (
         hits.select("doc_id", "score").join(scored, "doc_id")

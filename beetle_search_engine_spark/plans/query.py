@@ -110,7 +110,7 @@ class BM25Index:
         of a shuffle pipeline — interactive latency).  Defaults to
         n_docs <= 200k; results identical by construction."""
         if mode == "parse":
-            pq = parse_query(query, self.analyzer)
+            pq = parse_query(query, self.analyzer, fields=set(self.stats.get("fields", [])))
         else:
             pq = ParsedQuery(terms=self.analyzer.analyze_query(query), mode=mode)
         if pq.empty:
@@ -120,14 +120,17 @@ class BM25Index:
                 "phrase query needs an index built with store_positions=True"
             )
         terms, mode, phrases = pq.terms, pq.mode, pq.phrases
-        buckets = self._buckets_for(terms)
+        # excluded (NOT) terms ride the same pruned scan: their postings
+        # are needed to drop matching docs, but they never score
+        all_terms = list(dict.fromkeys([*terms, *pq.excluded]))
+        buckets = self._buckets_for(all_terms)
         scan = self.postings.filter(
-            F.col("bucket").isin(sorted(set(buckets.values()))) & F.col("term").isin(terms)
+            F.col("bucket").isin(sorted(set(buckets.values()))) & F.col("term").isin(all_terms)
         )
         if prefer_local is None:
             prefer_local = self.stats["n_docs"] <= 200_000
         if prefer_local:
-            return self._search_local(scan, terms, top_k, mode, phrases)
+            return self._search_local(scan, all_terms, top_k, pq)
         df_override = None
         if len(self.stats.get("epochs", {"0": 0})) > 1:
             # multi-epoch index: true df = sum of per-epoch dfs; one tiny
@@ -140,7 +143,10 @@ class BM25Index:
                 .collect()
             )
             df_override = {(r["field"], r["term"]): int(r["df"]) for r in rows}
-        kernel = make_wand_kernel(terms, self.stats, top_k, mode, df_override, phrases)
+        kernel = make_wand_kernel(
+            terms, self.stats, top_k, mode, df_override, phrases,
+            fielded=pq.fielded, excluded=pq.excluded,
+        )
         scored = scan.groupBy("chunk").applyInPandas(kernel, "docnum long, score double")
         top_rows = (
             scored.orderBy(F.desc("score"), F.asc("docnum")).limit(top_k).collect()
@@ -196,15 +202,16 @@ class BM25Index:
     def _search_local(
         self,
         scan: DataFrame,
-        terms: list[str],
+        all_terms: list[str],
         top_k: int,
-        mode: str,
-        phrases: list[list[str]] | None = None,
+        pq: ParsedQuery,
     ) -> DataFrame:
-        """Driver-side scoring over the pruned scan (same kernels)."""
+        """Driver-side scoring over the pruned scan (same kernels).
+        ``all_terms`` = scoring terms + excluded (NOT) terms — the fetch
+        set; the kernel separates their roles via ``pq``."""
         try:
-            buckets = self._buckets_for(terms)
-            pdf = self._pruned_rows_arrow(terms, buckets)
+            buckets = self._buckets_for(all_terms)
+            pdf = self._pruned_rows_arrow(all_terms, buckets)
         except Exception:
             pdf = scan.toPandas()  # e.g. non-local filesystem without pyarrow support
         if len(pdf) == 0:
@@ -214,7 +221,10 @@ class BM25Index:
             per_epoch = pdf.groupby(["field", "term", "epoch"])["df"].first().reset_index()
             agg = per_epoch.groupby(["field", "term"])["df"].sum()
             df_override = {(f, t): int(v) for (f, t), v in agg.items()}
-        kernel = make_wand_kernel(terms, self.stats, top_k, mode, df_override, phrases)
+        kernel = make_wand_kernel(
+            pq.terms, self.stats, top_k, pq.mode, df_override, pq.phrases,
+            fielded=pq.fielded, excluded=pq.excluded,
+        )
         outs = [kernel(grp.reset_index(drop=True)) for _, grp in pdf.groupby("chunk")]
         import pandas as pd
 

@@ -13,15 +13,17 @@ core regardless of framework (bare multiprocessing measures 0.73 eff at 4
 workers, 0.99 at 2), so the HEADLINE `scaling` block reports the N=1 vs
 2N=2 pair — the regime where the hardware itself is linear and engine
 coordination loss is actually observable — with the N=1 vs 4N=4 pair
-attached as `scaling_4x` alongside the measured hardware ceiling.  Each
-core count is measured best-of-K (default 2) to cut shared-VM noise.
+attached as `scaling_4x` alongside the measured hardware ceiling.  Every
+core count gets the SAME fixed number of interleaved runs (K decided
+up front, default 3; all raw runs reported) and the same max-over-K
+estimator — no outcome-conditioned re-measuring.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR       sf dir for the query suite (default sf0.1)
   SPARK_GRAFT_CPUS         cores for the query suite (default 32)
   BEETLE_BENCH_DOCS        synthetic corpus size for build/scaling (default 100000)
   BEETLE_BENCH_SCALING     "0" to skip the scaling pairs (default on)
-  BEETLE_BENCH_REPEATS     best-of-K runs per core count (default 2)
+  BEETLE_BENCH_REPEATS     fixed K runs per core count (default 3)
 """
 
 from __future__ import annotations
@@ -60,7 +62,11 @@ HEADLINE = [
 ]
 
 
-def run_queries() -> dict[str, float]:
+P50_QUERIES = ["engine_bm25_or", "engine_bm25_nostem_or", "engine_phrase", "engine_bm25_fielded"]
+P50_REPEATS = 5
+
+
+def run_queries() -> tuple[dict[str, float], dict[str, float]]:
     import __spark_entry__ as entrymod
     from beetle_search_engine_spark.sources.session import get_spark
 
@@ -72,16 +78,21 @@ def run_queries() -> dict[str, float]:
     tag = SF_DIR.strip("/").replace("/", "_")
     shutil.rmtree(f"/tmp/beetle_idx_{tag}", ignore_errors=True)
     shutil.rmtree(f"/tmp/beetle_idx_{tag}_nostem", ignore_errors=True)
+    shutil.rmtree(f"/tmp/beetle_idx_{tag}_fielded", ignore_errors=True)
     t0 = time.time()
     entrymod._engine_index(spark, SF_DIR)
     idx_build_s = time.time() - t0
     t0 = time.time()
     entrymod._engine_index_nostem(spark, SF_DIR)
     nostem_build_s = time.time() - t0
+    t0 = time.time()
+    entrymod._engine_index_fielded(spark, SF_DIR)
+    fielded_build_s = time.time() - t0
 
     out: dict[str, float] = {
         "engine_index_build": round(idx_build_s, 3),
         "engine_index_build_nostem": round(nostem_build_s, 3),
+        "engine_index_build_fielded": round(fielded_build_s, 3),
     }
     for name in HEADLINE:
         t0 = time.time()
@@ -89,8 +100,21 @@ def run_queries() -> dict[str, float]:
         n = df.count()
         out[name] = round(time.time() - t0, 3)
         _ = n
+    # warm-query p50 for the flagship paths: each query re-run
+    # P50_REPEATS times against the already-built (and plan-cached)
+    # indexes — the round-over-round latency-regression signal
+    import statistics
+
+    p50: dict[str, float] = {}
+    for name in P50_QUERIES:
+        times = []
+        for _ in range(P50_REPEATS):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            times.append(time.time() - t0)
+        p50[name] = round(statistics.median(times), 3)
     spark.stop()
-    return out
+    return out, p50
 
 
 def _bench_build(cores: int, repeats: int, tokenizer: str = "jvm") -> dict:
@@ -123,34 +147,29 @@ def _bench_build(cores: int, repeats: int, tokenizer: str = "jvm") -> dict:
 
 
 def run_scaling() -> dict:
-    repeats = max(1, int(os.environ.get("BEETLE_BENCH_REPEATS", "2")))
-    max_pairs = max(repeats, int(os.environ.get("BEETLE_BENCH_MAX_REPEATS", "3")))
+    repeats = max(1, int(os.environ.get("BEETLE_BENCH_REPEATS", "3")))
     n = SCALING_N
-    # interleave the N and 2N measurements (1,2,1,2,...) so a slow phase
-    # of this shared VM hits both sides of the headline ratio; take the
-    # per-core-count max (interference is one-sided — it only slows runs,
-    # so max over runs is the consistent estimator of true throughput).
-    # If the ratio still looks interference-depressed after the base
-    # pairs, top up with one more pair (bounded, documented).
+    # Fixed-K design: the SAME number of measurements (K = repeats,
+    # decided before any ratio is seen) for EVERY core count, interleaved
+    # (N, 2N, 4N, N, 2N, 4N, ...) so a slow phase of this shared VM hits
+    # all sides of the ratios equally.  The per-core-count estimator is
+    # max over the K runs — interference on this VM is one-sided (it only
+    # slows runs), so max is the consistent estimator of true throughput
+    # and is applied identically everywhere.  All raw runs are reported
+    # so the estimator is auditable.  (No outcome-conditioned top-up: the
+    # earlier design re-measured only sub-threshold ratios, which biases
+    # the reported efficiency upward.)
+    cores = (n, n * 2, n * 4)
+    runs: dict[int, list[float]] = {c: [] for c in cores}
     best: dict[int, dict] = {}
-
-    def measure(c):
-        r = _bench_build(c, 1)
-        if c not in best or r["docs_per_sec"] > best[c]["docs_per_sec"]:
-            best[c] = r
-
-    pairs = 0
-    while pairs < repeats or (
-        pairs < max_pairs
-        and best[n * 2]["docs_per_sec"] < 1.6 * best[n]["docs_per_sec"]
-    ):
-        measure(n)
-        measure(n * 2)
-        pairs += 1
-    measure(n * 4)
-    res = best
-    eff2 = res[n * 2]["docs_per_sec"] / (2.0 * res[n]["docs_per_sec"])
-    eff4 = res[n * 4]["docs_per_sec"] / (4.0 * res[n]["docs_per_sec"])
+    for _ in range(repeats):
+        for c in cores:
+            r = _bench_build(c, 1)
+            runs[c].append(r["docs_per_sec"])
+            if c not in best or r["docs_per_sec"] > best[c]["docs_per_sec"]:
+                best[c] = r
+    eff2 = best[n * 2]["docs_per_sec"] / (2.0 * best[n]["docs_per_sec"])
+    eff4 = best[n * 4]["docs_per_sec"] / (4.0 * best[n]["docs_per_sec"])
     return {
         # HEADLINE pair: N vs 2N — the regime where this VM's memory
         # bandwidth is linear (bare multiprocessing: 0.99 eff at 2
@@ -161,15 +180,16 @@ def run_scaling() -> dict:
         "cores_n": n,
         "cores_2n": n * 2,
         "docs": BENCH_DOCS,
-        "best_of": pairs,
+        "repeats_per_core_count": repeats,
+        "runs_docs_per_sec": {str(c): runs[c] for c in cores},
         "tokenizer": "jvm",  # the at-scale configuration (auto >=500k docs)
-        "docs_per_sec_n": res[n]["docs_per_sec"],
-        "docs_per_sec_2n": res[n * 2]["docs_per_sec"],
+        "docs_per_sec_n": best[n]["docs_per_sec"],
+        "docs_per_sec_2n": best[n * 2]["docs_per_sec"],
         "efficiency": round(eff2, 3),
         "scaling_4x": {
             "cores_4n": n * 4,
-            "docs_per_sec_4n": res[n * 4]["docs_per_sec"],
-            "postings_per_sec_4n": res[n * 4]["postings_per_sec"],
+            "docs_per_sec_4n": best[n * 4]["docs_per_sec"],
+            "postings_per_sec_4n": best[n * 4]["postings_per_sec"],
             "efficiency": round(eff4, 3),
             "hw_ceiling_efficiency_at_4": 0.73,  # bare multiprocessing,
             # Spark-free analyzer measurement on this VM (BENCH/BASELINE.md)
@@ -196,12 +216,13 @@ def engine_skew() -> dict:
 
 
 def main():
-    queries = run_queries()
+    queries, p50 = run_queries()
     result = {
         "metric": "bm25_engine_index_build_docs_per_sec",
         "unit": "docs/sec",  # queries sub-dict is in seconds
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "queries": queries,
+        "query_p50": p50,  # warm medians over P50_REPEATS runs
         "skew": engine_skew(),
     }
     if RUN_SCALING:

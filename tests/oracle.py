@@ -25,9 +25,16 @@ def bm25_oracle(
     boosts: dict | None = None,
     top_k: int = 10,
     mode: str = "and",
+    fielded: dict | None = None,
+    excluded: list | None = None,
+    terms: list | None = None,
 ) -> list[tuple[str, float]]:
     """docs: list of dicts with 'doc_id' plus the source columns named in
-    ``fields`` (index-field -> column).  Returns [(doc_id, score)] top-k."""
+    ``fields`` (index-field -> column).  Returns [(doc_id, score)] top-k.
+
+    ``fielded``: term -> field restriction (``field:term`` queries — the
+    term only matches/scores in that field).  ``excluded``: NOT terms —
+    docs containing any of them in any field are dropped."""
     boosts = boosts or {"title": 2.0, "body": 1.0}
     n = len(docs)
     tfs: dict[str, list] = {f: [] for f in fields}
@@ -44,16 +51,23 @@ def bm25_oracle(
             for t in tf:
                 df[(fname, t)] = df.get((fname, t), 0) + 1
 
-    terms = analyze_query(query)
+    if terms is None:
+        terms = analyze_query(query)  # else: pre-analyzed (parser output)
     if not terms:
         return []
+    fielded = fielded or {}
+    excluded = excluded or []
     scored = []
     for i, d in enumerate(docs):
+        if any(tfs[fname][i].get(t, 0) for t in excluded for fname in fields):
+            continue  # NOT: doc contains an excluded term somewhere
         matched_terms = 0
         score = 0.0
         for t in terms:
             hit = False
             for fname in fields:
+                if t in fielded and fielded[t] != fname:
+                    continue  # field:term — only that field matches
                 tf = tfs[fname][i].get(t, 0)
                 if tf == 0:
                     continue

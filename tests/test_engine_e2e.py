@@ -80,6 +80,57 @@ def test_rank_identical_vs_oracle(spark, built, mode, local):
         assert_rank_identical(got, want)
 
 
+FIELDED_QUERIES = [
+    "title:file_7.py query",        # field-restricted term + bare term
+    "spark NOT shuffle",            # NOT keyword
+    "query -partition scan",        # -term prefix
+    "search OR rank NOT score",     # OR with exclusion
+    "title:query",                  # restriction empties most matches
+    "body:spark title:file_7.py",   # both fields restricted
+    "spark NOT spark",              # excluded == required -> empty
+]
+
+
+@pytest.mark.parametrize("local", [True, False], ids=["local", "distributed"])
+def test_fielded_and_not_vs_oracle(spark, built, local):
+    """field:term restriction + NOT exclusion, rank-identical to the
+    pure-Python oracle on both kernel paths (parser semantics pinned by
+    test_phrase_parser; here the parse result drives both sides)."""
+    from beetle_search_engine_spark.functions.analyzer import get_analyzer
+    from beetle_search_engine_spark.plans.parser import parse_query
+
+    idx, _, docs, _ = built
+    index = BM25Index(spark, idx)
+    analyzer = get_analyzer("whoosh")
+    for q in FIELDED_QUERIES:
+        pq = parse_query(q, analyzer, fields=set(FIELDS))
+        got = [
+            (r["doc_id"], r["score"])
+            for r in index.search(q, top_k=10, mode="parse", prefer_local=local).collect()
+        ]
+        want = bm25_oracle(
+            docs, "", FIELDS, top_k=10, mode=pq.mode,
+            fielded=pq.fielded, excluded=pq.excluded, terms=pq.terms,
+        )
+        assert_rank_identical(got, want)
+
+
+def test_not_actually_excludes(spark, built):
+    """Sanity beyond rank-identity: every NOT result really lacks the
+    excluded term, and the query returns fewer-or-different docs."""
+    idx, _, docs, _ = built
+    index = BM25Index(spark, idx)
+    base = {r["doc_id"] for r in index.search("spark", 10, "parse").collect()}
+    negd = {r["doc_id"] for r in index.search("spark NOT shuffle", 10, "parse").collect()}
+    from beetle_search_engine_spark.functions.analyzer import analyze
+
+    by_id = {d["doc_id"]: d for d in docs}
+    for did in negd:
+        toks = set(analyze(by_id[did]["content"])) | set(analyze(by_id[did]["path"]))
+        assert "shuffl" not in toks  # Porter stem of 'shuffle'
+    assert negd != base or not base
+
+
 def test_empty_query(spark, built):
     idx, _, _, _ = built
     index = BM25Index(spark, idx)

@@ -59,6 +59,60 @@ def test_parse_single_term_phrase_degrades():
     assert set(pq.terms) == {"spark", "scan"}
 
 
+def test_parse_field_prefix_known_field():
+    pq = parse_query("title:spark scan", S, fields={"title", "body"})
+    assert pq.terms == ["spark", "scan"]
+    assert pq.fielded == {"spark": "title"}
+
+
+def test_parse_field_prefix_unknown_field_degrades():
+    # 'zzz' is not an index field -> the token is plain text; the
+    # analyzer splits 'zzz:spark' into two ordinary terms
+    pq = parse_query("zzz:spark scan", S, fields={"title", "body"})
+    assert pq.fielded == {}
+    assert set(pq.terms) == {"zzz", "spark", "scan"}
+
+
+def test_parse_field_prefix_without_schema_degrades():
+    pq = parse_query("title:spark", S)  # no fields passed
+    assert pq.fielded == {}
+    assert set(pq.terms) == {"title", "spark"}
+
+
+def test_parse_not_keyword():
+    pq = parse_query("spark NOT shuffle", S)
+    assert pq.terms == ["spark"]
+    assert pq.excluded == ["shuffle"]
+    assert pq.mode == "and"
+
+
+def test_parse_minus_prefix():
+    pq = parse_query("spark -shuffle scan", S)
+    assert pq.terms == ["spark", "scan"]
+    assert pq.excluded == ["shuffle"]
+
+
+def test_parse_not_with_field_prefix_excludes_globally():
+    pq = parse_query("scan NOT title:spark", S, fields={"title", "body"})
+    assert pq.terms == ["scan"]
+    assert pq.excluded == ["spark"]
+    assert pq.fielded == {}
+
+
+def test_parse_not_stemmed_and_or_mode():
+    # excluded terms run through the same analyzer chain; OR mode kept
+    pq = parse_query("spark OR flink NOT models", W)
+    assert pq.mode == "or"
+    assert pq.excluded == ["model"]
+
+
+def test_parse_lowercase_not_is_a_stopword():
+    # only uppercase NOT is an operator; 'not' stays the stopword it was
+    pq = parse_query("spark not shuffle", S)
+    assert pq.terms == ["spark", "shuffle"]
+    assert pq.excluded == []
+
+
 def test_parse_empty():
     assert parse_query("", W).empty
     assert parse_query("the of a", W).empty  # all stopwords

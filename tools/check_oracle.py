@@ -34,7 +34,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir  # data-dependent oracles
+    # (ivf_ann_cosine centroid literals) re-fit on the checked sf tier
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
