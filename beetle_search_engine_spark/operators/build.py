@@ -60,14 +60,20 @@ POSTINGS_SCHEMA = (
 )
 
 
-def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int = 0):
+def _make_encode_kernel(
+    cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int = 0,
+    field_names: list[str] | None = None,
+):
     """Streaming per-partition encoder, vectorized across terms.
 
-    Input is sorted by (field, term, docnum).  Each Arrow batch is encoded
-    in whole-array numpy passes: span detection, df assignment, BM25
-    scoring, row-bound reduction and varint encoding all happen once per
-    batch, not once per term.  Only the partition's final (field, term) run
-    is carried to the next batch (it may continue there)."""
+    Input is sorted by (fid, term, docnum) where ``fid`` is the tinyint
+    index into ``field_names`` (sorted) — field STRINGS never ride the
+    encode shuffle; the kernel maps ids back to names on output.  Each
+    Arrow batch is encoded in whole-array numpy passes: span detection,
+    df assignment, BM25 scoring, row-bound reduction and varint encoding
+    all happen once per batch, not once per term.  Only the partition's
+    final (fid, term) run is carried to the next batch (it may continue
+    there)."""
     block = cfg.index.block_size
     row_cap = block * cfg.index.blocks_per_row
     chunk_docs = cfg.index.chunk_docs
@@ -76,15 +82,22 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
     n_docs = stats["n_docs"]
     avgdl = stats["avgdl"]
     store_pos = cfg.index.store_positions
+    field_names = field_names or sorted(stats["fields"])
+    field_arr = np.array(field_names, dtype=object)
+    boost_by_fid = np.array([boosts.get(n, 1.0) for n in field_names], dtype=np.float64)
+    avgdl_by_fid = np.array([avgdl.get(n, 1.0) for n in field_names], dtype=np.float64)
+    hot_by_fid = {
+        (field_names.index(f), t): v for (f, t), v in hot_df.items() if f in field_names
+    }
 
-    def encode_region(fields, terms, buckets, docs, tfs, dls, pos=None):
+    def encode_region(fids, terms, buckets, docs, tfs, dls, pos=None):
         """Encode complete runs -> columnar dict for one output frame."""
         n = docs.size
         if n == 0:
             return None
         key_change = np.empty(n, dtype=bool)
         key_change[0] = True
-        key_change[1:] = (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
+        key_change[1:] = (fids[1:] != fids[:-1]) | (terms[1:] != terms[:-1])
         span_starts = np.flatnonzero(key_change)
         span_ends = np.append(span_starts[1:], n)
         span_len = span_ends - span_starts
@@ -92,20 +105,16 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
         # df per span: run length, except salted hot terms (exact df from
         # the broadcast map)
         span_df = span_len.astype(np.int64)
-        if hot_df:
+        if hot_by_fid:
             for i, s in enumerate(span_starts):
-                d = hot_df.get((fields[s], terms[s]))
+                d = hot_by_fid.get((int(fids[s]), terms[s]))
                 if d is not None:
                     span_df[i] = d
 
         # vectorized BM25 contributions for every posting at once
         df_pp = np.repeat(span_df, span_len).astype(np.float64)
-        boost_pp = np.repeat(
-            np.array([boosts.get(fields[s], 1.0) for s in span_starts]), span_len
-        )
-        avgdl_pp = np.repeat(
-            np.array([avgdl[fields[s]] for s in span_starts]), span_len
-        )
+        boost_pp = np.repeat(boost_by_fid[fids[span_starts]], span_len)
+        avgdl_pp = np.repeat(avgdl_by_fid[fids[span_starts]], span_len)
         idf = np.log(n_docs / (df_pp + 1.0)) + 1.0
         w = tfs.astype(np.float64) * boost_pp
         scores = idf * (w * (k1 + 1.0)) / (w + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl_pp))
@@ -153,7 +162,7 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
 
         return {
             "bucket": buckets[row_starts].astype(np.int32),
-            "field": fields[row_starts],
+            "field": field_arr[fids[row_starts]],
             "term": terms[row_starts],
             "df": span_df[row_span],
             "chunk": chunks[row_starts],
@@ -180,12 +189,12 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
         }
 
     def kernel(batches):
-        carry = None  # (fields, terms, buckets, docs, tfs, dls[, pos]) of open run
+        carry = None  # (fids, terms, buckets, docs, tfs, dls[, pos]) of open run
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cols = (
-                pdf["field"].to_numpy(),
+                pdf["fid"].to_numpy(),
                 pdf["term"].to_numpy(),
                 pdf["bucket"].to_numpy(),
                 pdf["docnum"].to_numpy(),
@@ -196,9 +205,9 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
                 cols = cols + (pdf["pos"].to_numpy(),)
             if carry is not None:
                 cols = tuple(np.concatenate([c, x]) for c, x in zip(carry, cols))
-            fields, terms = cols[0], cols[1]
-            # hold back the trailing (field, term) run — it may continue
-            kc = np.flatnonzero((fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1]))
+            fids, terms = cols[0], cols[1]
+            # hold back the trailing (fid, term) run — it may continue
+            kc = np.flatnonzero((fids[1:] != fids[:-1]) | (terms[1:] != terms[:-1]))
             last_start = int(kc[-1]) + 1 if kc.size else 0
             carry = tuple(c[last_start:] for c in cols)
             out = encode_region(*(c[:last_start] for c in cols))
@@ -210,6 +219,54 @@ def _make_encode_kernel(cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int
                 yield pd.DataFrame(out)
 
     return kernel
+
+
+def _encode_input(spark: SparkSession, tokens: DataFrame, cfg: EngineConfig, hot_df: dict, field_names: list[str]):
+    """Shuffle-side preparation shared by full builds and epoch appends.
+
+    The exchange feeding the encode kernel is the heaviest data movement
+    of the build, so rows are slimmed before the repartition: field
+    strings become tinyint ids (the kernel maps them back on output),
+    tf/dl drop to int32, and the salted partition key is an INLINE
+    expression rather than a named column (a named key column rides
+    every shuffled row; an inline one is consumed by the partitioner).
+    Returns (prepared DataFrame, partition-key Column, encode columns)."""
+    fid = None
+    for i, name in enumerate(field_names):
+        cond = F.col("field") == name
+        fid = F.when(cond, i) if fid is None else fid.when(cond, i)
+    cols = [
+        fid.cast("tinyint").alias("fid"),
+        F.col("term"),
+        F.col("docnum"),
+        F.col("tf").cast("int").alias("tf"),
+        F.col("dl").cast("int").alias("dl"),
+    ]
+    if cfg.index.store_positions:
+        cols.append(F.col("pos"))
+    base = tokens.select(*cols).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.index.n_buckets)).cast("int")
+    )
+    if hot_df:
+        hot_rows = [(field_names.index(f), t) for f, t in hot_df if f in field_names]
+        hot_dim = F.broadcast(
+            spark.createDataFrame(hot_rows, "fid tinyint, term string").withColumn("_hot", F.lit(1))
+        )
+        base = base.join(hot_dim, ["fid", "term"], "left")
+        salt = F.when(
+            F.col("_hot") == 1,
+            F.pmod(
+                (F.col("docnum") / F.lit(cfg.index.chunk_docs)).cast("long"),
+                F.lit(cfg.index.hot_salts),
+            ),
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+    part_key = F.xxhash64("bucket", salt.cast("long"))
+    enc_cols = ["bucket", "fid", "term", "docnum", "tf", "dl"]
+    if cfg.index.store_positions:
+        enc_cols.append("pos")
+    return base, part_key, enc_cols
 
 
 def _group_metrics_agg(spark: SparkSession, out_path: str) -> dict:
@@ -267,8 +324,20 @@ def build_index(
     cfg: EngineConfig = DEFAULT,
     meta_cols: tuple[str, ...] = (),
     resume: bool = True,
+    stage_partitions: int | None = None,
+    prestaged: str | None = None,
 ) -> dict:
-    """Build (or resume) the index at ``index_dir``.  Returns build metrics."""
+    """Build (or resume) the index at ``index_dir``.  Returns build metrics.
+
+    ``stage_partitions`` pins the corpus-staging partition count (default:
+    2x the session's parallelism) — pass a fixed value to keep the job
+    layout identical across cluster sizes (scaling benches).
+
+    ``prestaged``: path of the parquet directory ``corpus`` was read from.
+    When given, staging is zero-copy (stage_corpus_prestaged: the input
+    files ARE the stage; no rewrite pass) with automatic fallback to the
+    rewrite path if the layout is unsuitable (splittable files,
+    hive partitions, unreadable footers)."""
     fields = fields or {"body": "content"}
     os.makedirs(f"{index_dir}/_manifest", exist_ok=True)
     t0 = time.time()
@@ -281,7 +350,23 @@ def build_index(
             print(f"[build] {label}: +{now - _last[0]:.2f}s (t={now - t0:.2f}s)", flush=True)
             _last[0] = now
 
-    staged, offsets, fp = stage_corpus(corpus, f"{index_dir}/_stage/corpus")
+    # stage only what the build consumes (doc_id + field sources + meta):
+    # the corpus may carry wide provenance columns (content_sha, commit,
+    # ...) that would otherwise ride the staging write AND the staged
+    # read twice — at corpus scale that's whole extra passes of I/O
+    needed = list(dict.fromkeys(["doc_id", *sorted(set(fields.values())), *meta_cols]))
+    staged = None
+    if prestaged is not None:
+        from .docnums import stage_corpus_prestaged
+
+        try:
+            staged, offsets, fp = stage_corpus_prestaged(spark, prestaged, columns=needed)
+        except ValueError:
+            staged = None  # unsuitable layout -> rewrite path below
+    if staged is None:
+        staged, offsets, fp = stage_corpus(
+            corpus.select(*needed), f"{index_dir}/_stage/corpus", partitions=stage_partitions
+        )
     _mark('docnums + fingerprint')
     n_docs = fp["n_docs"]
     # hash of layout + scoring + fields + analyzer: a config change is a
@@ -420,29 +505,14 @@ def build_index(
     }
 
     # ---- salted, bucketed encode in resumable groups
-    n_buckets = cfg.index.n_buckets
     groups = cfg.index.bucket_groups
     p_enc = cfg.index.encode_partitions or spark.sparkContext.defaultParallelism
-    kernel = _make_encode_kernel(cfg, stats, hot_df)
-
-    hot_keys = list(hot_df)
-    if hot_keys:
-        hot_dim = F.broadcast(
-            spark.createDataFrame(hot_keys, "field string, term string").withColumn("_hot", F.lit(1))
-        )
-    base = tokens.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-    if hot_keys:
-        base = base.join(hot_dim, ["field", "term"], "left")
-        salt = F.when(
-            F.col("_hot") == 1,
-            F.pmod((F.col("docnum") / F.lit(cfg.index.chunk_docs)).cast("long"), F.lit(cfg.index.hot_salts)),
-        ).otherwise(F.lit(0))
-    else:
-        salt = F.lit(0)
+    field_names = sorted(fields)
+    kernel = _make_encode_kernel(cfg, stats, hot_df, field_names=field_names)
     # bucket-major shuffle key: a reduce task owns whole buckets (salted
     # hot terms excepted), so partitionBy(bucket) writes ~1 file per
     # bucket instead of tasks x buckets small files.
-    base = base.withColumn("_key", F.xxhash64("bucket", salt.cast("long")))
+    base, part_key, enc_cols = _encode_input(spark, tokens, cfg, hot_df, field_names)
 
     group_metrics = []
     for g in range(groups):
@@ -460,17 +530,24 @@ def build_index(
                 continue
         tg = time.time()
         sel = base.filter(F.pmod(F.col("bucket"), F.lit(groups)) == g)
-        enc_cols = ["bucket", "field", "term", "docnum", "tf", "dl"]
-        if cfg.index.store_positions:
-            enc_cols.append("pos")
         enc = (
-            sel.repartition(p_enc, "_key")
-            .sortWithinPartitions("field", "term", "docnum")
+            sel.repartition(p_enc, part_key)
+            .sortWithinPartitions("fid", "term", "docnum")
             .select(*enc_cols)
             .mapInPandas(kernel, schema=POSTINGS_SCHEMA)
         )
         out_path = f"{index_dir}/postings/group={g}"
-        enc.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+        # token rows are narrow (~40 B); 64k-row Arrow batches cut the
+        # per-batch Python/carry overhead of the encode kernel ~6x vs the
+        # session default 10k (which is sized for wide document rows).
+        # Scoped to this action only — doc-level UDF batches stay small.
+        batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old_batch = spark.conf.get(batch_key)
+        spark.conf.set(batch_key, "65536")
+        try:
+            enc.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+        finally:
+            spark.conf.set(batch_key, old_batch)
         _mark(f'encode group {g} write')
         wall = time.time() - tg
         agg = _group_metrics_agg(spark, out_path)

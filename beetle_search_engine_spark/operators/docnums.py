@@ -125,6 +125,12 @@ def stage_corpus(
             f"staged corpus files ({biggest}B) still exceed the effective "
             f"max split size ({max_split}B) at {partitions} partitions"
         )
+    # NOTE: the fingerprint deliberately runs as its own column-pruned
+    # aggregation rather than an observe() on the write — a registered
+    # Observation leaves the session's ObservationManager reachable from
+    # later ML closures and Spark 4.1 then fails task serialization
+    # (NotSerializableException: ObservationManager) in e.g.
+    # MulticlassClassificationEvaluator.evaluate.
     h = spark.read.parquet(stage_dir)
     rows = (
         h.groupBy("_pid")
@@ -136,6 +142,77 @@ def stage_corpus(
     for r in rows:
         xor ^= int(r["x"] or 0)
     fingerprint = {"n_docs": int(sum(counts.values())), "id_hash_xor": xor}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    return h, offsets, fingerprint
+
+
+def stage_corpus_prestaged(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    columns: list[str] | None = None,
+) -> tuple[DataFrame, dict[int, int], dict]:
+    """Zero-copy staging over an EXISTING parquet directory: the (name-
+    sorted) files themselves are the stage — ``_pid`` = file index from
+    ``input_file_name()``, per-pid counts from parquet footers, docnums =
+    footer offsets + in-file row order.  No rewrite of the corpus at all;
+    the only job touching data is the column-pruned fingerprint agg over
+    ``id_col``.  This is how a columnar engine should ingest an already-
+    stable table (Lucene/FAISS don't rewrite their input either); the
+    rewrite path (stage_corpus) remains for arbitrary DataFrames.
+
+    Correctness needs each file read whole by one task (numbering is
+    order-dependent): enforced against the EFFECTIVE split size exactly
+    like the staged path — raises ValueError when a file would split (or
+    the dir is hive-partitioned / too many files), and the caller falls
+    back to stage_corpus.  Determinism: same files -> same (pid, order)
+    -> same docnums, regardless of how Spark packs whole files into
+    tasks (the numbering kernel keeps one counter per pid)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    names, mx, tot = [], 0, 0
+    for st in fs.listStatus(p):
+        nm = st.getPath().getName()
+        if st.isDirectory():
+            raise ValueError("hive-partitioned input — use stage_corpus")
+        if nm.startswith("_") or nm.startswith("."):
+            continue
+        names.append(nm)
+        mx = max(mx, st.getLen())
+        tot += st.getLen()
+    if not names or len(names) > 1000:
+        raise ValueError(f"{len(names)} data files — use stage_corpus")
+    names.sort()
+    if mx >= _effective_max_split_bytes(spark, tot, len(names)):
+        raise ValueError("a file would split across read tasks — use stage_corpus")
+
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    try:
+        for i, nm in enumerate(names):
+            counts[i] = pq.ParquetFile(f"{path}/{nm}").metadata.num_rows
+    except Exception as e:  # non-local FS: footers unreadable from driver
+        raise ValueError(f"cannot read footers driver-side: {e}") from e
+
+    h = spark.read.parquet(path)
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    pid_map = F.create_map(*[x for i, nm in enumerate(names) for x in (F.lit(nm), F.lit(i))])
+    if columns is not None:
+        h = h.select(*columns)
+    h = h.withColumn("_pid", pid_map[fname].cast("int"))
+    row = h.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.expr(f"bit_xor(xxhash64({id_col}))").alias("x"),
+    ).collect()[0]
+    if int(row["c"]) != sum(counts.values()):
+        raise ValueError("footer row counts disagree with scan — use stage_corpus")
+    fingerprint = {"n_docs": int(row["c"]), "id_hash_xor": int(row["x"] or 0)}
     offsets = {}
     acc = 0
     for pid in sorted(counts):

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
-from ..operators.build import POSTINGS_SCHEMA, _make_encode_kernel
+from ..operators.build import POSTINGS_SCHEMA, _encode_input, _make_encode_kernel
 from ..operators.docnums import numbered, stage_corpus, write_docids
 from ..operators.tokenize import tokenize
 
@@ -118,29 +118,14 @@ def append_epoch(
         analyzer=stats.get("analyzer", "whoosh"),
     )
     enc_stats = {"n_docs": n_total, "avgdl": avgdl_new}
-    kernel = _make_encode_kernel(cfg, enc_stats, hot_df, epoch=epoch)
-    n_buckets = stats["n_buckets"]
+    field_names = sorted(fields)
+    kernel = _make_encode_kernel(cfg, enc_stats, hot_df, epoch=epoch, field_names=field_names)
     p_enc = cfg.index.encode_partitions or spark.sparkContext.defaultParallelism
 
-    base = tokens.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-    if hot_df:
-        hot_dim = F.broadcast(
-            spark.createDataFrame(list(hot_df), "field string, term string").withColumn("_hot", F.lit(1))
-        )
-        base = base.join(hot_dim, ["field", "term"], "left")
-        salt = F.when(
-            F.col("_hot") == 1,
-            F.pmod((F.col("docnum") / F.lit(stats["chunk_docs"])).cast("long"), F.lit(cfg.index.hot_salts)),
-        ).otherwise(F.lit(0))
-    else:
-        salt = F.lit(0)
-    enc_cols = ["bucket", "field", "term", "docnum", "tf", "dl"]
-    if cfg.index.store_positions:
-        enc_cols.append("pos")
+    base, part_key, enc_cols = _encode_input(spark, tokens, cfg, hot_df, field_names)
     enc = (
-        base.withColumn("_key", F.xxhash64("bucket", salt.cast("long")))
-        .repartition(p_enc, "_key")
-        .sortWithinPartitions("field", "term", "docnum")
+        base.repartition(p_enc, part_key)
+        .sortWithinPartitions("fid", "term", "docnum")
         .select(*enc_cols)
         .mapInPandas(kernel, schema=POSTINGS_SCHEMA)
     )

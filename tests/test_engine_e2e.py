@@ -137,6 +137,41 @@ def test_empty_query(spark, built):
     assert index.search("the a an", top_k=10).count() == 0  # all stopwords
 
 
+def test_prestaged_build_matches_staged(spark, built, tmp_path):
+    """Zero-copy staging (input parquet files ARE the stage) produces an
+    index with identical search results and corpus stats as the rewrite
+    path — docnum ASSIGNMENT may differ (file order vs hash order), but
+    scores, ranks and df/avgdl are docnum-invariant."""
+    import json as _json
+
+    idx, _, docs, corpus = built
+    src = str(tmp_path / "corpus_src")
+    corpus.write.mode("overwrite").parquet(src)
+    idx2 = str(tmp_path / "idx_prestaged")
+    m = build_index(
+        spark, spark.read.parquet(src), idx2, fields=FIELDS, cfg=CFG, prestaged=src
+    )
+    assert m["n_docs"] == N_DOCS
+    # staging left no rewrite behind (zero-copy path actually taken)
+    assert not os.path.exists(f"{idx2}/_stage/corpus")
+    a = BM25Index(spark, idx)
+    b = BM25Index(spark, idx2)
+    assert a.stats["avgdl"] == b.stats["avgdl"]
+    for q in QUERIES[:5]:
+        ra = [(r["doc_id"], round(r["score"], 9)) for r in a.search(q, 10, "or").collect()]
+        rb = [(r["doc_id"], round(r["score"], 9)) for r in b.search(q, 10, "or").collect()]
+        assert ra == rb
+    # docnums dense 0..N-1
+    dn = sorted(r["docnum"] for r in spark.read.parquet(f"{idx2}/docids").collect())
+    assert dn == list(range(N_DOCS))
+    # resume honors the same fingerprint across staging modes
+    with open(f"{idx2}/stats.json") as f:
+        fp2 = _json.load(f)["fingerprint"]
+    with open(f"{idx}/stats.json") as f:
+        fp1 = _json.load(f)["fingerprint"]
+    assert fp1 == fp2
+
+
 def test_resume_skips_completed_groups(spark, built):
     idx, _, _, corpus = built
     m2 = build_index(spark, corpus, idx, fields=FIELDS, cfg=CFG, meta_cols=("repo", "path"))

@@ -92,7 +92,7 @@ def run_kernels(seed, n_docs, mode, hot_salts, taat_density=0.25):
         "field_boosts": {"body": 1.0},
         "epochs": {"0": {"n_docs": n_docs, "avgdl": avgdl}},
     }
-    kernel = _make_encode_kernel(cfg, stats, hot, epoch=0)
+    kernel = _make_encode_kernel(cfg, stats, hot, epoch=0, field_names=["body"])
 
     # simulate the salted shuffle: token rows split by salt partitions,
     # each partition sorted by (field, term, docnum)
@@ -106,7 +106,8 @@ def run_kernels(seed, n_docs, mode, hot_salts, taat_density=0.25):
         part = sorted([r for r in rows if r[0] == salt], key=lambda r: (r[1], r[2], r[3]))
         pdf = pd.DataFrame(
             {
-                "field": [r[1] for r in part],
+                # the encode shuffle carries tinyint field ids, not names
+                "fid": np.zeros(len(part), dtype=np.int8),
                 "term": [r[2] for r in part],
                 "bucket": np.zeros(len(part), dtype=np.int32),
                 "docnum": np.array([r[3] for r in part], dtype=np.int64),

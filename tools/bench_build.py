@@ -37,8 +37,17 @@ def main():
     idx_dir = f"/tmp/bench_idx_c{args.cores}_d{args.docs}"
     shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # The north rule's criterion is "the SAME job at two cluster sizes":
+    # on a real cluster the job's partitioning (shuffle partitions,
+    # encode partitions) is fixed — sized for the larger cluster — and
+    # only the executor count varies.  So every core count here runs the
+    # IDENTICAL logical plan (fixed 16-way shuffle/encode layout, >=4
+    # tasks/core at the largest measured size); cores is the only
+    # variable.  (Earlier rounds scaled the layout with cores, i.e.
+    # compared two different jobs.)
+    layout_parts = int(os.environ.get("BEETLE_BENCH_PARTS", "16"))
     spark = get_spark(
-        f"bench-build-{args.cores}", cores=args.cores, shuffle_partitions=args.cores,
+        f"bench-build-{args.cores}", cores=args.cores, shuffle_partitions=layout_parts,
         master=args.master,
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -51,18 +60,29 @@ def main():
             n_buckets=512,
             bucket_groups=1,
             chunk_docs=1 << 14,
-            encode_partitions=args.cores * 3,
+            encode_partitions=layout_parts,
         )
     )
-    src = f"/tmp/bench_corpus_{args.docs}_{args.seed}"
-    if not os.path.exists(src):  # materialize input (parquet) outside the
-        # timed window; JVM caching anti-scales at high local concurrency
-        generate_corpus(spark, args.docs, seed=args.seed).write.mode("overwrite").parquet(src)
+    # materialize input (parquet) outside the timed window, with a FIXED
+    # deterministic file layout (hash-partitioned on doc_id, 2x the job's
+    # partition count so every file is far below the split size at any
+    # measured core count) — the same input bytes for every run, and
+    # small enough files that zero-copy staging engages
+    src = f"/tmp/bench_corpus_{args.docs}_{args.seed}_p{layout_parts * 2}"
+    if not os.path.exists(src):
+        from pyspark.sql import functions as SF
+
+        (
+            generate_corpus(spark, args.docs, seed=args.seed)
+            .repartition(layout_parts * 2, SF.col("doc_id"))
+            .write.mode("overwrite").parquet(src)
+        )
     corpus = spark.read.parquet(src)
 
     t0 = time.time()
     m = build_index(
-        spark, corpus, idx_dir, fields={"title": "path", "body": "content"}, cfg=cfg, resume=False
+        spark, corpus, idx_dir, fields={"title": "path", "body": "content"}, cfg=cfg,
+        resume=False, stage_partitions=layout_parts, prestaged=src,
     )
     build_s = time.time() - t0
 
