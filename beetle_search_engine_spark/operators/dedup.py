@@ -61,32 +61,45 @@ def _shingle_array(text_col, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than the
+    session's parallelism (single-file / tiny tables — common in tests
+    and benches, absent at scale where inputs arrive as many splits).
+    Without this, the downstream shingle+hash projection — deliberately
+    shuffle-free — inherits the input's single task and serializes the
+    md5 work on one core; the one-off doc-stream repartition is far
+    cheaper than hashing on one core."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def shingles(df: DataFrame, n: int = 3, text_col="text", id_col="doc_id") -> DataFrame:
     """(id, shingle): distinct n-gram word shingles.  array_distinct runs
-    per row, so the only exploded rows are already unique — no shuffle."""
-    return df.select(
+    per row, so the only exploded rows are already unique — no shuffle
+    (beyond the conditional small-input _spread)."""
+    return _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingle_array(F.col(text_col), n))).alias("shingle"),
     )
 
 
-def _minhash_array(text_col, num_perm: int, shingle_n: int):
-    """array<long> of num_perm min-hashes, computed in ONE pass over the
-    shingle array (``aggregate`` + elementwise ``zip_with``/``least``) —
-    the whole signature is a narrow projection, zero shuffles.  Duplicate
-    shingles can't change a min, so no per-doc distinct is needed.  Docs
-    with no shingles yield an all-NULL array (least() skips nulls), which
-    callers filter — matching the exploded shape where such docs simply
-    have no rows."""
-    zero = F.array(*[F.lit(None).cast("long") for _ in range(num_perm)])
-    return F.aggregate(
-        _shingle_array(text_col, shingle_n),
-        zero,
-        lambda acc, x: F.zip_with(
-            acc,
-            F.array(*[_h64(x, s) for s in range(num_perm)]),
-            lambda a, b: F.least(a, b),
-        ),
+def _minhash_agg(df: DataFrame, num_perm: int, shingle_n: int, text_col: str, id_col: str) -> DataFrame:
+    """One row per doc with num_perm min-hash columns ``m0..m{k-1}``.
+
+    Shape chosen for both codegen AND shuffle volume: shingles come from
+    the in-projection array builder (no window sort over the token
+    stream), and the num_perm seeded md5s + mins run inside ONE
+    whole-stage-codegen hash aggregation with map-side partial combine —
+    the exchange moves one (id, k mins) row per doc per map partition,
+    never the shingle stream.  (A pure higher-order-function variant —
+    aggregate + zip_with over the shingle array — was measured 5x slower
+    at sf0.1: lambda evaluation is interpreted, per-element allocations
+    swamp the saved exchange.)  Docs with no shingles have no row."""
+    sh = shingles(df, shingle_n, text_col, id_col)
+    return sh.groupBy(id_col).agg(
+        *[F.min(_h64(F.col("shingle"), s)).alias(f"m{s}") for s in range(num_perm)]
     )
 
 
@@ -94,12 +107,12 @@ def minhash_signatures(
     df: DataFrame, num_perm: int = 8, shingle_n: int = 3, text_col="text", id_col="doc_id"
 ) -> DataFrame:
     """(id, seed, minhash): num_perm seeded min-hashes over n-gram
-    shingles.  The signature is one projection; posexplode only unpacks
-    the final num_perm-element array (narrow, no shuffle anywhere)."""
-    mh = _minhash_array(F.col(text_col), num_perm, shingle_n)
+    shingles.  posexplode only unpacks the per-doc num_perm-element
+    result — the heavy stream never shuffles (see _minhash_agg)."""
+    agg = _minhash_agg(df, num_perm, shingle_n, text_col, id_col)
+    pairs = F.posexplode(F.array(*[F.col(f"m{s}") for s in range(num_perm)]))
     return (
-        df.select(F.col(id_col), F.posexplode(mh).alias("seed", "minhash"))
-        .filter(F.col("minhash").isNotNull())
+        agg.select(F.col(id_col), pairs.alias("seed", "minhash"))
         .select(F.col(id_col), F.col("seed").cast("int").alias("seed"), "minhash")
     )
 
@@ -125,11 +138,11 @@ def lsh_candidate_pairs(
     of a mega-bucket are near-dups of boilerplate, not of each other's
     payload, and exact/fingerprint dedup catches the true-identical ones.
     """
-    mh = _minhash_array(F.col(text_col), num_perm, shingle_n)
+    agg = _minhash_agg(df, num_perm, shingle_n, text_col, id_col)
     n_bands = num_perm // band_size
-    # band keys computed in the same projection as the signature (md5 of
-    # the band's string-sorted minhashes — identical to the former
-    # groupBy(id, band) + collect_list agg, minus its shuffle)
+    # band keys computed in the projection right after the signature agg
+    # (md5 of the band's string-sorted minhashes — identical to the
+    # former groupBy(id, band) + collect_list agg, minus its shuffle)
     band_structs = F.array(
         *[
             F.struct(
@@ -138,9 +151,11 @@ def lsh_candidate_pairs(
                     F.concat_ws(
                         ",",
                         F.sort_array(
-                            F.transform(
-                                F.slice(F.col("_mh"), b * band_size + 1, band_size),
-                                lambda x: x.cast("string"),
+                            F.array(
+                                *[
+                                    F.col(f"m{s}").cast("string")
+                                    for s in range(b * band_size, (b + 1) * band_size)
+                                ]
                             )
                         ),
                     )
@@ -150,9 +165,7 @@ def lsh_candidate_pairs(
         ]
     )
     bands = (
-        df.select(F.col(id_col), mh.alias("_mh"))
-        .filter(F.element_at(F.col("_mh"), 1).isNotNull())  # shingle-less docs have no bands
-        .select(F.col(id_col), F.explode(band_structs).alias("bs"))
+        agg.select(F.col(id_col), F.explode(band_structs).alias("bs"))
         .select(id_col, "bs.band", "bs.band_key")
     )
     sizes = bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_bsz"))

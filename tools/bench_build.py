@@ -41,11 +41,12 @@ def main():
     # on a real cluster the job's partitioning (shuffle partitions,
     # encode partitions) is fixed — sized for the larger cluster — and
     # only the executor count varies.  So every core count here runs the
-    # IDENTICAL logical plan (fixed 16-way shuffle/encode layout, >=4
-    # tasks/core at the largest measured size); cores is the only
-    # variable.  (Earlier rounds scaled the layout with cores, i.e.
-    # compared two different jobs.)
-    layout_parts = int(os.environ.get("BEETLE_BENCH_PARTS", "16"))
+    # IDENTICAL logical plan (fixed 8-way shuffle/encode layout, 2
+    # tasks/core at the largest measured size — A/B'd faster than 16-way
+    # at every core count on this VM); cores is the only variable.
+    # (Earlier rounds scaled the layout with cores, i.e. compared two
+    # different jobs.)
+    layout_parts = int(os.environ.get("BEETLE_BENCH_PARTS", "8"))
     spark = get_spark(
         f"bench-build-{args.cores}", cores=args.cores, shuffle_partitions=layout_parts,
         master=args.master,
