@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textops import sql_tokens, token_array
+from .textops import spread_small_input, sql_tokens, token_array
 
 
 def _h64(col: F.Column, seed) -> F.Column:
@@ -61,25 +61,11 @@ def _shingle_array(text_col, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition ONLY when the input has fewer partitions than the
-    session's parallelism (single-file / tiny tables — common in tests
-    and benches, absent at scale where inputs arrive as many splits).
-    Without this, the downstream shingle+hash projection — deliberately
-    shuffle-free — inherits the input's single task and serializes the
-    md5 work on one core; the one-off doc-stream repartition is far
-    cheaper than hashing on one core."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
-
-
 def shingles(df: DataFrame, n: int = 3, text_col="text", id_col="doc_id") -> DataFrame:
     """(id, shingle): distinct n-gram word shingles.  array_distinct runs
     per row, so the only exploded rows are already unique — no shuffle
-    (beyond the conditional small-input _spread)."""
-    return _spread(df).select(
+    (beyond the conditional small-input spread)."""
+    return spread_small_input(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingle_array(F.col(text_col), n))).alias("shingle"),
     )

@@ -31,9 +31,22 @@ def token_array(text_col) -> F.Column:
     return F.filter(toks, lambda t: (F.length(t) >= 2) & ~t.isin(*STOP_LIST))
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than the
+    session's parallelism (single-file / tiny tables — common in tests
+    and benches, absent at scale where inputs arrive as many splits).
+    Token-heavy projections and partial aggregations otherwise inherit
+    the input's task count and serialize on one core; the one-off
+    doc-stream repartition is far cheaper than that."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def sql_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exploded (id, term) rows — the SQL-chain analog of SURVEY T1-T3."""
-    return df.select(
+    return spread_small_input(df).select(
         F.col(id_col), F.explode(token_array(F.col(text_col))).alias("term")
     )
 
