@@ -103,6 +103,12 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         if word.startswith("-") and len(word) > 1:
             neg = True
             word = word[1:]
+        if word.endswith(":") and fields and word[:-1] in fields:
+            # a field prefix whose quoted phrase was already extracted
+            # (title:"big data" -> phrase + dangling 'title:'); phrases
+            # match per-field anyway, so the qualifier drops rather than
+            # becoming a spurious required term 'title'
+            continue
         fld = None
         m = _FIELD_PREFIX.match(word)
         if m and fields and m.group(1) in fields:

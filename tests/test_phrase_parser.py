@@ -106,6 +106,15 @@ def test_parse_not_stemmed_and_or_mode():
     assert pq.excluded == ["model"]
 
 
+def test_parse_fielded_phrase_drops_dangling_prefix():
+    # title:"big data" — the phrase is extracted first; the leftover
+    # 'title:' qualifier must not become a required term
+    pq = parse_query('title:"big data" scan', S, fields={"title", "body"})
+    assert pq.phrases == [[("big", 0), ("data", 1)]]
+    assert "title" not in pq.terms
+    assert set(pq.terms) == {"big", "data", "scan"}
+
+
 def test_parse_lowercase_not_is_a_stopword():
     # only uppercase NOT is an operator; 'not' stays the stopword it was
     pq = parse_query("spark not shuffle", S)
