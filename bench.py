@@ -58,7 +58,11 @@ HEADLINE = [
     "engine_bm25_or",
     "engine_bm25_nostem_or",
     "engine_phrase",
+    "engine_bm25_fielded",
+    "engine_fielded_not",
+    "search_rerank_pipeline",
     "ann_lsh_cosine",
+    "ivf_ann_cosine",
 ]
 
 
