@@ -548,6 +548,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["engine_phrase"] = _phrase
 
+    # Whoosh AndGroup with infix Or (MultifieldParser default,
+    # search_bm25.py:32-33): 'spark OR stream scan' == And(Or(spark,
+    # stream), scan) — scan required, either of spark/stream satisfies
+    # the group, every matching member scores (UnionMatcher sum).  The
+    # DuckDB oracle enforces the grouped predicate over the same BM25
+    # CTEs, making the clause semantics driver-green.
+    def _or_group(s, d):
+        res = _engine_index_nostem(s, d).search("spark OR stream scan", 10, "parse")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["engine_or_group"] = _or_group
+
+    # negated phrase (Whoosh AndNot(Phrase)): docs containing the
+    # adjacent phrase "table scan" are dropped; scoring is plain BM25
+    # over the positive term only
+    def _not_phrase(s, d):
+        res = _engine_index_nostem(s, d).search('spark NOT "table scan"', 10, "parse")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["engine_not_phrase"] = _not_phrase
+
     # incremental refresh (SURVEY §2.11 / streaming): half the corpus
     # built, half appended as an epoch — gated by the FULL-corpus oracle,
     # proving epoch scoring equals a from-scratch rebuild
@@ -1109,6 +1130,43 @@ def oracle_sql() -> dict[str, str]:
       SELECT s.doc_id::varchar AS doc_id, round(s.s, 4) AS score
       FROM scores s JOIN phr USING (doc_id)
       WHERE s.nt = 2 ORDER BY s.s DESC, s.doc_id LIMIT 10
+    """
+    )
+
+    # OR-group entry: And(Or(spark, stream), scan).  The scores CTE sums
+    # ALL matching query terms (UnionMatcher); the grouped predicate is
+    # scan present AND (spark OR stream) present.
+    o["engine_or_group"] = (
+        _bm25_ctes(["spark", "stream", "scan"])
+        + """
+      SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores
+      WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'scan')
+        AND doc_id IN (SELECT doc_id FROM tf WHERE term IN ('spark', 'stream'))
+      ORDER BY s DESC, doc_id LIMIT 10
+    """
+    )
+
+    # negated phrase: BM25 over 'spark' minus docs with adjacent
+    # (table, scan) at pre-stop-filter tokenizer positions
+    o["engine_not_phrase"] = (
+        _bm25_ctes(["spark"])
+        + f"""
+      , rawtok AS (
+        SELECT doc_id, unnest(l) AS term, unnest(range(0, len(l)))::int AS pos
+        FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '{PAT}') AS l
+              FROM documents)
+      ),
+      kept AS (
+        SELECT * FROM rawtok WHERE length(term) >= 2 AND term NOT IN ({STOP_SQL})
+      ),
+      phr AS (
+        SELECT DISTINCT a.doc_id FROM kept a JOIN kept b
+          ON b.doc_id = a.doc_id AND a.term = 'table' AND b.term = 'scan'
+         AND b.pos = a.pos + 1
+      )
+      SELECT s.doc_id::varchar AS doc_id, round(s.s, 4) AS score
+      FROM scores s ANTI JOIN phr ON s.doc_id = phr.doc_id
+      ORDER BY s.s DESC, s.doc_id LIMIT 10
     """
     )
 

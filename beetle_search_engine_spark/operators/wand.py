@@ -20,6 +20,12 @@ Two modes, mirroring the reference's query semantics:
   and vectorized exact scoring of surviving windows.  Rows whose bound
   cannot beat the current top-k floor are skipped without decoding.
 
+* ``group`` — Whoosh's AndGroup with infix Or (``x OR y z`` ==
+  And(Or(x,y), z)): the conjunctive kernel generalized from term
+  intersection to clause intersection (each clause = union of its OR'd
+  members' docs); scoring sums every matching member, Whoosh's
+  UnionMatcher semantics.
+
 Exact scores are recomputed in float64 from (tf, dl, df) — the stored
 float32 ``max_score``/``block_max`` are upper bounds only — so results are
 bit-comparable with the pure-Python oracle.
@@ -208,6 +214,8 @@ def make_wand_kernel(
     taat_density: float = 0.25,
     fielded: dict[str, str] | None = None,
     excluded: list[str] | None = None,
+    groups: list[list[str]] | None = None,
+    excluded_phrases: list[list[tuple[str, int]]] | None = None,
 ):
     """Build the applyInPandas kernel for one query.
 
@@ -236,6 +244,20 @@ def make_wand_kernel(
     term decodes that term's full posting range for the chunk — the
     documented cost of negation, bounded per chunk.
 
+    ``groups``: conjunctive clause list (parser mode "group", Whoosh's
+    default AndGroup with infix Or: ``x OR y z`` == And(Or(x,y), z)).
+    Each clause is a list of terms; a singleton is a required term, a
+    len>=2 clause matches when >=1 member matches.  The candidate set is
+    the intersection over clauses of each clause's member-docs union, and
+    every matching member contributes its BM25F score (Whoosh's
+    UnionMatcher sums matching children).  ``mode='and'`` is exactly the
+    all-singleton special case, so both run the conjunctive kernel.
+
+    ``excluded_phrases``: negated quoted phrases (``NOT "a b"``): docs
+    containing the phrase — same per-field positional adjacency as
+    ``phrases`` — are dropped after candidate selection.  Their terms
+    must ride the posting scan (planner's job) but never score.
+
     ``taat_density``: when the query's AVERAGE per-cursor posting density
     (total postings / (chunk span x number of cursors), so always in
     [0, 1]) exceeds this threshold, block-max pruning cannot win (the
@@ -254,6 +276,13 @@ def make_wand_kernel(
     phrases = [p for p in (phrases or []) if len(p) >= 2]
     fielded = fielded or {}
     excluded_set = set(excluded or [])
+    # conjunctive clause list: parser groups, topped up with singletons
+    # for any scoring term they don't cover (bag-of-words callers pass
+    # groups=None -> all-singleton == classic AND)
+    clauses = [list(dict.fromkeys(c)) for c in (groups or [])]
+    _covered = {t for c in clauses for t in c}
+    clauses += [[t] for t in qterms if t not in _covered]
+    ex_phrases = [p for p in (excluded_phrases or []) if len(p) >= 2]
 
     def _allowed(c: _Cursor) -> bool:
         want = fielded.get(c.term)
@@ -298,19 +327,24 @@ def make_wand_kernel(
             if t in excluded_set or not _allowed(c):
                 continue  # NOT terms / off-field cursors never score
             by_term.setdefault(t, []).append(c)
-        if any(t not in by_term for t in qterms):
-            return EMPTY  # a required term is absent from this chunk
-        order = sorted(qterms, key=lambda t: sum(c.n for c in by_term[t]))
+        if any(all(t not in by_term for t in cl) for cl in clauses):
+            return EMPTY  # a clause has no member present in this chunk
+        order = sorted(
+            clauses, key=lambda cl: sum(c.n for t in cl for c in by_term.get(t, ()))
+        )
         cand = None
-        for t in order:
+        for cl in order:
             parts = []
-            for c in by_term[t]:
-                for r in c.rows:
-                    if cand is not None and (r.doc_hi < cand[0] or r.doc_lo > cand[-1]):
-                        continue  # block skip: range can't intersect
-                    parts.append(r.decode()[0])
+            for t in cl:
+                for c in by_term.get(t, ()):
+                    for r in c.rows:
+                        if cand is not None and (r.doc_hi < cand[0] or r.doc_lo > cand[-1]):
+                            continue  # block skip: range can't intersect
+                        parts.append(r.decode()[0])
             if not parts:
                 return EMPTY
+            # union of the clause members' docs (an OR group matches when
+            # any member matches; a singleton degenerates to its postings)
             docs_t = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
             if cand is None:
                 cand = docs_t
@@ -328,9 +362,14 @@ def make_wand_kernel(
             cand = cand[_phrase_mask(phrase, cand, cursors)]
             if cand.size == 0:
                 return EMPTY
+        for phrase in ex_phrases:
+            # negated phrase: drop docs where it matches in any field
+            cand = cand[~_phrase_mask(phrase, cand, cursors)]
+            if cand.size == 0:
+                return EMPTY
         scores = np.zeros(cand.size, dtype=np.float64)
         for t in qterms:
-            for c in by_term[t]:
+            for c in by_term.get(t, ()):
                 for r in c.rows:
                     if r.doc_hi < cand[0] or r.doc_lo > cand[-1]:
                         continue
@@ -469,4 +508,6 @@ def make_wand_kernel(
             }
         )
 
-    return kernel_and if mode == "and" else kernel_or
+    # "group" (And over OR clauses) is the conjunctive kernel with
+    # non-singleton clauses; pure "or" keeps the block-max WAND path
+    return kernel_and if mode in ("and", "group") else kernel_or

@@ -6,29 +6,46 @@ Supported grammar (a deliberate, documented subset of Whoosh's):
 
 * bare terms            — required (Whoosh's default AndGroup: every term
                           must match in >=1 field)
-* ``OR`` (uppercase)    — switches the whole query to disjunctive
-                          scoring (any term may match); Whoosh's infix Or
-                          group, flattened
+* ``OR`` (uppercase)    — Whoosh's *infix* Or operator under the default
+                          AndGroup: it groups the immediately adjacent
+                          terms, so ``x OR y z`` parses as
+                          ``And(Or(x, y), z)`` — z stays required while
+                          either x or y satisfies the group.  Consecutive
+                          ORs chain (``x OR y OR z w`` ->
+                          ``And(Or(x,y,z), w)``).  A doc matching several
+                          group members scores the sum of the matching
+                          members (Whoosh's UnionMatcher).
 * ``AND`` (uppercase)   — explicit no-op (conjunctive is the default)
 * ``"quoted phrase"``   — terms must appear consecutively, in order,
                           within one field (needs an index built with
-                          store_positions=True).  A phrase forces
-                          conjunctive mode: its terms are required, and
-                          Whoosh's Phrase node is likewise an AND-side
-                          constraint.
+                          store_positions=True).  A phrase is always an
+                          AND-side constraint (Whoosh's Phrase node);
+                          ``"a b" OR x`` degrades to the phrase required
+                          plus x handled by the surrounding grammar — the
+                          phrase never joins an OR group (documented
+                          simplification of Whoosh's Or(Phrase, x)).
 * ``field:term``        — restricts that term to one index field
                           (Whoosh's FieldsPlugin); the prefix must name a
                           field the index was built with, otherwise the
                           whole token degrades to plain text (the
                           analyzer strips the ':'), matching how Whoosh
-                          treats unknown field names as text.
+                          treats unknown field names as text.  Fielded
+                          terms participate in OR groups normally.
 * ``NOT term`` / ``-term`` — excluded term (Whoosh's AndNot): any doc
                           containing it in ANY field is dropped from the
                           results; excluded terms never contribute to
                           scores.  ``NOT field:x`` excludes x globally (a
                           documented simplification).  ``-term`` is a
                           convenience extension (Whoosh needs its
-                          non-default PlusMinusPlugin for it).
+                          non-default PlusMinusPlugin for it).  An OR
+                          immediately before a NOT term is dropped
+                          (Whoosh's Or(x, Not(y)) has no clean AndNot
+                          reading; documented simplification).
+* ``NOT "a b"`` / ``-"a b"`` — excluded phrase: docs containing the
+                          phrase (same per-field positional adjacency as
+                          positive phrases) are dropped.  ``NOT
+                          field:"a b"`` excludes the phrase globally,
+                          mirroring the NOT field:term simplification.
 
 Terms pass through the same analyzer chain as indexing (each phrase is
 analyzed as a unit, so stop words drop out of phrases exactly as Whoosh's
@@ -46,13 +63,16 @@ from dataclasses import dataclass, field
 from ..functions.analyzer import Analyzer
 
 _QUOTED = re.compile(r'"([^"]*)"')
+# NOT "a b" / -"a b" / NOT title:"a b": extracted before positive phrases
+# so the quoted body never reaches the positive-phrase grab
+_NEG_QUOTED = re.compile(r'(?:\bNOT\s+|(?<!\S)-)(\w+:)?"([^"]*)"')
 _FIELD_PREFIX = re.compile(r"^(\w+):(.+)$")
 
 
 @dataclass(frozen=True)
 class ParsedQuery:
     terms: list[str]                  # all scoring terms, deduped, order kept
-    mode: str                         # "and" | "or"
+    mode: str                         # "and" | "or" | "group"
     # each phrase is [(term, offset)] with offsets = tokenizer positions
     # relative to the phrase's first kept token; a stopword inside a
     # quoted phrase therefore contributes a position *gap* that matching
@@ -60,6 +80,15 @@ class ParsedQuery:
     phrases: list[list[tuple[str, int]]] = field(default_factory=list)
     fielded: dict[str, str] = field(default_factory=dict)  # term -> field
     excluded: list[str] = field(default_factory=list)      # NOT terms
+    # conjunctive clause list (mode "group"): each clause is a list of
+    # terms; singleton = required term, len>=2 = OR group (>=1 member
+    # must match; every matching member scores).  Together the clauses
+    # are Whoosh's And([...Or(...)...]) tree, flattened one level —
+    # covers every scoring term exactly once.
+    groups: list[list[str]] = field(default_factory=list)
+    # NOT "a b": docs containing the phrase are dropped (same positional
+    # semantics as `phrases`; requires store_positions)
+    excluded_phrases: list[list[tuple[str, int]]] = field(default_factory=list)
 
     @property
     def empty(self) -> bool:
@@ -68,30 +97,42 @@ class ParsedQuery:
 
 def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) -> ParsedQuery:
     """Parse a raw user query into (terms, mode, phrases, fielded,
-    excluded).  ``fields``: the index's field names — a ``field:`` prefix
-    is only honored when it names one of them."""
+    excluded, groups, excluded_phrases).  ``fields``: the index's field
+    names — a ``field:`` prefix is only honored when it names one of
+    them."""
     phrases: list[list[tuple[str, int]]] = []
+    ex_phrases: list[list[tuple[str, int]]] = []
     singles: list[str] = []  # single-term "phrases" degrade to plain terms
+    ex_singles: list[str] = []  # single-term negated phrases -> NOT terms
 
-    def grab(m: re.Match) -> str:
-        p = analyzer.analyze_pos(m.group(1))
+    def _analyzed_phrase(text: str, out_multi: list, out_single: list) -> None:
+        p = analyzer.analyze_pos(text)
         if len(p) >= 2:
             base = p[0][1]
-            phrases.append([(t, i - base) for t, i in p])
+            out_multi.append([(t, i - base) for t, i in p])
         elif p:
-            singles.append(p[0][0])  # already analyzed — don't re-stem
+            out_single.append(p[0][0])  # already analyzed — don't re-stem
+
+    def grab_neg(m: re.Match) -> str:
+        _analyzed_phrase(m.group(2), ex_phrases, ex_singles)
         return " "
 
-    rest = _QUOTED.sub(grab, query)
+    def grab(m: re.Match) -> str:
+        _analyzed_phrase(m.group(1), phrases, singles)
+        return " "
 
-    mode = "and"
-    bare_terms: list[str] = []
+    rest = _QUOTED.sub(grab, _NEG_QUOTED.sub(grab_neg, query))
+
+    clauses: list[list[str]] = []  # conjunctive; each = OR'd member terms
     fielded: dict[str, str] = {}
     excluded: list[str] = []
     pending_not = False
+    or_pending = False  # an OR was seen after clauses[-1]; the next
+    # positive term joins that clause instead of opening a new one
     for word in rest.split():
         if word == "OR":
-            mode = "or"
+            if clauses:  # leading OR has no left operand -> noise
+                or_pending = True
             continue
         if word == "AND":
             continue
@@ -107,33 +148,62 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
             # a field prefix whose quoted phrase was already extracted
             # (title:"big data" -> phrase + dangling 'title:'); phrases
             # match per-field anyway, so the qualifier drops rather than
-            # becoming a spurious required term 'title'
+            # becoming a spurious required term 'title'.  (A NOT before
+            # the phrase is consumed by the negated-phrase extraction,
+            # so no negation is lost here.)
             continue
         fld = None
         m = _FIELD_PREFIX.match(word)
         if m and fields and m.group(1) in fields:
             fld, word = m.group(1), m.group(2)
-        for t in analyzer.analyze(word):
-            if neg:
-                excluded.append(t)
+        toks = analyzer.analyze(word)
+        if neg:
+            excluded.extend(toks)
+            or_pending = False  # Or(x, Not(y)) simplified away: the OR drops
+            continue
+        for j, t in enumerate(toks):
+            if j == 0 and or_pending:
+                if t not in clauses[-1]:
+                    clauses[-1].append(t)
+                or_pending = False
             else:
-                bare_terms.append(t)
-                if fld is not None:
-                    fielded[t] = fld
+                clauses.append([t])
+            if fld is not None:
+                fielded[t] = fld
+        if toks:
+            or_pending = False
 
+    excluded = excluded + ex_singles
+
+    # singles (degraded 1-term phrases) and phrase member terms become
+    # required singleton clauses unless already covered by a clause
     seen: dict[str, None] = {}
-    for t in bare_terms + singles:
-        seen.setdefault(t)
+    for c in clauses:
+        for t in c:
+            seen.setdefault(t)
+    for t in singles:
+        if t not in seen:
+            clauses.append([t])
+            seen.setdefault(t)
     for p in phrases:
         for t, _off in p:
-            seen.setdefault(t)
+            if t not in seen:
+                clauses.append([t])
+                seen.setdefault(t)
 
-    if phrases:
-        mode = "and"  # a phrase is a conjunctive constraint
+    terms = list(seen)
+    has_group = any(len(c) > 1 for c in clauses)
+    if not has_group:
+        mode = "and"
+    elif len(clauses) == 1 and not phrases and not ex_phrases:
+        mode = "or"  # pure disjunction -> block-max WAND path
+    else:
+        mode = "group"  # And over clauses, >=1 a real OR group
     ex_seen: dict[str, None] = {}
     for t in excluded:
         ex_seen.setdefault(t)
     return ParsedQuery(
-        terms=list(seen), mode=mode, phrases=phrases,
+        terms=terms, mode=mode, phrases=phrases,
         fielded=fielded, excluded=list(ex_seen),
+        groups=clauses, excluded_phrases=ex_phrases,
     )

@@ -115,14 +115,16 @@ class BM25Index:
             pq = ParsedQuery(terms=self.analyzer.analyze_query(query), mode=mode)
         if pq.empty:
             return self.empty_result()
-        if pq.phrases and not self.stats.get("store_positions"):
+        if (pq.phrases or pq.excluded_phrases) and not self.stats.get("store_positions"):
             raise ValueError(
                 "phrase query needs an index built with store_positions=True"
             )
         terms, mode, phrases = pq.terms, pq.mode, pq.phrases
-        # excluded (NOT) terms ride the same pruned scan: their postings
-        # are needed to drop matching docs, but they never score
-        all_terms = list(dict.fromkeys([*terms, *pq.excluded]))
+        # excluded (NOT) terms and negated-phrase terms ride the same
+        # pruned scan: their postings are needed to drop matching docs,
+        # but they never score
+        ex_phrase_terms = [t for ph in pq.excluded_phrases for t, _off in ph]
+        all_terms = list(dict.fromkeys([*terms, *pq.excluded, *ex_phrase_terms]))
         buckets = self._buckets_for(all_terms)
         scan = self.postings.filter(
             F.col("bucket").isin(sorted(set(buckets.values()))) & F.col("term").isin(all_terms)
@@ -146,6 +148,7 @@ class BM25Index:
         kernel = make_wand_kernel(
             terms, self.stats, top_k, mode, df_override, phrases,
             fielded=pq.fielded, excluded=pq.excluded,
+            groups=pq.groups or None, excluded_phrases=pq.excluded_phrases or None,
         )
         scored = scan.groupBy("chunk").applyInPandas(kernel, "docnum long, score double")
         top_rows = (
@@ -224,6 +227,7 @@ class BM25Index:
         kernel = make_wand_kernel(
             pq.terms, self.stats, top_k, pq.mode, df_override, pq.phrases,
             fielded=pq.fielded, excluded=pq.excluded,
+            groups=pq.groups or None, excluded_phrases=pq.excluded_phrases or None,
         )
         outs = [kernel(grp.reset_index(drop=True)) for _, grp in pdf.groupby("chunk")]
         import pandas as pd

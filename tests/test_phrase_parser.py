@@ -32,6 +32,80 @@ def test_parse_explicit_or():
     pq = parse_query("spark OR flink", S)
     assert pq.mode == "or"
     assert pq.terms == ["spark", "flink"]
+    assert pq.groups == [["spark", "flink"]]
+
+
+def test_parse_or_group_infix_precedence():
+    # Whoosh default AndGroup with infix Or: x OR y z == And(Or(x,y), z)
+    pq = parse_query("spark OR flink scan", S)
+    assert pq.mode == "group"
+    assert pq.groups == [["spark", "flink"], ["scan"]]
+    assert pq.terms == ["spark", "flink", "scan"]
+
+
+def test_parse_or_chain():
+    pq = parse_query("a1 OR b1 OR c1 d1", S)
+    assert pq.mode == "group"
+    assert pq.groups == [["a1", "b1", "c1"], ["d1"]]
+
+
+def test_parse_two_or_groups():
+    pq = parse_query("a1 OR b1 c1 OR d1", S)
+    assert pq.mode == "group"
+    assert pq.groups == [["a1", "b1"], ["c1", "d1"]]
+
+
+def test_parse_leading_trailing_or_is_noise():
+    pq = parse_query("OR spark scan OR", S)
+    assert pq.mode == "and"
+    assert pq.groups == [["spark"], ["scan"]]
+
+
+def test_parse_or_with_fielded_member():
+    pq = parse_query("title:spark OR flink scan", S, fields={"title", "body"})
+    assert pq.mode == "group"
+    assert pq.groups == [["spark", "flink"], ["scan"]]
+    assert pq.fielded == {"spark": "title"}
+
+
+def test_parse_or_before_not_drops_or():
+    # Or(x, Not(y)) has no AndNot reading -> the OR drops (documented)
+    pq = parse_query("spark OR NOT flink scan", S)
+    assert pq.mode == "and"
+    assert pq.groups == [["spark"], ["scan"]]
+    assert pq.excluded == ["flink"]
+
+
+def test_parse_negated_phrase():
+    pq = parse_query('spark NOT "big data"', S)
+    assert pq.terms == ["spark"]
+    assert pq.excluded == []
+    assert pq.excluded_phrases == [[("big", 0), ("data", 1)]]
+    assert pq.mode == "and"
+
+
+def test_parse_negated_phrase_minus_and_fielded():
+    pq = parse_query('scan -"stream join" NOT title:"big data"', S, fields={"title"})
+    assert pq.terms == ["scan"]
+    assert {tuple(p) for p in pq.excluded_phrases} == {
+        (("stream", 0), ("join", 1)),
+        (("big", 0), ("data", 1)),
+    }
+
+
+def test_parse_negated_single_term_phrase_degrades_to_not():
+    pq = parse_query('spark NOT "shuffle"', S)
+    assert pq.terms == ["spark"]
+    assert pq.excluded == ["shuffle"]
+    assert pq.excluded_phrases == []
+
+
+def test_parse_group_with_phrase_keeps_group_mode():
+    pq = parse_query('"big data" spark OR flink', S)
+    assert pq.mode == "group"
+    assert pq.phrases == [[("big", 0), ("data", 1)]]
+    # phrase terms are required singletons after the parsed clauses
+    assert pq.groups == [["spark", "flink"], ["big"], ["data"]]
 
 
 def test_parse_and_is_noop():
@@ -193,6 +267,70 @@ def test_parse_mode_or_vs_and(phrase_index):
     assert _ids(both) == {"b"}  # AND default: only b has both
     either = phrase_index.search("transformer OR pipelines", 10, mode="parse")
     assert _ids(either) == {"a", "b", "c", "d", "e", "f", "g"}
+
+
+def test_or_group_search(phrase_index):
+    # And(Or(pipelines, deep), models): docs with models = {a,b,c,d,e};
+    # pipelines -> b, deep -> c
+    res = phrase_index.search("pipelines OR deep models", 10, mode="parse")
+    assert _ids(res) == {"b", "c"}
+
+
+def test_or_group_search_distributed(phrase_index):
+    res = phrase_index.search(
+        "pipelines OR deep models", 10, mode="parse", prefer_local=False
+    )
+    assert _ids(res) == {"b", "c"}
+
+
+def test_or_group_absent_member(phrase_index):
+    # zzz never indexed: the group still matches via pipelines
+    res = phrase_index.search("pipelines OR zzz models", 10, mode="parse")
+    assert _ids(res) == {"b"}
+
+
+def test_or_group_scores_sum_matching_members(phrase_index):
+    # doc b matches both group members -> its group score is the sum;
+    # compare against the pure-term searches (UnionMatcher semantics)
+    grp = {r["doc_id"]: r["score"] for r in
+           phrase_index.search("pipelines OR transformer", 10, mode="parse").collect()}
+    pipe = {r["doc_id"]: r["score"] for r in
+            phrase_index.search("pipelines", 10, mode="parse").collect()}
+    tra = {r["doc_id"]: r["score"] for r in
+           phrase_index.search("transformer", 10, mode="parse").collect()}
+    for doc, s in grp.items():
+        assert s == pytest.approx(pipe.get(doc, 0.0) + tra.get(doc, 0.0), rel=1e-12)
+
+
+def test_negated_phrase_search(phrase_index):
+    # all docs have transformer; drop those containing "transformer models"
+    res = phrase_index.search('transformer NOT "transformer models"', 10, mode="parse")
+    assert _ids(res) == {"b", "c", "e", "f", "g"}
+
+
+def test_negated_phrase_search_distributed(phrase_index):
+    res = phrase_index.search(
+        'transformer NOT "transformer models"', 10, mode="parse", prefer_local=False
+    )
+    assert _ids(res) == {"b", "c", "e", "f", "g"}
+
+
+def test_negated_phrase_with_or_group(phrase_index):
+    # And(Or(state, models), Not(Phrase(transformer models)))
+    # state|models docs: a,b,c,d,e,f,g minus phrase docs {a,d}
+    res = phrase_index.search('state OR models NOT "transformer models"', 10, mode="parse")
+    assert _ids(res) == {"b", "c", "e", "f", "g"}
+
+
+def test_negated_phrase_on_positionless_index_raises(spark, tmp_path):
+    corpus = spark.createDataFrame([("a", "alpha beta gamma")], "doc_id string, content string")
+    idx_dir = str(tmp_path / "nopos2")
+    cfg = EngineConfig(
+        index=IndexConfig(n_buckets=2, bucket_groups=1, chunk_docs=64, encode_partitions=2)
+    )
+    build_index(spark, corpus, idx_dir, fields={"body": "content"}, cfg=cfg)
+    with pytest.raises(ValueError, match="store_positions"):
+        BM25Index(spark, idx_dir).search('alpha NOT "beta gamma"', 10, mode="parse")
 
 
 def test_phrase_on_positionless_index_raises(spark, tmp_path):
