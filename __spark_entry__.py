@@ -1251,12 +1251,18 @@ def oracle_sql() -> dict[str, str]:
     # at the driver's sf0.01; override with SPARK_GRAFT_ORACLE_SF.
     import numpy as _np
 
-    from beetle_search_engine_spark.operators.ml import _read_embeddings_np, fit_centroids_np
+    from beetle_search_engine_spark.operators.ml import (
+        _read_embeddings_np,
+        _read_query_vec_np,
+        fit_centroids_np,
+    )
 
     _osf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-    _ids, _X = _read_embeddings_np(f"{_osf}/embeddings.parquet")
+    # same bounded sample as ivf_search_deterministic (256 * k lowest
+    # vec_ids) so the centroid literals stay bit-identical to the entry
+    _ids, _X = _read_embeddings_np(f"{_osf}/embeddings.parquet", limit=256 * 8)
     _C = fit_centroids_np(_X, 8, 42, 20)
-    _qv = _X[_ids == 0][0]
+    _qv = _read_query_vec_np(f"{_osf}/embeddings.parquet", 0)
     _cd = ((_C - _qv) ** 2).sum(axis=1)
     _probe = [int(j) for j in _np.lexsort((_np.arange(8), _cd))[:4]]
     _cent_sql = "[" + ", ".join(

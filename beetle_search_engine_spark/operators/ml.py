@@ -124,7 +124,12 @@ def train_weak_to_strong(
         # Per-class Bernoulli(0.8) is what sampleBy does too, so the
         # split is stratified in expectation exactly like the default.
         train = df.filter(split_bucket(F.col("doc_id"), seed) < int((1.0 - test_fraction) * 1000))
-    test = df.join(train.select("doc_id"), "doc_id", "left_anti")
+    if shuffle:
+        test = df.join(train.select("doc_id"), "doc_id", "left_anti")
+    else:
+        # complementary per-row filter, not an anti-join: the hash split's
+        # whole point is no shuffle, and a left_anti would reintroduce one
+        test = df.filter(split_bucket(F.col("doc_id"), seed) >= int((1.0 - test_fraction) * 1000))
 
     # balanced class weights on the TRAIN split (sklearn class_weight="balanced")
     counts = {r["y"]: r["c"] for r in train.groupBy("y").agg(F.count(F.lit(1)).alias("c")).collect()}
@@ -188,9 +193,16 @@ def fit_centroids_np(X, k: int, seed: int = 42, iters: int = 20):
         idx.append(int(rng.choice(n, p=p)))
         d2 = np.minimum(d2, ((X - X[idx[-1]]) ** 2).sum(axis=1))
     C = X[idx].copy()
+    # Lloyd assignment in row blocks: identical per-element arithmetic to
+    # the full (n, k, d) broadcast, but peak memory is (block, k, d) —
+    # the n x k x d tensor never materializes even at the sample cap
+    block = 4096
+    a = np.empty(n, dtype=np.int64)
     for _ in range(iters):
-        D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        a = np.argmin(D, axis=1)  # ties -> lowest cluster id
+        for s in range(0, n, block):
+            xb = X[s : s + block]
+            D = ((xb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a[s : s + block] = np.argmin(D, axis=1)  # ties -> lowest id
         for j in range(k):
             m = a == j
             if m.any():
@@ -198,17 +210,54 @@ def fit_centroids_np(X, k: int, seed: int = 42, iters: int = 20):
     return C
 
 
-def _read_embeddings_np(path: str):
-    """Driver-side (vec_id-sorted) read of an embeddings parquet — the
-    deterministic sample the numpy quantizer trains on."""
+def _read_embeddings_np(path: str, limit: int | None = None):
+    """Driver-side (vec_id-sorted) read of an embeddings parquet.
+
+    ``limit`` caps the read to the ``limit`` LOWEST vec_ids — the
+    deterministic bounded sample the numpy quantizer trains on (FAISS
+    trains its coarse quantizer on ~256*k vectors regardless of corpus
+    size).  The cap is pushed into the parquet scan (``vec_id < limit``
+    prunes row groups when ids are 0-based contiguous, the common case);
+    when that predicate matches nothing (ids not 0-based), the fallback
+    reads ONLY the 8-byte vec_id column to find the limit-th smallest id
+    and re-scans with that cutoff pushed down — the embedding vectors
+    themselves are never read unbounded."""
     import numpy as np
     import pyarrow.dataset as ds
 
-    t = ds.dataset(path, format="parquet").to_table(columns=["vec_id", "embedding"])
+    dset = ds.dataset(path, format="parquet")
+    flt = None
+    if limit is not None:
+        flt = ds.field("vec_id") < limit
+        if dset.count_rows(filter=flt) == 0:
+            all_ids = np.asarray(
+                dset.to_table(columns=["vec_id"]).column("vec_id").to_pylist(),
+                dtype=np.int64,
+            )
+            if all_ids.size > limit:
+                cutoff = np.partition(all_ids, limit - 1)[limit - 1]
+            else:
+                cutoff = all_ids.max() if all_ids.size else 0
+            flt = ds.field("vec_id") <= int(cutoff)
+    t = dset.to_table(columns=["vec_id", "embedding"], filter=flt)
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
     order = np.argsort(ids)
     return ids[order], X[order]
+
+
+def _read_query_vec_np(path: str, query_id: int):
+    """Fetch ONE embedding by id with the predicate pushed into the scan
+    — the query vector never rides the quantizer's training sample."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    t = ds.dataset(path, format="parquet").to_table(
+        columns=["embedding"], filter=ds.field("vec_id") == query_id
+    )
+    if t.num_rows == 0:
+        raise KeyError(f"vec_id {query_id} not found in {path}")
+    return np.asarray(t.column("embedding").to_pylist()[0], dtype=np.float64)
 
 
 def ivf_search_deterministic(
@@ -220,18 +269,23 @@ def ivf_search_deterministic(
     n_clusters: int = 8,
     seed: int = 42,
     iters: int = 20,
+    train_sample: int = 256,
 ) -> DataFrame:
     """IVF probe whose coarse quantizer is fit_centroids_np — the same
     function the DuckDB oracle calls, so both sides share bit-identical
-    centroid literals.  Assignment is a JVM-side argmin over the k
-    centroid distance expressions (no Python in the scan); the probe
-    filters to the nprobe clusters nearest the query (driver-computed,
-    same tiebreak) and runs exact cosine on the survivors only."""
+    centroid literals.  The quantizer trains on a deterministic bounded
+    sample (the ``train_sample * n_clusters`` lowest vec_ids, FAISS's
+    ~256*k practice) — the driver never reads the embedding table
+    unbounded; the query vector is fetched by a pushed-down id filter.
+    Assignment is a JVM-side argmin over the k centroid distance
+    expressions (no Python in the scan); the probe filters to the nprobe
+    clusters nearest the query (driver-computed, same tiebreak) and runs
+    exact cosine on the survivors only."""
     import numpy as np
 
-    ids, X = _read_embeddings_np(emb_path)
+    _ids, X = _read_embeddings_np(emb_path, limit=train_sample * n_clusters)
     C = fit_centroids_np(X, n_clusters, seed, iters)
-    q = X[ids == query_id][0]
+    q = _read_query_vec_np(emb_path, query_id)
     cd = ((C - q) ** 2).sum(axis=1)
     probe = [int(j) for j in np.lexsort((np.arange(n_clusters), cd))[:nprobe]]
 

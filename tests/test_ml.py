@@ -73,3 +73,45 @@ def test_ivf_recall_vs_bruteforce(spark):
     # full probe == exact
     full = [r["vec_id"] for r in ivf_search(assigned, km, 0, 10, nprobe=8).collect()]
     assert full == exact
+
+
+def test_read_embeddings_bounded_sample(tmp_path):
+    """_read_embeddings_np(limit=) returns exactly the limit LOWEST
+    vec_ids — both on 0-based ids (pushdown path) and on ids starting
+    far from 0 (cutoff-fallback path) — and never the whole table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beetle_search_engine_spark.operators.ml import _read_embeddings_np, _read_query_vec_np
+
+    rng = np.random.default_rng(3)
+    for base, name in ((0, "zero"), (10_000, "offset")):
+        ids = np.arange(base, base + 100, dtype=np.int64)
+        rng.shuffle(ids)
+        vecs = rng.normal(size=(100, 4))
+        path = str(tmp_path / f"emb_{name}.parquet")
+        pq.write_table(
+            pa.table({"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]}),
+            path,
+        )
+        got_ids, got_X = _read_embeddings_np(path, limit=10)
+        assert list(got_ids) == list(range(base, base + 10))
+        assert got_X.shape == (10, 4)
+        # query fetch by pushed-down id filter
+        q = _read_query_vec_np(path, base + 5)
+        expect = vecs[list(ids).index(base + 5)]
+        assert np.allclose(q, expect)
+
+
+def test_hash_split_is_complementary(spark):
+    """shuffle=False: train and test partition df exactly (no overlap,
+    no loss) via the complementary hash filter — no anti-join shuffle."""
+    from beetle_search_engine_spark.operators.ml import split_bucket
+    from pyspark.sql import functions as F
+
+    df = load_documents(spark, SF).select("doc_id")
+    tr = df.filter(split_bucket(F.col("doc_id"), 42) < 800)
+    te = df.filter(split_bucket(F.col("doc_id"), 42) >= 800)
+    assert tr.count() + te.count() == df.count()
+    assert tr.join(te, "doc_id", "inner").count() == 0
