@@ -36,6 +36,19 @@ _NOUN_RULES = [
     ("sses", "ss"), ("ses", "s"), ("ies", "y"), ("s", ""),
 ]
 
+# Common nouns whose singular ends in vowel+'s' (bus, gas, virus...):
+# the vowel gate on the ('ses','s') rule would otherwise send their
+# plurals through the plain ('s','') rule ('buses' -> 'buse').  A real
+# morphy resolves this with its dictionary lookup; dictionary-free, a
+# small closed list is the honest tradeoff — unlisted vowel+s nouns
+# ('crocuses') still clip to '-use' while the far more frequent '-se'
+# nouns ('houses' -> 'house', 'causes' -> 'cause') stay correct.
+_S_NOUN_STEMS = {
+    "bus", "gas", "virus", "census", "bonus", "campus", "status", "corpus",
+    "radius", "alias", "atlas", "bias", "canvas", "lens", "plus", "surplus",
+    "genus", "minus", "iris", "consensus", "apparatus", "syllabus",
+}
+
 _VOWELS = set("aeiou")
 
 
@@ -62,6 +75,8 @@ def lemmatize(word: str) -> str:
     if len(w) <= 2:
         return w
     if w.endswith("s") and not w.endswith("ss"):
+        if w.endswith("es") and w[:-2] in _S_NOUN_STEMS:
+            return w[:-2]  # buses -> bus, lenses -> lens
         for suf, rep in _NOUN_RULES:
             if not w.endswith(suf):
                 continue

@@ -201,7 +201,10 @@ def stage_corpus_prestaged(
         raise ValueError(f"cannot read footers driver-side: {e}") from e
 
     h = spark.read.parquet(path)
-    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    # input_file_name() yields a percent-encoded URI; listStatus yields
+    # raw names — url_decode aligns them (a space/'%'/'#' in a data file
+    # name would otherwise map to a null _pid and crash the numbering)
+    fname = F.url_decode(F.element_at(F.split(F.input_file_name(), "/"), -1))
     pid_map = F.create_map(*[x for i, nm in enumerate(names) for x in (F.lit(nm), F.lit(i))])
     if columns is not None:
         h = h.select(*columns)
@@ -209,7 +212,10 @@ def stage_corpus_prestaged(
     row = h.agg(
         F.count(F.lit(1)).alias("c"),
         F.expr(f"bit_xor(xxhash64({id_col}))").alias("x"),
+        F.sum(F.col("_pid").isNull().cast("int")).alias("nullpid"),
     ).collect()[0]
+    if int(row["nullpid"] or 0) > 0:
+        raise ValueError("file name failed to map to a pid — use stage_corpus")
     if int(row["c"]) != sum(counts.values()):
         raise ValueError("footer row counts disagree with scan — use stage_corpus")
     fingerprint = {"n_docs": int(row["c"]), "id_hash_xor": int(row["x"] or 0)}

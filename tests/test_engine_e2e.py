@@ -172,6 +172,24 @@ def test_prestaged_build_matches_staged(spark, built, tmp_path):
     assert fp1 == fp2
 
 
+def test_prestaged_handles_uri_encoded_filenames(spark, built, tmp_path):
+    """A data file whose name percent-encodes in a URI (space) must still
+    map to a pid: input_file_name() returns the ENCODED name, listStatus
+    the raw one — url_decode aligns them (no null _pid crash)."""
+    from beetle_search_engine_spark.operators.docnums import numbered, stage_corpus_prestaged
+
+    _, _, _, corpus = built
+    src = str(tmp_path / "corpus enc src")  # space in the DIRECTORY too
+    corpus.write.mode("overwrite").parquet(src)
+    # rename a data file to contain a space and a '#'
+    part = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+    os.rename(f"{src}/{part}", f"{src}/part one#.parquet")
+    h, offsets, fp = stage_corpus_prestaged(spark, src, id_col="doc_id")
+    out = numbered(h, offsets, columns=["doc_id"])
+    dn = sorted(r["docnum"] for r in out.collect())
+    assert dn == list(range(N_DOCS))
+
+
 def test_resume_skips_completed_groups(spark, built):
     idx, _, _, corpus = built
     m2 = build_index(spark, corpus, idx, fields=FIELDS, cfg=CFG, meta_cols=("repo", "path"))

@@ -16,6 +16,19 @@ def test_lemmatize_nouns():
     assert lemmatize("was") == "be"         # irregular
 
 
+def test_lemmatize_vowel_s_nouns():
+    # -se nouns keep their e via the vowel gate on ('ses','s')...
+    assert lemmatize("houses") == "house"
+    assert lemmatize("causes") == "cause"
+    assert lemmatize("senses") == "sens"    # consonant+ses -> clipped
+    # ...while listed vowel+s nouns don't get a spurious 'e'
+    assert lemmatize("buses") == "bus"
+    assert lemmatize("gases") == "gas"
+    assert lemmatize("viruses") == "virus"
+    assert lemmatize("lenses") == "lens"
+    assert lemmatize("statuses") == "status"
+
+
 def test_lemmatize_verbs():
     assert lemmatize("running") == "run"    # degemination
     assert lemmatize("stopped") == "stop"
