@@ -1,0 +1,168 @@
+"""Iterative BFS web-crawl frontier (SURVEY S2-S4/P6/P7/U1; reference:
+src/ETL/website_crawler.py:19-57).
+
+The reference crawls one URL at a time from a FIFO deque with a Python
+``visited`` set, per seed, stopping at ``max_urls`` crawled pages or
+``max_depth`` hops.  The Spark-native shape of that loop is a
+*depth-synchronous BFS*: each iteration fetches the whole frontier at
+depth d in one distributed pass (partition parallelism instead of the
+reference's sequential requests), extracts links from the kept pages,
+and builds the depth d+1 frontier as
+
+    new links  -> dropDuplicates(seed, url)     (U1 within the wave)
+               -> left_anti join vs visited     (the visited-set test)
+               -> same_domain(link, seed)       (P6)
+
+All seeds crawl in the SAME distributed waves — the seed rides every row
+as a column, so per-seed visited sets and per-seed budgets (the
+reference runs ``crawl()`` once per seed, each with its own state) fall
+out of (seed, url) keys rather than a driver loop over seeds.
+
+Ordering note: the reference's FIFO makes ``max_urls`` cut mid-wave in
+discovery order; a distributed wave has no such order, so the budget cut
+is made deterministic by ranking each wave's kept pages per seed by url
+(row_number) before applying the remaining budget.  Same bound, stable
+under any partitioning/AQE re-plan — documented divergence from FIFO
+order (the SET of crawled pages can differ from the reference's when the
+budget truncates; the reference's own set depends on network timing).
+
+Frontier/visited frames are ``localCheckpoint``-ed each wave: an
+iterative lineage would otherwise grow by one join per depth and
+re-fetch earlier waves on every action.  On a real cluster the same
+truncation is a parquet stage per wave (the frontier-sink pattern,
+streaming/incremental.py) — local checkpoints are the single-node
+analog; frontiers are tiny (url, seed, depth) rows either way.
+
+No network in this sandbox: the transport is the injected
+``fetcher_factory`` seam shared with fetch_urls — tests drive a
+deterministic fake site graph; drop in a requests-backed fetcher on a
+real cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import same_domain, urljoin_canonical
+from .fetch import fetch_urls, html_ok
+
+# the reference extracts soup.find_all("a", href=True); dependency-free
+# default = href attributes of <a> tags (case-insensitive, both quotes)
+_HREF_RE = re.compile(rb'<a\s[^>]*?href\s*=\s*["\']([^"\']+)["\']', re.IGNORECASE)
+
+
+def _default_link_extractor():
+    def extract(body: bytes) -> list[str]:
+        if not body:
+            return []
+        return [m.decode("utf-8", "ignore") for m in _HREF_RE.findall(body)]
+
+    return extract
+
+
+def extract_links(pages: DataFrame, link_extractor_factory=None) -> F.Column | DataFrame:
+    """(seed, url, depth, href) — raw hrefs exploded from page bodies.
+    ``link_extractor_factory() -> (body: bytes) -> list[str]`` is the
+    parser seam (default: regex over <a href>; inject a real HTML parser
+    where one is available)."""
+    factory = link_extractor_factory or _default_link_extractor
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _hrefs(body: pd.Series) -> pd.Series:
+        extract = factory()  # once per task
+        return pd.Series([extract(b) for b in body])
+
+    return pages.select(
+        "seed", "url", "depth", F.explode(_hrefs(F.col("body"))).alias("href")
+    )
+
+
+def crawl_frontier(
+    spark: SparkSession,
+    seeds: list[str],
+    fetcher_factory,
+    max_depth: int = 2,
+    max_urls: int = 100,
+    partitions: int | None = None,
+    link_extractor_factory=None,
+) -> DataFrame:
+    """Crawl from ``seeds``, returning the crawled pages as a DataFrame
+    (seed, url, depth, status, content_type, body) — the distributed
+    analog of the reference's crawl() writing one url per line.
+
+    Per seed (reference semantics, website_crawler.py:26-33): stop after
+    ``max_urls`` pages with status 200 + text/html, never follow beyond
+    ``max_depth`` hops, never refetch a url, only follow same-domain
+    links.  Failed fetches consume the url (marked visited) but not the
+    budget, exactly like the reference's try/except-continue."""
+    from ..functions.urls import canonicalize_url
+
+    norm = []
+    for s in seeds:
+        s = s if s.startswith("http") else f"https://{s}"
+        # canonical seed (path "/", sorted query): without this the seed
+        # and an extracted link back to it ("https://a.com" vs
+        # "https://a.com/") would dodge the visited set and fetch twice
+        s = canonicalize_url(s)
+        if s not in norm:
+            norm.append(s)
+    frontier = spark.createDataFrame(
+        [(s, s, 0) for s in norm], "seed string, url string, depth int"
+    )
+    visited = frontier.select("seed", "url")
+    remaining = {s: int(max_urls) for s in norm}
+    crawled: DataFrame | None = None
+
+    for depth in range(max_depth + 1):
+        # drop exhausted seeds' frontier rows before paying any fetch
+        live = [s for s, r in remaining.items() if r > 0]
+        if not live:
+            break
+        frontier = frontier.filter(F.col("seed").isin(live))
+        if not frontier.take(1):
+            break
+        fetched = fetch_urls(
+            frontier, fetcher_factory, partitions=partitions, carry=("seed", "depth")
+        )
+        ok = fetched.filter(html_ok())
+        # deterministic per-seed budget cut (see module doc): rank kept
+        # pages within the wave by url, keep up to the remaining budget
+        cap = F.create_map(
+            *[x for s in live for x in (F.lit(s), F.lit(remaining[s]))]
+        )[F.col("seed")]
+        w = Window.partitionBy("seed").orderBy("url")
+        keep = (
+            ok.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn")
+            .localCheckpoint(eager=True)  # freeze: reused for output+links
+        )
+        crawled = keep if crawled is None else crawled.unionByName(keep)
+        for r in keep.groupBy("seed").agg(F.count(F.lit(1)).alias("c")).collect():
+            remaining[r["seed"]] -= int(r["c"])
+        if depth == max_depth:
+            break  # links from the last wave would exceed max_depth
+        links = (
+            extract_links(keep, link_extractor_factory)
+            .withColumn("abs_url", urljoin_canonical(F.col("url"), F.col("href")))
+            .filter(F.col("abs_url").isNotNull())
+            .filter(same_domain(F.col("abs_url"), F.col("seed")))
+            .select("seed", F.col("abs_url").alias("url"))
+            .dropDuplicates(["seed", "url"])
+            .join(visited, ["seed", "url"], "left_anti")
+        )
+        frontier = links.withColumn("depth", F.lit(depth + 1)).localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier.select("seed", "url")).localCheckpoint(
+            eager=True
+        )
+    if crawled is None:
+        return spark.createDataFrame(
+            [], "url string, status int, content_type string, body binary, seed string, depth int"
+        )
+    return crawled.select("seed", "url", "depth", "status", "content_type", "body")

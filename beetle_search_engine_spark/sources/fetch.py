@@ -35,13 +35,23 @@ def fetch_urls(
     fetcher_factory,
     url_col: str = "url",
     partitions: int | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(url, status, content_type, body) — one fetcher per task, rows
-    streamed through it.  ``partitions`` is the concurrency knob (the
-    reference's max_workers analog); default keeps the input layout."""
-    src = urls.select(F.col(url_col).alias("url"))
+    """(url, status, content_type, body[, *carry]) — one fetcher per
+    task, rows streamed through it.  ``partitions`` is the concurrency
+    knob (the reference's max_workers analog); default keeps the input
+    layout.  ``carry`` names input columns passed through unchanged
+    (e.g. the crawler's seed/depth) so callers don't re-join on url —
+    a url reachable from two seeds would fan out under a join."""
+    cols = [F.col(url_col).alias("url"), *(F.col(c) for c in carry)]
+    src = urls.select(*cols)
     if partitions:
         src = src.repartition(partitions)
+    carry_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name != "url"
+    )
 
     def kernel(batches):
         fetch = fetcher_factory()  # once per task: session/connection pool
@@ -53,9 +63,12 @@ def fetch_urls(
                 out["status"].append(int(status))
                 out["content_type"].append(ctype)
                 out["body"].append(body)
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for c in carry:
+                res[c] = pdf[c].to_numpy()
+            yield res
 
-    return src.mapInPandas(kernel, schema=FETCH_SCHEMA)
+    return src.mapInPandas(kernel, schema=FETCH_SCHEMA + carry_schema)
 
 
 def html_ok() -> F.Column:
