@@ -158,6 +158,110 @@ ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+def _lemma_case_sql(c: str) -> str:
+    """DuckDB CASE expression computing functions/lemmatizer.lemmatize
+    for an already-lowercased token expression ``c`` — GENERATED from the
+    same rule tables the Python implementation reads, so the two cannot
+    drift (parity-tested in tests/test_lemmatizer_csv.py)."""
+    from beetle_search_engine_spark.functions.lemmatizer import (
+        _IRREGULAR,
+        _NOUN_RULES,
+        _S_NOUN_STEMS,
+        _VOWELS,
+    )
+
+    vow = ", ".join(f"'{v}'" for v in sorted(_VOWELS))
+    irr = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _IRREGULAR.items())
+    es_plurals = ", ".join(f"'{s}es'" for s in sorted(_S_NOUN_STEMS))
+
+    # noun suffix rules: first rule whose suffix matches AND whose stem
+    # is >=2 chars wins (the Python loop's continue-on-short-stem)
+    noun_whens = []
+    for suf, rep in _NOUN_RULES:
+        cond = f"{c} LIKE '%{suf}'"
+        min_len = 2 + len(suf) - len(rep)  # len(stem) >= 2
+        if min_len > len(suf):  # LIKE already implies length >= len(suf)
+            cond += f" AND length({c}) >= {min_len}"
+        if suf == "ses":  # consonant gate (see lemmatizer._NOUN_RULES)
+            cond += (
+                f" AND length({c}) >= 4"
+                f" AND substr({c}, length({c}) - 3, 1) NOT IN ({vow})"
+            )
+        stem = f"substr({c}, 1, length({c}) - {len(suf)})"
+        if rep:
+            stem += f" || '{rep}'"
+        noun_whens.append(f"WHEN {cond} THEN {stem}")
+    noun = (
+        f"CASE WHEN {c} IN ({es_plurals}) THEN substr({c}, 1, length({c}) - 2) "
+        + " ".join(noun_whens)
+        + f" ELSE {c} END"
+    )
+
+    def undouble(S: str) -> str:
+        last = f"substr({S}, length({S}), 1)"
+        seclast = f"substr({S}, length({S}) - 1, 1)"
+        return (
+            f"CASE WHEN length({S}) >= 3 AND {last} = {seclast} "
+            f"AND {last} NOT IN ({vow}) AND {last} NOT IN ('l', 's') "
+            f"THEN substr({S}, 1, length({S}) - 1) ELSE {S} END"
+        )
+
+    def verby(nsuf: int) -> str:
+        S = f"substr({c}, 1, length({c}) - {nsuf})"
+        return (
+            f"CASE WHEN length({c}) - {nsuf} >= 2 AND regexp_matches({S}, '[aeiou]') "
+            f"THEN {undouble(S)} ELSE {c} END"
+        )
+
+    return (
+        f"CASE {c} {irr} ELSE "
+        f"CASE WHEN length({c}) <= 2 THEN {c} "
+        f"WHEN {c} LIKE '%s' AND {c} NOT LIKE '%ss' THEN {noun} "
+        f"WHEN {c} LIKE '%ing' THEN {verby(3)} "
+        f"WHEN {c} LIKE '%ed' THEN {verby(2)} "
+        f"ELSE {c} END END"
+    )
+
+
+_LR_CACHE: dict[str, tuple] = {}
+
+
+def _weak_strong_artifacts(spark, sf_dir):
+    """Fit the TF-IDF + LR pipeline ONCE per (process, corpus) and share
+    the fitted artifacts between the queries() entry and oracle_sql():
+    the oracle inlines each vocab term's coef*idf product + the
+    intercept as SQL literals (the IVF centroid-literal pattern), making
+    the margin>0 predictions hash-checkable.  shuffle=False: the hash
+    split is deterministic under any partitioning (its membership is
+    itself oracle-proven by weak_label_split).  Returns (model, preds,
+    {term: coef*idf}, intercept)."""
+    if sf_dir in _LR_CACHE:
+        return _LR_CACHE[sf_dir]
+    from beetle_search_engine_spark.operators.ml import train_weak_to_strong
+
+    docs = load_documents(spark, sf_dir)
+    weak = textops.heuristic_label(docs).select("doc_id", "label")
+    model, preds, _metrics = train_weak_to_strong(docs.join(weak, "doc_id"), shuffle=False)
+    stages = model.stages  # [NGram, CV(uni), CV(bi), Assembler, IDF, LR]
+    vocab1 = stages[1].vocabulary
+    vocab2 = stages[2].vocabulary
+    idfv = stages[4].idf.toArray()
+    coef = stages[5].coefficients.toArray()
+    intercept = float(stages[5].intercept)
+    n1 = len(vocab1)
+    weights: dict[str, float] = {}
+    for i, t in enumerate(vocab1):
+        w = float(coef[i] * idfv[i])
+        if w != 0.0:
+            weights[t] = w
+    for j, t in enumerate(vocab2):  # bigrams contain a space: no collision
+        w = float(coef[n1 + j] * idfv[n1 + j])
+        if w != 0.0:
+            weights[t] = w
+    _LR_CACHE[sf_dir] = (model, preds, weights, intercept)
+    return _LR_CACHE[sf_dir]
+
+
 def _docs(spark, sf_dir):
     return load_documents(spark, sf_dir)
 
@@ -612,13 +716,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # non-empty verify stage — production default stays 0.9
     q["embedding_near_dups"] = lambda s, d: knnp.cosine_near_dup_pairs(_emb(s, d), EMB_DIM, 0.3)
 
-    # --- ML sidecars (M3/M4/M5) + search pipeline (§3.1) — rows-only
+    # --- ML sidecars (M3/M4/M5) + search pipeline (§3.1).  The LR
+    # predictions are DuckDB-provable since round 4: the fit is shared
+    # with oracle_sql() via _weak_strong_artifacts (coef*idf weights +
+    # intercept inlined as literals; margin>0 == prediction 1.0), over
+    # the generated-SQL lemma chain.  Residual float risk: the oracle
+    # sums tf*w in SQL row order vs the model's dense dot — an exact-zero
+    # margin could differ; min |margin| on this corpus is O(1), far from
+    # the ~1e-15 summation noise.
     def _weak_strong(s, d):
-        from beetle_search_engine_spark.operators.ml import train_weak_to_strong
-
-        docs = _docs(s, d)
-        weak = textops.heuristic_label(docs).select("doc_id", "label")
-        _, preds, _metrics = train_weak_to_strong(docs.join(weak, "doc_id"))
+        _model, preds, _w, _b = _weak_strong_artifacts(s, d)
         return preds
 
     q["weak_to_strong_labels"] = _weak_strong
@@ -971,6 +1078,72 @@ def oracle_sql() -> dict[str, str]:
                   THEN 'train' ELSE 'test' END AS split
       FROM sc
     """
+
+    # --- weak->strong LR predictions: margin>0 over the SAME fitted
+    # model as the entry (shared per-process fit, _weak_strong_artifacts)
+    # with coef*idf weights + intercept inlined as literals, and the
+    # lemma-token chain expressed by the GENERATED SQL lemmatizer
+    # (_lemma_case_sql — single-sourced from the Python rule tables).
+    # Needs a Spark session for the fit: built eagerly for the driver /
+    # check_oracle (creating a session if none), but SKIPPED under bare
+    # pytest collection (no active session) where the fit would run at
+    # import time — the suite's gate is check_oracle + the dedicated
+    # lemmatizer-parity test instead.
+    import sys as _sys
+
+    from pyspark.sql import SparkSession as _SS
+
+    _osf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    _act = _SS.getActiveSession()
+    if _act is not None or "pytest" not in _sys.modules:
+        try:
+            if _act is None:
+                from beetle_search_engine_spark.sources.session import get_spark as _gs
+
+                _act = _gs("oracle-lr", cores=8, shuffle_partitions=8)
+            _m, _p, _W, _B = _weak_strong_artifacts(_act, _osf)
+            _wvals = ", ".join(f"('{t}', {float(w)!r})" for t, w in sorted(_W.items()))
+            _lem = _lemma_case_sql("t")
+            o["weak_to_strong_labels"] = f"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+'),
+                           x -> x NOT IN ({STOP_SQL})) AS raw
+        FROM documents
+      ),
+      lem AS (SELECT doc_id, list_transform(raw, t -> {_lem}) AS l FROM toks),
+      uni AS (SELECT doc_id, unnest(l) AS term FROM lem),
+      big AS (
+        SELECT doc_id, list_extract(l, i) || ' ' || list_extract(l, i + 1) AS term
+        FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM lem)
+      ),
+      tf AS (
+        SELECT doc_id, term, count(*)::double AS tf
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM big) GROUP BY doc_id, term
+      ),
+      wts AS (SELECT * FROM (VALUES {_wvals}) AS _t(term, w)),
+      contrib AS (
+        SELECT tf.doc_id, sum(tf.tf * wts.w) AS s
+        FROM tf JOIN wts USING (term) GROUP BY tf.doc_id
+      ),
+      weak AS (
+        SELECT doc_id,
+               CASE WHEN (CASE WHEN n_chars >= 300 THEN 3 ELSE -20 END
+                  + CASE WHEN len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) >= 50
+                         THEN 3 ELSE 0 END
+                  + CASE WHEN lang = 'en' THEN 3 ELSE 0 END
+                  + CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3 ELSE 0 END) >= 6
+                    THEN 1.0 ELSE 0.0 END AS weak_label
+        FROM documents
+      )
+      SELECT w.doc_id, w.weak_label::double AS weak_label,
+             (CASE WHEN {_B!r} + coalesce(c.s, 0.0) > 0 THEN 1.0 ELSE 0.0 END)::double
+               AS strong_label
+      FROM weak w LEFT JOIN contrib c ON w.doc_id = c.doc_id
+    """
+        except Exception:
+            pass  # degrade to rows-only (pre-round-4 status) rather than
+            # poisoning every other oracle
 
     o["lang_id"] = f"""
       SELECT doc_id,
