@@ -132,15 +132,19 @@ def crawl_frontier(
         )
         ok = fetched.filter(html_ok())
         # deterministic per-seed budget cut (see module doc): rank kept
-        # pages within the wave by url, keep up to the remaining budget
-        cap = F.create_map(
-            *[x for s in live for x in (F.lit(s), F.lit(remaining[s]))]
-        )[F.col("seed")]
+        # pages within the wave by url, keep up to the remaining budget.
+        # The budget rides in as a broadcast k-row dimension (k = live
+        # seeds) rather than a literal map — a large seeds file must not
+        # inflate the plan text
+        caps = spark.createDataFrame(
+            [(s, remaining[s]) for s in live], "seed string, _cap int"
+        )
         w = Window.partitionBy("seed").orderBy("url")
         keep = (
-            ok.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= cap)
-            .drop("_rn")
+            ok.join(F.broadcast(caps), "seed")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("_cap"))
+            .drop("_rn", "_cap")
             .localCheckpoint(eager=True)  # freeze: reused for output+links
         )
         crawled = keep if crawled is None else crawled.unionByName(keep)

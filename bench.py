@@ -62,6 +62,8 @@ HEADLINE = [
     "engine_bm25_or",
     "engine_bm25_nostem_or",
     "engine_phrase",
+    "engine_or_group",
+    "engine_not_phrase",
     "engine_bm25_fielded",
     "engine_fielded_not",
     "search_rerank_pipeline",
