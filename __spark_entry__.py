@@ -673,6 +673,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["engine_not_phrase"] = _not_phrase
 
+    # prefix (wildcard) query: sc* expands against the stored term
+    # dictionary into an OR-group clause (Whoosh Prefix == Or over
+    # matching terms, every member scores); 'table' stays required.
+    # The oracle needs no expansion literals — DuckDB's LIKE predicate
+    # IS the term-dictionary walk.
+    def _prefix(s, d):
+        res = _engine_index_nostem(s, d).search("sc* table", 10, "parse")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["engine_prefix"] = _prefix
+
     # incremental refresh (SURVEY §2.11 / streaming): half the corpus
     # built, half appended as an epoch — gated by the FULL-corpus oracle,
     # proving epoch scoring equals a from-scratch rebuild
@@ -1305,6 +1316,38 @@ def oracle_sql() -> dict[str, str]:
       WHERE s.nt = 2 ORDER BY s.s DESC, s.doc_id LIMIT 10
     """
     )
+
+    # prefix query And(Prefix(sc), table): the LIKE predicate replaces
+    # literal term lists — tf/df computed for every sc%-term + 'table',
+    # score sums ALL matched terms, predicate = 'table' present AND >=1
+    # sc% term present
+    o["engine_prefix"] = f"""
+      WITH toks AS ({_FTOKS}),
+      tf AS (
+        SELECT doc_id, term, count(*)::double AS tf FROM toks
+        WHERE term LIKE 'sc%' OR term = 'table' GROUP BY doc_id, term
+      ),
+      dl AS (SELECT doc_id, len(l)::double AS dl FROM ({_TOKLIST})),
+      st AS (SELECT count(*)::double AS n_docs, avg(dl) AS avgdl FROM dl),
+      dfq AS (
+        SELECT term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM toks
+              WHERE term LIKE 'sc%' OR term = 'table')
+        GROUP BY term
+      ),
+      scores AS (
+        SELECT tf.doc_id,
+               sum((ln(st.n_docs / (dfq.df + 1.0)) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        GROUP BY tf.doc_id
+      )
+      SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores
+      WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
+        AND doc_id IN (SELECT doc_id FROM tf WHERE term LIKE 'sc%')
+      ORDER BY s DESC, doc_id LIMIT 10
+    """
 
     # OR-group entry: And(Or(spark, stream), scan).  The scores CTE sums
     # ALL matching query terms (UnionMatcher); the grouped predicate is

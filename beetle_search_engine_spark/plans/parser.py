@@ -46,13 +46,31 @@ Supported grammar (a deliberate, documented subset of Whoosh's):
                           positive phrases) are dropped.  ``NOT
                           field:"a b"`` excludes the phrase globally,
                           mirroring the NOT field:term simplification.
+* ``pre*``              — prefix query (Whoosh's PrefixPlugin / the
+                          trailing-star case of WildcardPlugin): matches
+                          docs containing ANY indexed term starting with
+                          the prefix; every matching term scores
+                          (Whoosh expands a Prefix to an Or over the
+                          term dictionary).  The prefix is lowercased
+                          but NOT stemmed/stop-filtered — wildcard
+                          tokens bypass text analysis in Whoosh too, and
+                          expansion happens against the index's STORED
+                          (= already analyzed) terms at query time.
+                          Needs >=2 chars before the star, else the
+                          token degrades to plain text (a 1-char prefix
+                          is a vocabulary scan, not a query).
+                          ``field:pre*`` restricts every expansion to
+                          that field; ``NOT pre*`` / ``-pre*`` excludes
+                          all matching terms.  A prefix never joins an
+                          OR group (documented simplification, same as
+                          phrases).
 
 Terms pass through the same analyzer chain as indexing (each phrase is
 analyzed as a unit, so stop words drop out of phrases exactly as Whoosh's
 analyzer-driven Phrase construction does).  Remaining unsupported Whoosh
-syntax (ranges, wildcards) is treated as plain text — the analyzer strips
-the punctuation — which matches how a stripped-down parser degrades
-rather than erroring on user input.
+syntax (ranges, mid-word wildcards like ``te?t``) is treated as plain
+text — the analyzer strips the punctuation — which matches how a
+stripped-down parser degrades rather than erroring on user input.
 """
 
 from __future__ import annotations
@@ -89,10 +107,16 @@ class ParsedQuery:
     # NOT "a b": docs containing the phrase are dropped (same positional
     # semantics as `phrases`; requires store_positions)
     excluded_phrases: list[list[tuple[str, int]]] = field(default_factory=list)
+    # pre*: lowercased prefixes to expand against the index's stored
+    # term dictionary at query time; each expansion becomes one OR-group
+    # clause (Whoosh Prefix == Or over matching terms)
+    prefixes: list[str] = field(default_factory=list)
+    excluded_prefixes: list[str] = field(default_factory=list)
+    prefix_fields: dict[str, str] = field(default_factory=dict)  # prefix -> field
 
     @property
     def empty(self) -> bool:
-        return not self.terms
+        return not self.terms and not self.prefixes
 
 
 def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) -> ParsedQuery:
@@ -126,6 +150,9 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     clauses: list[list[str]] = []  # conjunctive; each = OR'd member terms
     fielded: dict[str, str] = {}
     excluded: list[str] = []
+    prefixes: list[str] = []
+    excluded_prefixes: list[str] = []
+    prefix_fields: dict[str, str] = {}
     pending_not = False
     or_pending = False  # an OR was seen after clauses[-1]; the next
     # positive term joins that clause instead of opening a new one
@@ -156,6 +183,16 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         m = _FIELD_PREFIX.match(word)
         if m and fields and m.group(1) in fields:
             fld, word = m.group(1), m.group(2)
+        if word.endswith("*") and re.fullmatch(r"\w{2,}", word[:-1]):
+            base = word[:-1].lower()  # wildcard tokens bypass analysis
+            if neg:
+                excluded_prefixes.append(base)
+            else:
+                prefixes.append(base)
+                if fld is not None:
+                    prefix_fields[base] = fld
+            or_pending = False  # a prefix never joins an OR group
+            continue
         toks = analyzer.analyze(word)
         if neg:
             excluded.extend(toks)
@@ -202,8 +239,13 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     ex_seen: dict[str, None] = {}
     for t in excluded:
         ex_seen.setdefault(t)
+    pfx_seen: dict[str, None] = {}
+    for p in prefixes:
+        pfx_seen.setdefault(p)
     return ParsedQuery(
         terms=terms, mode=mode, phrases=phrases,
         fielded=fielded, excluded=list(ex_seen),
         groups=clauses, excluded_phrases=ex_phrases,
+        prefixes=list(pfx_seen), excluded_prefixes=excluded_prefixes,
+        prefix_fields=prefix_fields,
     )

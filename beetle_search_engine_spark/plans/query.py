@@ -115,6 +115,10 @@ class BM25Index:
             pq = ParsedQuery(terms=self.analyzer.analyze_query(query), mode=mode)
         if pq.empty:
             return self.empty_result()
+        if pq.prefixes or pq.excluded_prefixes:
+            pq = self._expand_prefixes(pq)
+            if pq is None or pq.empty:
+                return self.empty_result()
         if (pq.phrases or pq.excluded_phrases) and not self.stats.get("store_positions"):
             raise ValueError(
                 "phrase query needs an index built with store_positions=True"
@@ -175,6 +179,75 @@ class BM25Index:
             .select("doc_id", "score", "rank")
         )
 
+
+    def _expand_prefix(self, prefix: str) -> list[str]:
+        """All stored terms starting with ``prefix`` — the term-dictionary
+        walk behind Whoosh's Prefix query.  Pushed down as a term RANGE
+        predicate (prefix <= term < prefix+MAXCHAR): posting files are
+        term-sorted within partitions, so row-group min/max stats skip
+        everything outside the range; only the dictionary-encoded term
+        column is read.  Unlike single-term lookups this cannot prune
+        bucket partitions (terms are hash-bucketed), which is the
+        documented cost of wildcard expansion — the same full
+        term-dictionary walk Whoosh does, shrunk by row-group skipping."""
+        hi = prefix + "\U0010ffff"
+        try:
+            import pyarrow.dataset as ds
+
+            if not hasattr(self, "_arrow_postings"):
+                self._arrow_postings = ds.dataset(
+                    f"{self.index_dir}/postings", format="parquet", partitioning="hive"
+                )
+            flt = (ds.field("term") >= prefix) & (ds.field("term") < hi)
+            t = self._arrow_postings.to_table(columns=["term"], filter=flt)
+            return sorted(set(t.column("term").to_pylist()))
+        except Exception:
+            rows = (
+                self.postings.filter(
+                    (F.col("term") >= prefix) & (F.col("term") < hi)
+                ).select("term").distinct().collect()
+            )
+            return sorted(r["term"] for r in rows)
+
+    def _expand_prefixes(self, pq: ParsedQuery) -> ParsedQuery | None:
+        """Resolve pq.prefixes / pq.excluded_prefixes against the stored
+        term dictionary: each positive prefix becomes one OR-group
+        clause of its matching terms (Whoosh Prefix == Or over the
+        expansion, every matching member scores); an unmatched positive
+        prefix makes the whole conjunctive query unmatchable (None).
+        Excluded prefixes append their expansions to the NOT list."""
+        from dataclasses import replace
+
+        terms = list(pq.terms)
+        groups = [list(c) for c in pq.groups]
+        fielded = dict(pq.fielded)
+        excluded = list(pq.excluded)
+        for p in pq.prefixes:
+            exp = self._expand_prefix(p)
+            if not exp:
+                return None  # a required clause with no matching term
+            fld = pq.prefix_fields.get(p)
+            for t in exp:
+                if t not in terms:
+                    terms.append(t)
+                if fld is not None and t not in fielded:
+                    fielded[t] = fld
+            groups.append(exp)
+        for p in pq.excluded_prefixes:
+            for t in self._expand_prefix(p):
+                if t not in excluded:
+                    excluded.append(t)
+        has_group = any(len(c) > 1 for c in groups)
+        if not has_group:
+            mode = "and"
+        elif len(groups) == 1 and not pq.phrases and not pq.excluded_phrases:
+            mode = "or"  # lone prefix -> pure disjunction, WAND path
+        else:
+            mode = "group"
+        return replace(
+            pq, terms=terms, groups=groups, fielded=fielded,
+            excluded=excluded, mode=mode, prefixes=[], excluded_prefixes=[],
+        )
 
     def _pruned_rows_arrow(self, terms: list[str], buckets: dict[str, int]):
         """Driver-local pruned read of the posting parquet via pyarrow —

@@ -63,6 +63,7 @@ HEADLINE = [
     "engine_bm25_nostem_or",
     "engine_phrase",
     "engine_or_group",
+    "engine_prefix",
     "engine_not_phrase",
     "engine_bm25_fielded",
     "engine_fielded_not",

@@ -108,6 +108,41 @@ def test_parse_group_with_phrase_keeps_group_mode():
     assert pq.groups == [["spark", "flink"], ["big"], ["data"]]
 
 
+def test_parse_prefix_token():
+    pq = parse_query("Trans* scan", S)
+    assert pq.prefixes == ["trans"]  # lowercased, unstemmed
+    assert pq.terms == ["scan"]
+    assert not pq.empty
+
+
+def test_parse_prefix_pure_query_not_empty():
+    pq = parse_query("trans*", S)
+    assert pq.terms == [] and pq.prefixes == ["trans"]
+    assert not pq.empty
+
+
+def test_parse_prefix_fielded_and_negated():
+    pq = parse_query("scan title:tr* -zz* NOT qq*", S, fields={"title"})
+    assert pq.prefixes == ["tr"]
+    assert pq.prefix_fields == {"tr": "title"}
+    assert sorted(pq.excluded_prefixes) == ["qq", "zz"]
+
+
+def test_parse_prefix_too_short_or_midword_degrades():
+    # 1-char prefix and mid-word wildcard degrade to plain text (the
+    # analyzer strips the star)
+    pq = parse_query("t* te*t scan", S)
+    assert pq.prefixes == []
+    assert set(pq.terms) == {"te", "scan"}  # 't' dropped by minsize
+
+
+def test_parse_prefix_does_not_join_or_group():
+    pq = parse_query("spark OR tr* scan", S)
+    assert pq.prefixes == ["tr"]
+    assert pq.groups == [["spark"], ["scan"]]
+    assert pq.mode == "and"
+
+
 def test_parse_and_is_noop():
     pq = parse_query("spark AND flink", S)
     assert pq.mode == "and"
@@ -320,6 +355,46 @@ def test_negated_phrase_with_or_group(phrase_index):
     # state|models docs: a,b,c,d,e,f,g minus phrase docs {a,d}
     res = phrase_index.search('state OR models NOT "transformer models"', 10, mode="parse")
     assert _ids(res) == {"b", "c", "e", "f", "g"}
+
+
+def test_prefix_search(phrase_index):
+    # trans* expands to {transformer} here; pipe* to {pipelines}
+    res = phrase_index.search("pipe* models", 10, mode="parse")
+    assert _ids(res) == {"b"}
+    res = phrase_index.search("trans*", 10, mode="parse")
+    assert _ids(res) == {"a", "b", "c", "d", "e", "f", "g"}
+
+
+def test_prefix_search_distributed_matches_local(phrase_index):
+    a = phrase_index.search("s* transformer", 10, mode="parse")
+    b = phrase_index.search("s* transformer", 10, mode="parse", prefer_local=False)
+    ra = [(r["doc_id"], round(r["score"], 9)) for r in a.collect()]
+    rb = [(r["doc_id"], round(r["score"], 9)) for r in b.collect()]
+    assert ra == rb and ra  # s* = {state, systems, stopword-free terms...}
+
+
+def test_prefix_expansion_scores_sum(phrase_index):
+    # st* expands to {state, systems}: docs matching several expansion
+    # members score the sum (Whoosh Or/UnionMatcher over the expansion)
+    grp = {r["doc_id"]: r["score"] for r in
+           phrase_index.search("st*", 20, mode="parse").collect()}
+    parts = [
+        {r["doc_id"]: r["score"] for r in phrase_index.search(t, 20, mode="parse").collect()}
+        for t in ("state", "systems")
+    ]
+    for doc, s in grp.items():
+        assert s == pytest.approx(sum(p.get(doc, 0.0) for p in parts), rel=1e-12)
+
+
+def test_prefix_no_match_empties_conjunction(phrase_index):
+    assert phrase_index.search("zzz* models", 10, mode="parse").count() == 0
+    assert phrase_index.search("zzz*", 10, mode="parse").count() == 0
+
+
+def test_prefix_negated(phrase_index):
+    # models minus docs with any pipe* term -> drop b
+    res = phrase_index.search("models -pipe*", 10, mode="parse")
+    assert _ids(res) == {"a", "c", "d", "e"}
 
 
 def test_negated_phrase_on_positionless_index_raises(spark, tmp_path):
