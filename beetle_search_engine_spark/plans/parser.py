@@ -65,11 +65,25 @@ Supported grammar (a deliberate, documented subset of Whoosh's):
                           OR group (documented simplification, same as
                           phrases).
 
+* ``[a TO b]``          — term range (Whoosh's RangePlugin / TermRange):
+                          matches docs containing ANY stored term
+                          lexicographically within the bounds; like a
+                          prefix it expands into an OR group at query
+                          time and every matching term scores.  ``{a TO
+                          b}`` excludes the bounds (mixed brackets
+                          allowed); an omitted bound is open-ended
+                          (``[a TO]``); ``field:[a TO b]`` restricts
+                          the expansion to one field; ``NOT [a TO b]``
+                          / ``-[a TO b]`` excludes every matching term.
+                          Bounds are lowercased but not analyzed (the
+                          expansion runs against stored terms), same
+                          policy as prefixes.
+
 Terms pass through the same analyzer chain as indexing (each phrase is
 analyzed as a unit, so stop words drop out of phrases exactly as Whoosh's
 analyzer-driven Phrase construction does).  Remaining unsupported Whoosh
-syntax (ranges, mid-word wildcards like ``te?t``) is treated as plain
-text — the analyzer strips the punctuation — which matches how a
+syntax (mid-word wildcards like ``te?t``, fuzzy ``term~``) is treated as
+plain text — the analyzer strips the punctuation — which matches how a
 stripped-down parser degrades rather than erroring on user input.
 """
 
@@ -85,6 +99,24 @@ _QUOTED = re.compile(r'"([^"]*)"')
 # so the quoted body never reaches the positive-phrase grab
 _NEG_QUOTED = re.compile(r'(?:\bNOT\s+|(?<!\S)-)(\w+:)?"([^"]*)"')
 _FIELD_PREFIX = re.compile(r"^(\w+):(.+)$")
+# [a TO b] / {a TO b] / title:[a TO b] / NOT [a TO b] / -[a TO b];
+# either bound may be omitted (open range) — extracted before the word
+# loop because the body contains a space
+_RANGE = re.compile(
+    r"(?:(NOT)\s+|(?<!\S)(-))?(?:(\w+):)?([\[\{])\s*(\w+)?\s+TO(?:\s+(\w+))?\s*([\]\}])"
+)
+
+
+@dataclass(frozen=True)
+class TermRange:
+    """One ``[a TO b]`` clause: stored-term bounds (lowercased, possibly
+    None = open) with per-side inclusivity, plus an optional field
+    restriction for the expansion."""
+    lo: str | None
+    hi: str | None
+    lo_incl: bool
+    hi_incl: bool
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -113,10 +145,14 @@ class ParsedQuery:
     prefixes: list[str] = field(default_factory=list)
     excluded_prefixes: list[str] = field(default_factory=list)
     prefix_fields: dict[str, str] = field(default_factory=dict)  # prefix -> field
+    # [a TO b] clauses, expanded like prefixes (TermRange == Or over the
+    # stored terms within the bounds)
+    ranges: list[TermRange] = field(default_factory=list)
+    excluded_ranges: list[TermRange] = field(default_factory=list)
 
     @property
     def empty(self) -> bool:
-        return not self.terms and not self.prefixes
+        return not self.terms and not self.prefixes and not self.ranges
 
 
 def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) -> ParsedQuery:
@@ -146,6 +182,23 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         return " "
 
     rest = _QUOTED.sub(grab, _NEG_QUOTED.sub(grab_neg, query))
+
+    ranges: list[TermRange] = []
+    ex_ranges: list[TermRange] = []
+
+    def grab_range(m: re.Match) -> str:
+        neg = bool(m.group(1) or m.group(2))
+        f = m.group(3)
+        fld = f if (f and fields and f in fields) else None  # unknown field -> global
+        lo = m.group(5).lower() if m.group(5) else None
+        hi = m.group(6).lower() if m.group(6) else None
+        if lo is None and hi is None:
+            return " "  # '[ TO ]' — matches everything, drop as noise
+        tr = TermRange(lo, hi, m.group(4) == "[", m.group(7) == "]", fld)
+        (ex_ranges if neg else ranges).append(tr)
+        return " "
+
+    rest = _RANGE.sub(grab_range, rest)
 
     clauses: list[list[str]] = []  # conjunctive; each = OR'd member terms
     fielded: dict[str, str] = {}
@@ -248,4 +301,5 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         groups=clauses, excluded_phrases=ex_phrases,
         prefixes=list(pfx_seen), excluded_prefixes=excluded_prefixes,
         prefix_fields=prefix_fields,
+        ranges=ranges, excluded_ranges=ex_ranges,
     )

@@ -115,7 +115,7 @@ class BM25Index:
             pq = ParsedQuery(terms=self.analyzer.analyze_query(query), mode=mode)
         if pq.empty:
             return self.empty_result()
-        if pq.prefixes or pq.excluded_prefixes:
+        if pq.prefixes or pq.excluded_prefixes or pq.ranges or pq.excluded_ranges:
             pq = self._expand_prefixes(pq)
             if pq is None or pq.empty:
                 return self.empty_result()
@@ -180,17 +180,20 @@ class BM25Index:
         )
 
 
-    def _expand_prefix(self, prefix: str) -> list[str]:
-        """All stored terms starting with ``prefix`` — the term-dictionary
-        walk behind Whoosh's Prefix query.  Pushed down as a term RANGE
-        predicate (prefix <= term < prefix+MAXCHAR): posting files are
+    def _expand_term_range(
+        self, lo: str | None, hi: str | None,
+        lo_incl: bool = True, hi_incl: bool = False,
+    ) -> list[str]:
+        """All stored terms lexicographically within [lo, hi] — the
+        term-dictionary walk behind Whoosh's Prefix/TermRange queries.
+        Pushed down as a term RANGE predicate: posting files are
         term-sorted within partitions, so row-group min/max stats skip
         everything outside the range; only the dictionary-encoded term
         column is read.  Unlike single-term lookups this cannot prune
         bucket partitions (terms are hash-bucketed), which is the
-        documented cost of wildcard expansion — the same full
-        term-dictionary walk Whoosh does, shrunk by row-group skipping."""
-        hi = prefix + "\U0010ffff"
+        documented cost of multi-term expansion — the same full
+        term-dictionary walk Whoosh does, shrunk by row-group skipping.
+        A None bound is open-ended."""
         try:
             import pyarrow.dataset as ds
 
@@ -198,43 +201,62 @@ class BM25Index:
                 self._arrow_postings = ds.dataset(
                     f"{self.index_dir}/postings", format="parquet", partitioning="hive"
                 )
-            flt = (ds.field("term") >= prefix) & (ds.field("term") < hi)
+            flt = None
+            if lo is not None:
+                flt = ds.field("term") >= lo if lo_incl else ds.field("term") > lo
+            if hi is not None:
+                h = ds.field("term") <= hi if hi_incl else ds.field("term") < hi
+                flt = h if flt is None else (flt & h)
             t = self._arrow_postings.to_table(columns=["term"], filter=flt)
             return sorted(set(t.column("term").to_pylist()))
         except Exception:
-            rows = (
-                self.postings.filter(
-                    (F.col("term") >= prefix) & (F.col("term") < hi)
-                ).select("term").distinct().collect()
-            )
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("term") >= lo if lo_incl else F.col("term") > lo)
+            if hi is not None:
+                cond = cond & (F.col("term") <= hi if hi_incl else F.col("term") < hi)
+            rows = self.postings.filter(cond).select("term").distinct().collect()
             return sorted(r["term"] for r in rows)
 
+    def _expand_prefix(self, prefix: str) -> list[str]:
+        """Prefix expansion == term range [prefix, prefix+MAXCHAR)."""
+        return self._expand_term_range(prefix, prefix + "\U0010ffff", True, False)
+
     def _expand_prefixes(self, pq: ParsedQuery) -> ParsedQuery | None:
-        """Resolve pq.prefixes / pq.excluded_prefixes against the stored
-        term dictionary: each positive prefix becomes one OR-group
-        clause of its matching terms (Whoosh Prefix == Or over the
-        expansion, every matching member scores); an unmatched positive
-        prefix makes the whole conjunctive query unmatchable (None).
-        Excluded prefixes append their expansions to the NOT list."""
+        """Resolve pq.prefixes / pq.ranges (and their excluded twins)
+        against the stored term dictionary: each positive prefix/range
+        becomes one OR-group clause of its matching terms (Whoosh
+        Prefix/TermRange == Or over the expansion, every matching member
+        scores); an unmatched positive expansion makes the whole
+        conjunctive query unmatchable (None).  Excluded expansions
+        append to the NOT list."""
         from dataclasses import replace
 
         terms = list(pq.terms)
         groups = [list(c) for c in pq.groups]
         fielded = dict(pq.fielded)
         excluded = list(pq.excluded)
-        for p in pq.prefixes:
-            exp = self._expand_prefix(p)
+        positive = [
+            (self._expand_prefix(p), pq.prefix_fields.get(p)) for p in pq.prefixes
+        ] + [
+            (self._expand_term_range(r.lo, r.hi, r.lo_incl, r.hi_incl), r.field)
+            for r in pq.ranges
+        ]
+        for exp, fld in positive:
             if not exp:
                 return None  # a required clause with no matching term
-            fld = pq.prefix_fields.get(p)
             for t in exp:
                 if t not in terms:
                     terms.append(t)
                 if fld is not None and t not in fielded:
                     fielded[t] = fld
             groups.append(exp)
-        for p in pq.excluded_prefixes:
-            for t in self._expand_prefix(p):
+        negative = [self._expand_prefix(p) for p in pq.excluded_prefixes] + [
+            self._expand_term_range(r.lo, r.hi, r.lo_incl, r.hi_incl)
+            for r in pq.excluded_ranges
+        ]
+        for exp in negative:
+            for t in exp:
                 if t not in excluded:
                     excluded.append(t)
         has_group = any(len(c) > 1 for c in groups)
@@ -247,6 +269,7 @@ class BM25Index:
         return replace(
             pq, terms=terms, groups=groups, fielded=fielded,
             excluded=excluded, mode=mode, prefixes=[], excluded_prefixes=[],
+            ranges=[], excluded_ranges=[],
         )
 
     def _pruned_rows_arrow(self, terms: list[str], buckets: dict[str, int]):

@@ -64,6 +64,7 @@ HEADLINE = [
     "engine_phrase",
     "engine_or_group",
     "engine_prefix",
+    "engine_range",
     "engine_not_phrase",
     "engine_bm25_fielded",
     "engine_fielded_not",

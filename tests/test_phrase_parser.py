@@ -143,6 +143,35 @@ def test_parse_prefix_does_not_join_or_group():
     assert pq.mode == "and"
 
 
+def test_parse_term_range():
+    from beetle_search_engine_spark.plans.parser import TermRange
+
+    pq = parse_query("[Alpha TO beta] scan", S)
+    assert pq.ranges == [TermRange("alpha", "beta", True, True, None)]
+    assert pq.terms == ["scan"]
+    assert not pq.empty
+
+
+def test_parse_term_range_exclusive_fielded_negated_open():
+    from beetle_search_engine_spark.plans.parser import TermRange
+
+    pq = parse_query(
+        "scan title:{aa TO bb] NOT [zz TO] -{qq TO rr}", S, fields={"title"}
+    )
+    assert pq.ranges == [TermRange("aa", "bb", False, True, "title")]
+    assert pq.excluded_ranges == [
+        TermRange("zz", None, True, True, None),
+        TermRange("qq", "rr", False, False, None),
+    ]
+
+
+def test_parse_range_unknown_field_goes_global():
+    from beetle_search_engine_spark.plans.parser import TermRange
+
+    pq = parse_query("zzz:[a1 TO b1] scan", S, fields={"title"})
+    assert pq.ranges == [TermRange("a1", "b1", True, True, None)]
+
+
 def test_parse_and_is_noop():
     pq = parse_query("spark AND flink", S)
     assert pq.mode == "and"
@@ -395,6 +424,43 @@ def test_prefix_negated(phrase_index):
     # models minus docs with any pipe* term -> drop b
     res = phrase_index.search("models -pipe*", 10, mode="parse")
     assert _ids(res) == {"a", "c", "d", "e"}
+
+
+def test_range_search(phrase_index):
+    # stored terms include: art, beat, big, deep, fast, models, older,
+    # pipelines, run, state, systems, transformer
+    # [deep TO fast] = {deep, fast}: docs c (deep) and d (fast)
+    res = phrase_index.search("[deep TO fast]", 10, mode="parse")
+    assert _ids(res) == {"c", "d"}
+    # conjunction with a required term: models AND [deep TO fast] -> c, d
+    res = phrase_index.search("models [deep TO fast]", 10, mode="parse")
+    assert _ids(res) == {"c", "d"}
+
+
+def test_range_exclusive_bounds(phrase_index):
+    # {deep TO fast} excludes both bounds -> no stored term inside -> empty
+    assert phrase_index.search("{deep TO fast}", 10, mode="parse").count() == 0
+    # {big TO fast] = (big, fast] = {deep, fast}
+    res = phrase_index.search("{big TO fast]", 10, mode="parse")
+    assert _ids(res) == {"c", "d"}
+
+
+def test_range_open_ended_and_negated(phrase_index):
+    # [systems TO] = {systems, transformer}: every doc has transformer
+    res = phrase_index.search("[systems TO]", 10, mode="parse")
+    assert _ids(res) == {"a", "b", "c", "d", "e", "f", "g"}
+    # ranges run over STORED terms — here Porter stems ('pipelines'
+    # indexes as 'pipelin', which sorts BELOW the raw bound): the
+    # expansion of [pipelines TO state} over this index's stems is
+    # exactly {run}, so only doc d drops
+    got = _ids(phrase_index.search("transformer NOT [pipelines TO state}", 10, mode="parse"))
+    assert got == {"a", "b", "c", "e", "f", "g"}
+
+
+def test_range_search_distributed_matches_local(phrase_index):
+    a = phrase_index.search("models [deep TO fast]", 10, mode="parse")
+    b = phrase_index.search("models [deep TO fast]", 10, mode="parse", prefer_local=False)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
 
 
 def test_negated_phrase_on_positionless_index_raises(spark, tmp_path):
