@@ -693,6 +693,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["engine_range"] = _range
 
+    # general wildcard s?a* (Whoosh WildcardPlugin): ? = one char,
+    # * = any run; DuckDB's LIKE 's_a%' is the same dictionary walk
+    def _wildcard(s, d):
+        res = _engine_index_nostem(s, d).search("s?a* table", 10, "parse")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["engine_wildcard"] = _wildcard
+
     # incremental refresh (SURVEY §2.11 / streaming): half the corpus
     # built, half appended as an epoch — gated by the FULL-corpus oracle,
     # proving epoch scoring equals a from-scratch rebuild
@@ -1355,6 +1363,36 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores
       WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
         AND doc_id IN (SELECT doc_id FROM tf WHERE term LIKE 'sc%')
+      ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+    # general wildcard And(Wildcard(s?a*), table): LIKE 's_a%' plays the
+    # dictionary walk, same shape as engine_prefix
+    o["engine_wildcard"] = f"""
+      WITH toks AS ({_FTOKS}),
+      tf AS (
+        SELECT doc_id, term, count(*)::double AS tf FROM toks
+        WHERE term LIKE 's_a%' OR term = 'table' GROUP BY doc_id, term
+      ),
+      dl AS (SELECT doc_id, len(l)::double AS dl FROM ({_TOKLIST})),
+      st AS (SELECT count(*)::double AS n_docs, avg(dl) AS avgdl FROM dl),
+      dfq AS (
+        SELECT term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM toks
+              WHERE term LIKE 's_a%' OR term = 'table')
+        GROUP BY term
+      ),
+      scores AS (
+        SELECT tf.doc_id,
+               sum((ln(st.n_docs / (dfq.df + 1.0)) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        GROUP BY tf.doc_id
+      )
+      SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores
+      WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
+        AND doc_id IN (SELECT doc_id FROM tf WHERE term LIKE 's_a%')
       ORDER BY s DESC, doc_id LIMIT 10
     """
 

@@ -79,12 +79,25 @@ Supported grammar (a deliberate, documented subset of Whoosh's):
                           expansion runs against stored terms), same
                           policy as prefixes.
 
+* ``te?t`` / ``t*st``   — general wildcards (Whoosh's WildcardPlugin,
+                          in its default plugin set): ``*`` = any run,
+                          ``?`` = one char, anywhere in the token.
+                          Expanded like prefixes — the literal prefix
+                          before the first wildcard prunes the
+                          dictionary walk; a leading-wildcard pattern
+                          (``*ing``) is a full dictionary scan, the
+                          same cost Whoosh pays.  Requires >=2 literal
+                          characters in the pattern, else plain text.
+                          Field restriction and NOT compose as with
+                          prefixes.
+
 Terms pass through the same analyzer chain as indexing (each phrase is
 analyzed as a unit, so stop words drop out of phrases exactly as Whoosh's
 analyzer-driven Phrase construction does).  Remaining unsupported Whoosh
-syntax (mid-word wildcards like ``te?t``, fuzzy ``term~``) is treated as
-plain text — the analyzer strips the punctuation — which matches how a
-stripped-down parser degrades rather than erroring on user input.
+syntax (fuzzy ``term~`` — Whoosh's FuzzyTermPlugin is NOT in the default
+plugin set, so the reference never exposes it) is treated as plain text —
+the analyzer strips the punctuation — which matches how a stripped-down
+parser degrades rather than erroring on user input.
 """
 
 from __future__ import annotations
@@ -149,10 +162,14 @@ class ParsedQuery:
     # stored terms within the bounds)
     ranges: list[TermRange] = field(default_factory=list)
     excluded_ranges: list[TermRange] = field(default_factory=list)
+    # general * / ? patterns (lowercased), expanded like prefixes
+    wildcards: list[str] = field(default_factory=list)
+    excluded_wildcards: list[str] = field(default_factory=list)
+    wildcard_fields: dict[str, str] = field(default_factory=dict)
 
     @property
     def empty(self) -> bool:
-        return not self.terms and not self.prefixes and not self.ranges
+        return not (self.terms or self.prefixes or self.ranges or self.wildcards)
 
 
 def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) -> ParsedQuery:
@@ -206,6 +223,9 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     prefixes: list[str] = []
     excluded_prefixes: list[str] = []
     prefix_fields: dict[str, str] = {}
+    wildcards: list[str] = []
+    excluded_wildcards: list[str] = []
+    wildcard_fields: dict[str, str] = {}
     pending_not = False
     or_pending = False  # an OR was seen after clauses[-1]; the next
     # positive term joins that clause instead of opening a new one
@@ -236,16 +256,28 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         m = _FIELD_PREFIX.match(word)
         if m and fields and m.group(1) in fields:
             fld, word = m.group(1), m.group(2)
-        if word.endswith("*") and re.fullmatch(r"\w{2,}", word[:-1]):
-            base = word[:-1].lower()  # wildcard tokens bypass analysis
-            if neg:
-                excluded_prefixes.append(base)
-            else:
-                prefixes.append(base)
-                if fld is not None:
-                    prefix_fields[base] = fld
-            or_pending = False  # a prefix never joins an OR group
-            continue
+        if ("*" in word or "?" in word) and re.fullmatch(r"[\w*?]+", word):
+            lit_count = len(re.sub(r"[*?]", "", word))
+            if lit_count >= 2:  # <2 literal chars = dictionary scan, not a query
+                base = word.lower()  # wildcard tokens bypass analysis
+                if base.endswith("*") and not re.search(r"[*?]", base[:-1]):
+                    # pure trailing star -> the cheap prefix fast path
+                    base = base[:-1]
+                    if neg:
+                        excluded_prefixes.append(base)
+                    else:
+                        prefixes.append(base)
+                        if fld is not None:
+                            prefix_fields[base] = fld
+                elif neg:
+                    excluded_wildcards.append(base)
+                else:
+                    wildcards.append(base)
+                    if fld is not None:
+                        wildcard_fields[base] = fld
+                or_pending = False  # an expansion never joins an OR group
+                continue
+            # else fall through: the analyzer strips the stars
         toks = analyzer.analyze(word)
         if neg:
             excluded.extend(toks)
@@ -302,4 +334,6 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         prefixes=list(pfx_seen), excluded_prefixes=excluded_prefixes,
         prefix_fields=prefix_fields,
         ranges=ranges, excluded_ranges=ex_ranges,
+        wildcards=list(dict.fromkeys(wildcards)),
+        excluded_wildcards=excluded_wildcards, wildcard_fields=wildcard_fields,
     )

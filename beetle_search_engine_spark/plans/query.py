@@ -115,7 +115,10 @@ class BM25Index:
             pq = ParsedQuery(terms=self.analyzer.analyze_query(query), mode=mode)
         if pq.empty:
             return self.empty_result()
-        if pq.prefixes or pq.excluded_prefixes or pq.ranges or pq.excluded_ranges:
+        if (
+            pq.prefixes or pq.excluded_prefixes or pq.ranges
+            or pq.excluded_ranges or pq.wildcards or pq.excluded_wildcards
+        ):
             pq = self._expand_prefixes(pq)
             if pq is None or pq.empty:
                 return self.empty_result()
@@ -222,6 +225,23 @@ class BM25Index:
         """Prefix expansion == term range [prefix, prefix+MAXCHAR)."""
         return self._expand_term_range(prefix, prefix + "\U0010ffff", True, False)
 
+    def _expand_wildcard(self, pattern: str) -> list[str]:
+        """General ``*``/``?`` expansion: the literal prefix before the
+        first wildcard prunes the dictionary walk to its term range,
+        then fnmatch filters the survivors driver-side.  A
+        leading-wildcard pattern degenerates to a full term-column scan
+        — the same cost Whoosh's WildcardPlugin pays (documented in the
+        parser)."""
+        import fnmatch
+        import re as _re
+
+        static = _re.match(r"[^*?]*", pattern).group(0)
+        cands = (
+            self._expand_prefix(static) if static
+            else self._expand_term_range(None, None)
+        )
+        return [t for t in cands if fnmatch.fnmatchcase(t, pattern)]
+
     def _expand_prefixes(self, pq: ParsedQuery) -> ParsedQuery | None:
         """Resolve pq.prefixes / pq.ranges (and their excluded twins)
         against the stored term dictionary: each positive prefix/range
@@ -241,6 +261,9 @@ class BM25Index:
         ] + [
             (self._expand_term_range(r.lo, r.hi, r.lo_incl, r.hi_incl), r.field)
             for r in pq.ranges
+        ] + [
+            (self._expand_wildcard(w), pq.wildcard_fields.get(w))
+            for w in pq.wildcards
         ]
         for exp, fld in positive:
             if not exp:
@@ -254,7 +277,7 @@ class BM25Index:
         negative = [self._expand_prefix(p) for p in pq.excluded_prefixes] + [
             self._expand_term_range(r.lo, r.hi, r.lo_incl, r.hi_incl)
             for r in pq.excluded_ranges
-        ]
+        ] + [self._expand_wildcard(w) for w in pq.excluded_wildcards]
         for exp in negative:
             for t in exp:
                 if t not in excluded:
@@ -269,7 +292,7 @@ class BM25Index:
         return replace(
             pq, terms=terms, groups=groups, fielded=fielded,
             excluded=excluded, mode=mode, prefixes=[], excluded_prefixes=[],
-            ranges=[], excluded_ranges=[],
+            ranges=[], excluded_ranges=[], wildcards=[], excluded_wildcards=[],
         )
 
     def _pruned_rows_arrow(self, terms: list[str], buckets: dict[str, int]):

@@ -65,6 +65,7 @@ HEADLINE = [
     "engine_or_group",
     "engine_prefix",
     "engine_range",
+    "engine_wildcard",
     "engine_not_phrase",
     "engine_bm25_fielded",
     "engine_fielded_not",

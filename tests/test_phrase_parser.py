@@ -128,12 +128,13 @@ def test_parse_prefix_fielded_and_negated():
     assert sorted(pq.excluded_prefixes) == ["qq", "zz"]
 
 
-def test_parse_prefix_too_short_or_midword_degrades():
-    # 1-char prefix and mid-word wildcard degrade to plain text (the
-    # analyzer strips the star)
+def test_parse_prefix_too_short_degrades():
+    # <2 literal chars degrades to plain text (the analyzer strips the
+    # star); mid-word wildcards with >=2 literals are real wildcards
     pq = parse_query("t* te*t scan", S)
     assert pq.prefixes == []
-    assert set(pq.terms) == {"te", "scan"}  # 't' dropped by minsize
+    assert pq.wildcards == ["te*t"]
+    assert set(pq.terms) == {"scan"}  # 't' dropped by minsize
 
 
 def test_parse_prefix_does_not_join_or_group():
@@ -141,6 +142,29 @@ def test_parse_prefix_does_not_join_or_group():
     assert pq.prefixes == ["tr"]
     assert pq.groups == [["spark"], ["scan"]]
     assert pq.mode == "and"
+
+
+def test_parse_midword_wildcard():
+    pq = parse_query("Te?t t*st scan", S)
+    assert pq.wildcards == ["te?t", "t*st"]
+    assert pq.terms == ["scan"]
+    assert pq.prefixes == []
+
+
+def test_parse_wildcard_trailing_star_stays_prefix():
+    # pure trailing star routes to the cheap prefix path, not fnmatch
+    pq = parse_query("tr* t?r* scan", S)
+    assert pq.prefixes == ["tr"]
+    assert pq.wildcards == ["t?r*"]
+
+
+def test_parse_wildcard_fielded_negated_and_too_few_literals():
+    pq = parse_query("scan title:m?dels -w?ld a*", S, fields={"title"})
+    assert pq.wildcards == ["m?dels"]
+    assert pq.wildcard_fields == {"m?dels": "title"}
+    assert pq.excluded_wildcards == ["w?ld"]
+    assert pq.prefixes == []  # 'a*' has 1 literal -> degrades
+    assert "a" not in pq.terms  # minsize drops the bare 'a'
 
 
 def test_parse_term_range():
@@ -424,6 +448,28 @@ def test_prefix_negated(phrase_index):
     # models minus docs with any pipe* term -> drop b
     res = phrase_index.search("models -pipe*", 10, mode="parse")
     assert _ids(res) == {"a", "c", "d", "e"}
+
+
+def test_wildcard_search(phrase_index):
+    # stems present: transform, model, pipelin, state, system, deep...
+    # m?del* matches the 'model' stem only
+    res = phrase_index.search("m?del* transformer", 10, mode="parse")
+    assert _ids(res) == {"a", "b", "c", "d", "e"}
+    # leading wildcard: *tate -> {state}
+    res = phrase_index.search("*tate", 10, mode="parse")
+    assert _ids(res) == {"f", "g"}
+
+
+def test_wildcard_negated_and_distributed(phrase_index):
+    res = phrase_index.search("transformer -p?pel*", 10, mode="parse")
+    assert _ids(res) == {"a", "c", "d", "e", "f", "g"}  # b has pipelin
+    a = phrase_index.search("m?del* transformer", 10, mode="parse")
+    b = phrase_index.search("m?del* transformer", 10, mode="parse", prefer_local=False)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_wildcard_no_match_empties(phrase_index):
+    assert phrase_index.search("zz?zz transformer", 10, mode="parse").count() == 0
 
 
 def test_range_search(phrase_index):
