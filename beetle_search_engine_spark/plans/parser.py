@@ -31,6 +31,24 @@ Supported grammar (a deliberate, documented subset of Whoosh's):
                           analyzer strips the ':'), matching how Whoosh
                           treats unknown field names as text.  Fielded
                           terms participate in OR groups normally.
+* ``( ... )``           — simple parenthesized OR groups work by
+                          construction: the tokenizer strips parens and
+                          the infix-OR rule binds the adjacent terms, so
+                          ``(a OR b) c`` parses to And(Or(a,b), c)
+                          exactly.  NESTED boolean trees (``(a b) OR
+                          (c d)``) are beyond the flat clause model and
+                          degrade to the paren-free reading (documented).
+* ``term^2.5``          — boost syntax is recognized and the numeric
+                          boost DISCARDED (the term stays, unboosted) —
+                          without this the analyzer would leak a
+                          spurious ``2`` term into the query.
+* ``a ANDNOT b``        — mapped to ``a NOT b`` (identical semantics).
+* ``a ANDMAYBE b``      — b is optional in Whoosh (it can only boost
+                          a's matches, never filter); the b term is
+                          DROPPED, which preserves the result SET
+                          exactly and loses only the score boost.
+* ``a REQUIRE b``       — treated as plain And (b required and scored;
+                          Whoosh scores a only — documented divergence).
 * ``NOT term`` / ``-term`` — excluded term (Whoosh's AndNot): any doc
                           containing it in ANY field is dropped from the
                           results; excluded terms never contribute to
@@ -115,6 +133,7 @@ _FIELD_PREFIX = re.compile(r"^(\w+):(.+)$")
 # [a TO b] / {a TO b] / title:[a TO b] / NOT [a TO b] / -[a TO b];
 # either bound may be omitted (open range) — extracted before the word
 # loop because the body contains a space
+_BOOST = re.compile(r"^(.+?)\^[\d.]+$")  # term^2.5 -> term (boost discarded)
 _RANGE = re.compile(
     r"(?:(NOT)\s+|(?<!\S)(-))?(?:(\w+):)?([\[\{])\s*(\w+)?\s+TO(?:\s+(\w+))?\s*([\]\}])"
 )
@@ -227,6 +246,7 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     excluded_wildcards: list[str] = []
     wildcard_fields: dict[str, str] = {}
     pending_not = False
+    pending_maybe = False
     or_pending = False  # an OR was seen after clauses[-1]; the next
     # positive term joins that clause instead of opening a new one
     for word in rest.split():
@@ -234,13 +254,23 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
             if clauses:  # leading OR has no left operand -> noise
                 or_pending = True
             continue
-        if word == "AND":
+        if word in ("AND", "REQUIRE"):
+            continue  # REQUIRE -> plain And (see module doc)
+        if word in ("NOT", "ANDNOT"):
+            pending_not = True  # binds to the next term (ANDNOT == NOT)
             continue
-        if word == "NOT":
-            pending_not = True  # binds to the next term
+        if word == "ANDMAYBE":
+            pending_maybe = True  # the next term is optional -> dropped
             continue
+        if pending_maybe:
+            pending_maybe = False
+            if not pending_not:  # NOT overrides: 'ANDMAYBE NOT x' keeps the NOT
+                continue
         neg = pending_not
         pending_not = False
+        bm = _BOOST.match(word)
+        if bm:
+            word = bm.group(1)  # boost recognized, numeric factor discarded
         if word.startswith("-") and len(word) > 1:
             neg = True
             word = word[1:]

@@ -529,3 +529,36 @@ def test_phrase_on_positionless_index_raises(spark, tmp_path):
     build_index(spark, corpus, idx_dir, fields={"body": "content"}, cfg=cfg)
     with pytest.raises(ValueError, match="store_positions"):
         BM25Index(spark, idx_dir).search('"alpha beta"', 10, mode="parse")
+
+
+def test_parse_boost_discarded():
+    pq = parse_query("spark^2 scan^0.5 flink", S)
+    assert pq.terms == ["spark", "scan", "flink"]  # no spurious '2'/'0'/'5'
+
+
+def test_parse_andnot_maps_to_not():
+    pq = parse_query("spark ANDNOT shuffle", S)
+    assert pq.terms == ["spark"]
+    assert pq.excluded == ["shuffle"]
+
+
+def test_parse_andmaybe_drops_optional_term():
+    # Whoosh: b can only boost a's matches, never filter -> dropping b
+    # preserves the result set
+    pq = parse_query("spark ANDMAYBE flink scan", S)
+    assert pq.terms == ["spark", "scan"]
+    assert pq.excluded == []
+
+
+def test_parse_require_is_plain_and():
+    pq = parse_query("spark REQUIRE scan", S)
+    assert pq.terms == ["spark", "scan"]
+    assert pq.mode == "and"
+
+
+def test_parse_simple_paren_or_group_works():
+    # '(a OR b) c': parens stripped by the tokenizer; infix OR still
+    # binds the adjacent terms -> And(Or(a,b), c)
+    pq = parse_query("(spark OR flink) scan", S)
+    assert pq.groups == [["spark", "flink"], ["scan"]]
+    assert pq.mode == "group"
