@@ -242,6 +242,14 @@ class BM25Index:
         )
         return [t for t in cands if fnmatch.fnmatchcase(t, pattern)]
 
+    # Lucene's MultiTermQuery maxClauseCount analog: an expansion beyond
+    # this many terms would push thousands of cursors through the scan
+    # and kernel — at web scale that's a different query plan (a
+    # dictionary-side pre-aggregation), not a bigger IN list.  Raising
+    # beats silent truncation: truncating by any order changes results
+    # invisibly.
+    MAX_EXPANSION = 1024
+
     def _expand_prefixes(self, pq: ParsedQuery) -> ParsedQuery | None:
         """Resolve pq.prefixes / pq.ranges (and their excluded twins)
         against the stored term dictionary: each positive prefix/range
@@ -249,7 +257,8 @@ class BM25Index:
         Prefix/TermRange == Or over the expansion, every matching member
         scores); an unmatched positive expansion makes the whole
         conjunctive query unmatchable (None).  Excluded expansions
-        append to the NOT list."""
+        append to the NOT list.  Any single expansion larger than
+        MAX_EXPANSION raises (Lucene's TooManyClauses contract)."""
         from dataclasses import replace
 
         terms = list(pq.terms)
@@ -265,6 +274,15 @@ class BM25Index:
             (self._expand_wildcard(w), pq.wildcard_fields.get(w))
             for w in pq.wildcards
         ]
+        def _guard(exp: list[str]) -> list[str]:
+            if len(exp) > self.MAX_EXPANSION:
+                raise ValueError(
+                    f"wildcard/range expansion matches {len(exp)} terms "
+                    f"(> {self.MAX_EXPANSION}); narrow the pattern"
+                )
+            return exp
+
+        positive = [(_guard(e), f) for e, f in positive]
         for exp, fld in positive:
             if not exp:
                 return None  # a required clause with no matching term
@@ -278,6 +296,7 @@ class BM25Index:
             self._expand_term_range(r.lo, r.hi, r.lo_incl, r.hi_incl)
             for r in pq.excluded_ranges
         ] + [self._expand_wildcard(w) for w in pq.excluded_wildcards]
+        negative = [_guard(e) for e in negative]
         for exp in negative:
             for t in exp:
                 if t not in excluded:

@@ -562,3 +562,14 @@ def test_parse_simple_paren_or_group_works():
     pq = parse_query("(spark OR flink) scan", S)
     assert pq.groups == [["spark", "flink"], ["scan"]]
     assert pq.mode == "group"
+
+
+def test_expansion_cap_raises(phrase_index, monkeypatch):
+    # Lucene TooManyClauses analog: an expansion beyond MAX_EXPANSION
+    # raises rather than silently truncating results
+    monkeypatch.setattr(type(phrase_index), "MAX_EXPANSION", 2, raising=True)
+    with pytest.raises(ValueError, match="expansion matches"):
+        phrase_index.search("[art TO transformer] models", 10, mode="parse")
+    # a 2-term expansion still fits
+    res = phrase_index.search("[deep TO fast]", 10, mode="parse")
+    assert res.count() > 0
