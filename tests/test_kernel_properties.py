@@ -50,7 +50,34 @@ def brute_force(postings, n_docs, avgdl, k1=1.2, b=0.75, boosts=None, terms=(), 
     return out[:k]
 
 
-def run_kernels(seed, n_docs, mode, hot_salts, taat_density=0.25):
+def brute_force_group(postings, n_docs, avgdl, clauses, k=10, k1=1.2, b=0.75, boosts=None):
+    """Whoosh And-of-Or semantics: every clause needs >=1 matching
+    member; every matched term scores (UnionMatcher sum)."""
+    boosts = boosts or {"body": 1.0}
+    terms = {t for c in clauses for t in c}
+    docs: dict[int, float] = {}
+    matched: dict[int, set] = {}
+    for t in terms:
+        for field in boosts:
+            pl = postings.get((field, t), {})
+            df = len(pl)
+            if df == 0:
+                continue
+            idf = math.log(n_docs / (df + 1.0)) + 1.0
+            for doc, (tf, dl) in pl.items():
+                w = tf * boosts[field]
+                s = idf * w * (k1 + 1.0) / (w + k1 * (1.0 - b + b * dl / avgdl[field]))
+                docs[doc] = docs.get(doc, 0.0) + s
+                matched.setdefault(doc, set()).add(t)
+    out = [
+        (d, s) for d, s in docs.items()
+        if all(matched[d] & set(c) for c in clauses)
+    ]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def run_kernels(seed, n_docs, mode, hot_salts, taat_density=0.25, groups=False):
     rng = random.Random(seed)
     cfg = EngineConfig(
         bm25=BM25Params(field_boosts={"body": 1.0}),
@@ -121,10 +148,20 @@ def run_kernels(seed, n_docs, mode, hot_salts, taat_density=0.25):
         out_frames.extend(kernel(iter(batches)))
     enc = pd.concat(out_frames, ignore_index=True)
 
-    # query: 1-3 random terms
-    terms = [rng.choice(VOCAB) for _ in range(rng.randint(1, 3))]
+    # query: 1-3 random terms, or (groups) 1-3 clauses of 1-3 members
+    if groups:
+        clauses = [
+            [rng.choice(VOCAB) for _ in range(rng.randint(1, 3))]
+            for _ in range(rng.randint(1, 3))
+        ]
+        terms = [t for c in clauses for t in c]
+    else:
+        clauses = None
+        terms = [rng.choice(VOCAB) for _ in range(rng.randint(1, 3))]
     k = rng.choice([3, 10])
-    wk = make_wand_kernel(terms, stats, k, mode, taat_density=taat_density)
+    wk = make_wand_kernel(
+        terms, stats, k, mode, taat_density=taat_density, groups=clauses
+    )
     results = []
     for chunk, grp in enc[enc.term.isin(terms)].groupby("chunk"):
         results.append(wk(grp.reset_index(drop=True)))
@@ -132,7 +169,10 @@ def run_kernels(seed, n_docs, mode, hot_salts, taat_density=0.25):
     got = got.sort_values(["score", "docnum"], ascending=[False, True]).head(k)
     got_pairs = [(int(d), float(s)) for d, s in zip(got.docnum, got.score)]
 
-    want = brute_force(postings, n_docs, avgdl, terms=terms, mode=mode, k=k)
+    if groups:
+        want = brute_force_group(postings, n_docs, avgdl, clauses, k=k)
+    else:
+        want = brute_force(postings, n_docs, avgdl, terms=terms, mode=mode, k=k)
     return got_pairs, want
 
 
@@ -169,3 +209,21 @@ def test_taat_equals_wand(seed, n_docs):
         assert abs(ts - ws) < 1e-9
         if td != wd:  # permissible only as an exact-score tie swap
             assert abs(ts - ws) < 1e-9
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n_docs=st.integers(5, 120),
+    hot_salts=st.sampled_from([1, 2, 3]),
+)
+@settings(max_examples=120, deadline=None)
+def test_group_kernel_matches_brute_force(seed, n_docs, hot_salts):
+    """mode='group' (Whoosh And-of-Or): random clause structures vs the
+    brute-force clause semantics — candidate iff every clause has a
+    matching member, score = sum over ALL matched terms."""
+    got, want = run_kernels(seed, n_docs, "group", hot_salts, groups=True)
+    assert len(got) == len(want), (got, want)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9, (got, want)
+        if gd != wd:  # tie swap only
+            assert abs(gs - ws) < 1e-9
