@@ -573,3 +573,43 @@ def test_expansion_cap_raises(phrase_index, monkeypatch):
     # a 2-term expansion still fits
     res = phrase_index.search("[deep TO fast]", 10, mode="parse")
     assert res.count() > 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_QUERY_ALPHABET = st.sampled_from(
+    list("abc xyz") + ['"', "*", "?", "[", "]", "{", "}", ":", "-", "^", "("]
+    + [" OR ", " AND ", " NOT ", " TO ", "title:", '"big data"', "tr*", "[a TO b]"]
+)
+
+
+@given(st.lists(_QUERY_ALPHABET, max_size=12).map("".join))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_crashes_and_invariants_hold(q):
+    pq = parse_query(q, S, fields={"title", "body"})
+    # clauses cover exactly the scoring terms (duplicate singleton
+    # clauses from repeated input tokens are allowed — the kernel
+    # intersects them away and scores each term once)
+    clause_terms = [t for c in pq.groups for t in c]
+    assert set(pq.terms) == set(clause_terms)
+    # no duplicates WITHIN a clause
+    for c in pq.groups:
+        assert len(c) == len(set(c))
+    # mode is consistent with the clause structure
+    if pq.mode == "and":
+        assert all(len(c) == 1 for c in pq.groups)
+    if pq.mode == "or":
+        assert len(pq.groups) == 1 and not pq.phrases and not pq.excluded_phrases
+    # fielded only maps scoring terms
+    assert set(pq.fielded) <= set(pq.terms)
+
+
+def test_nasty_queries_dont_crash_search(phrase_index):
+    for q in [
+        '"unclosed phrase', "NOT", "-", "*", "?", "^", "title:", ":",
+        "[ TO ]", "[a TO", "NOT -", '""', '"" OR', "( OR )", "a^b",
+        'NOT "', "--x", "title:*", "[z TO a]",  # inverted range: no terms
+    ]:
+        df = phrase_index.search(q, 5, mode="parse")
+        assert df.count() >= 0  # parses + executes (possibly empty)
