@@ -125,10 +125,16 @@ from dataclasses import dataclass, field
 
 from ..functions.analyzer import Analyzer
 
-_QUOTED = re.compile(r'"([^"]*)"')
+_QUOTED = re.compile(r'"([^"]*)"(?:~[\d.]+)?')
 # NOT "a b" / -"a b" / NOT title:"a b": extracted before positive phrases
-# so the quoted body never reaches the positive-phrase grab
-_NEG_QUOTED = re.compile(r'(?:\bNOT\s+|(?<!\S)-)(\w+:)?"([^"]*)"')
+# so the quoted body never reaches the positive-phrase grab.  The
+# optional ~N slop suffix (Whoosh PhrasePlugin syntax) is consumed and
+# DISCARDED — phrase matching stays exact positional adjacency; without
+# consuming it the analyzer would leak a spurious numeric term.  (Slop
+# semantics over pre-stop-filter positions have no clean reading — a
+# stopword gap already widens the expected offsets — so a documented
+# no-op beats a guessed relaxation.)
+_NEG_QUOTED = re.compile(r'(?:\bNOT\s+|(?<!\S)-)(\w+:)?"([^"]*)"(?:~[\d.]+)?')
 _FIELD_PREFIX = re.compile(r"^(\w+):(.+)$")
 # [a TO b] / {a TO b] / title:[a TO b] / NOT [a TO b] / -[a TO b];
 # either bound may be omitted (open range) — extracted before the word

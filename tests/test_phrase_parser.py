@@ -613,3 +613,14 @@ def test_nasty_queries_dont_crash_search(phrase_index):
     ]:
         df = phrase_index.search(q, 5, mode="parse")
         assert df.count() >= 0  # parses + executes (possibly empty)
+
+
+def test_parse_phrase_slop_suffix_consumed():
+    # "a b"~2 (Whoosh slop syntax): the suffix must not leak a numeric
+    # term; matching stays exact adjacency (documented no-op)
+    pq = parse_query('"big data"~2 scan', S)
+    assert pq.phrases == [[("big", 0), ("data", 1)]]
+    assert set(pq.terms) == {"big", "data", "scan"}
+    pq = parse_query('spark NOT "big data"~3', S)
+    assert pq.excluded_phrases == [[("big", 0), ("data", 1)]]
+    assert pq.terms == ["spark"]
