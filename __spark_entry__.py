@@ -776,6 +776,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weak_label_split"] = _weak_split
 
+    # multimodal binary plumbing (operators/multimodal.py's payload
+    # shape) made driver-green on its SQL-expressible surface: text
+    # encoded to an opaque binary payload, then the metadata every media
+    # pipeline derives BEFORE decoding — byte length, content hash,
+    # magic-prefix sniff, size class.  The decode step itself stays
+    # behind the decoder_factory seam (codec libs absent by sandbox).
+    def _mm_meta(s, d):
+        payload = F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
+        return _docs(s, d).select(
+            "doc_id",
+            F.length(payload).alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha"),
+            F.lower(F.hex(payload)).substr(1, 8).alias("magic"),
+            F.when(F.length(payload) >= 1024, F.lit("large"))
+            .otherwise(F.lit("small"))
+            .alias("size_class"),
+        )
+
+    q["multimodal_meta"] = _mm_meta
+
     # IVF ANN with the deterministic numpy quantizer (fit_centroids_np):
     # centroids are a pure function of (data, seed), so the SQL oracle
     # re-fits the same centroids and inlines them as literals — the probe
@@ -1172,6 +1192,16 @@ def oracle_sql() -> dict[str, str]:
         except Exception:
             pass  # degrade to rows-only (pre-round-4 status) rather than
             # poisoning every other oracle
+
+    o["multimodal_meta"] = """
+      SELECT doc_id,
+             octet_length(encode(coalesce(text, '')))::bigint AS n_bytes,
+             sha256(coalesce(text, '')) AS sha,
+             lower(substr(hex(encode(coalesce(text, ''))), 1, 8)) AS magic,
+             CASE WHEN octet_length(encode(coalesce(text, ''))) >= 1024
+                  THEN 'large' ELSE 'small' END AS size_class
+      FROM documents
+    """
 
     o["lang_id"] = f"""
       SELECT doc_id,
