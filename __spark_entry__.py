@@ -796,6 +796,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_meta"] = _mm_meta
 
+    # applyInPandasWithState sessionization driven as a REAL streaming
+    # query (file source, two micro-batches, event-time timeout): the
+    # events table streams in one batch, then a far-future sentinel
+    # advances the watermark past every open session's (last + gap), so
+    # ALL sessions flush — making the streamed output equal the batch
+    # window-scan sessionizer, which IS ANSI SQL.  The one driver-green
+    # stateful-streaming row.
+    def _stream_sess(s, d):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from beetle_search_engine_spark.streaming.stateful import streaming_sessionize
+
+        tag = d.strip("/").replace("/", "_")
+        src = f"/tmp/beetle_stream_sess_{tag}"
+        os.makedirs(src, exist_ok=True)
+        ev = s.read.parquet(f"{d}/events.parquet").select("user_id", "ts", "value")
+        pdf = ev.toPandas()
+        t0 = __import__("time").time()
+        # us timestamps: Spark's parquet reader rejects pandas' default ns
+        pq.write_table(
+            pa.Table.from_pandas(pdf), f"{src}/events.parquet",
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(f"{src}/events.parquet", (t0 - 20, t0 - 20))
+        max_ts = pdf["ts"].max()
+        sent = pa.table(
+            {
+                "user_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([max_ts + pd.Timedelta(days=3650)]).cast(
+                    pa.timestamp("us")
+                ),
+                "value": pa.array([0.0], pa.float64()),
+            }
+        )
+        pq.write_table(sent, f"{src}/zz_sentinel.parquet")
+        os.utime(f"{src}/zz_sentinel.parquet", (t0 - 10, t0 - 10))
+
+        stream = (
+            s.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        name = "sess_entry_" + tag.replace(".", "_")  # view names bar dots
+        try:  # repeat calls in one session: drop the previous sink view
+            s.catalog.dropTempView(name)
+        except Exception:
+            pass
+        qry = (
+            streaming_sessionize(stream, gap_s=1800, watermark="0 seconds")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        qry.awaitTermination(300)
+        return s.sql(
+            f"SELECT user_id, session_id, n_events, start_epoch, "
+            f"round(session_value, 2) AS session_value "
+            f"FROM {name} WHERE user_id >= 0"
+        )
+
+    q["streaming_sessionize"] = _stream_sess
+
     # IVF ANN with the deterministic numpy quantizer (fit_centroids_np):
     # centroids are a pure function of (data, seed), so the SQL oracle
     # re-fits the same centroids and inlines them as literals — the probe
@@ -1192,6 +1255,28 @@ def oracle_sql() -> dict[str, str]:
         except Exception:
             pass  # degrade to rows-only (pre-round-4 status) rather than
             # poisoning every other oracle
+
+    # streaming sessionize == the batch gap sessionizer once the
+    # sentinel flushed every open session; streaming session ids start
+    # at 0 (the batch CTE's running sum starts at 1 -> minus 1)
+    o["streaming_sessionize"] = """
+      WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               floor(epoch(ts))::bigint - floor(epoch(lag(ts) OVER w))::bigint AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      s AS (
+        SELECT user_id, ts, value,
+               sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS session_id
+        FROM g
+      )
+      SELECT user_id, session_id::bigint AS session_id, count(*) AS n_events,
+             floor(epoch(min(ts)))::bigint AS start_epoch,
+             round(sum(value), 2) AS session_value
+      FROM s GROUP BY user_id, session_id
+    """
 
     o["multimodal_meta"] = """
       SELECT doc_id,

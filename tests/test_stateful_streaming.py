@@ -1,0 +1,153 @@
+"""applyInPandasWithState sessionization (streaming/stateful.py): the
+stateful-stream analog of the oracle-green batch ``sessionize`` entry.
+Drives a real Structured Streaming query over a file source with one
+file per micro-batch (maxFilesPerTrigger=1 + availableNow), so sessions
+close across batch boundaries and the event-time timeout actually fires
+as the watermark advances."""
+
+import datetime as dt
+import os
+import time
+
+import pytest
+
+
+def _write_batch(spark, path, rows, mtime):
+    # ONE plain parquet file (a df.write.parquet DIRECTORY would be
+    # invisible to the file stream source's top-level listing)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+                "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+            }
+        ),
+        path,
+    )
+    os.utime(path, (mtime, mtime))
+
+
+def _t(sec):
+    return dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(seconds=sec)
+
+
+def test_streaming_sessionize_closes_and_times_out(spark, tmp_path):
+    from beetle_search_engine_spark.streaming.stateful import streaming_sessionize
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    now = time.time()
+    # batch A: user 1 two close events; user 2 one event
+    _write_batch(
+        spark, str(src / "a.parquet"),
+        [(1, _t(1000), 1.0), (1, _t(1100), 1.0), (2, _t(1000), 5.0)],
+        now - 30,
+    )
+    # batch B: user 1 gap > 1800 closes session 0; user 2 continues;
+    # user 3 pushes the watermark to 50000
+    _write_batch(
+        spark, str(src / "b.parquet"),
+        [(1, _t(5000), 7.0), (2, _t(2000), 2.5), (3, _t(50_000), 9.0)],
+        now - 20,
+    )
+    # batch C: far-future event -> watermark passes every open session's
+    # (last + gap), firing the event-time timeouts for users 1 and 2
+    _write_batch(
+        spark, str(src / "c.parquet"), [(99, _t(200_000), 0.0)], now - 10,
+    )
+    # batch D: one more advance so user 3's and 99's tails also flush
+    _write_batch(
+        spark, str(src / "d.parquet"), [(98, _t(400_000), 0.0)], now - 5,
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sessions = streaming_sessionize(stream, gap_s=1800, watermark="0 seconds")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["start_epoch"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    base = int(_t(0).timestamp())
+    # user 1: session 0 closed by the gap rule mid-stream; session 1 by timeout
+    assert got[(1, 0)] == (2, base + 1000, 2.0)
+    assert got[(1, 1)] == (1, base + 5000, 7.0)
+    # user 2: one session spanning batches A+B, closed by timeout
+    assert got[(2, 0)] == (2, base + 1000, 7.5)
+    # user 3: flushed once the batch-D watermark passed 50000 + gap
+    assert got[(3, 0)] == (1, base + 50_000, 9.0)
+    # user 98/99's tails may legitimately still be open state
+    assert set(got) >= {(1, 0), (1, 1), (2, 0), (3, 0)}
+
+
+def test_streaming_sessionize_matches_batch_twin(spark, tmp_path):
+    """Every session the stream CLOSES must equal the batch window-scan
+    sessionizer's row for the same events (the driver-green `sessionize`
+    logic), modulo still-open tails."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from beetle_search_engine_spark.streaming.stateful import streaming_sessionize
+
+    rows = [
+        (u, _t(t), float(v))
+        for u, t, v in [
+            (1, 0, 1), (1, 500, 2), (1, 3000, 3), (1, 3100, 4), (1, 9000, 5),
+            (2, 100, 1), (2, 5000, 2),
+        ]
+    ]
+    src = tmp_path / "stream_in2"
+    src.mkdir()
+    now = time.time()
+    _write_batch(spark, str(src / "a.parquet"), rows, now - 20)
+    _write_batch(spark, str(src / "z.parquet"), [(99, _t(10_000_000), 0.0)], now - 10)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_sessionize(stream, gap_s=1800, watermark="0 seconds")
+        .writeStream.format("memory").queryName("sess_twin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["start_epoch"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sess_twin WHERE user_id != 99").collect()
+    }
+
+    # batch twin: the window-scan gap sessionizer over the same rows
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        ev.withColumn("new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new").over(w) - 1)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.col("ts").cast("long")).alias("start_epoch"),
+            F.sum("value").alias("session_value"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["start_epoch"], r["session_value"])
+        for r in sess.collect()
+    }
+    assert got == want  # all sessions closed (the z-file watermark flushed every tail)
