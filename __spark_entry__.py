@@ -859,6 +859,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_sessionize"] = _stream_sess
 
+    # the BFS crawl frontier driver-green: a deterministic binary-tree
+    # site over the documents table (page i links to 2i+1 and 2i+2, 404
+    # beyond the corpus), crawled to depth 6 — reachability then has the
+    # closed form depth(i) = bitlength(i+1)-1, i <= 2^7-2, which the
+    # DuckDB oracle states directly.  Exercises fetch -> link extraction
+    # -> canonicalize -> same-domain -> visited-dedup across 7 real
+    # distributed waves.
+    def _crawl_bfs(s, d):
+        from beetle_search_engine_spark.sources.crawler import crawl_frontier
+
+        n = s.read.parquet(f"{d}/documents.parquet").count()
+
+        def factory():
+            def fetch(url):
+                i = int(url.rsplit("/", 1)[1])
+                if i >= n:
+                    return 404, "text/plain", None
+                body = (
+                    f'<a href="/doc/{2 * i + 1}">l</a>'
+                    f'<a href="/doc/{2 * i + 2}">r</a>'
+                ).encode()
+                return 200, "text/html", body
+
+            return fetch
+
+        res = crawl_frontier(
+            s, ["https://graft.test/doc/0"], factory,
+            max_depth=6, max_urls=1_000_000,
+        )
+        return res.select("url", "depth")
+
+    q["crawl_frontier_bfs"] = _crawl_bfs
+
     # IVF ANN with the deterministic numpy quantizer (fit_centroids_np):
     # centroids are a pure function of (data, seed), so the SQL oracle
     # re-fits the same centroids and inlines them as literals — the probe
@@ -1276,6 +1309,14 @@ def oracle_sql() -> dict[str, str]:
              floor(epoch(min(ts)))::bigint AS start_epoch,
              round(sum(value), 2) AS session_value
       FROM s GROUP BY user_id, session_id
+    """
+
+    # binary-tree BFS crawl: node i sits at depth bitlength(i+1)-1; depth
+    # <= 6 reaches ids 0..126 (all present at every sf tier)
+    o["crawl_frontier_bfs"] = """
+      SELECT 'https://graft.test/doc/' || doc_id::varchar AS url,
+             (length(bin(doc_id + 1)) - 1)::int AS depth
+      FROM documents WHERE doc_id <= 126
     """
 
     o["multimodal_meta"] = """
