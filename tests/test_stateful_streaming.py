@@ -9,7 +9,7 @@ import datetime as dt
 import os
 import time
 
-import pytest
+
 
 
 def _write_batch(spark, path, rows, mtime):
