@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from beetle_search_engine_spark.config import EngineConfig, IndexConfig
 from beetle_search_engine_spark.functions.analyzer import STOP_WORDS
-from beetle_search_engine_spark.operators import dedup, textops
+from beetle_search_engine_spark.operators import curation, dedup, textops
 from beetle_search_engine_spark.operators.build import build_index
 from beetle_search_engine_spark.plans import knn as knnp
 from beetle_search_engine_spark.plans.fusion import rrf_fuse, with_rank
@@ -921,7 +921,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_rerank_pipeline"] = _pipeline
 
+    # --- training-data curation family (operators/curation.py) --------
+    # benchmark decontamination: corpus docs sharing any 4-gram shingle
+    # with a held-out "benchmark" slice (doc_id % 50 == 0) — the
+    # GPT-3/Pile n-gram-overlap rule; bench side broadcast, corpus
+    # shingles never shuffle
+    def _decon(s, d):
+        docs = _docs(s, d)
+        corpus = docs.filter(F.col("doc_id") % 50 != 0)
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        return curation.ngram_decontaminate(corpus, bench, n=4)
+
+    q["decontaminate_ngrams"] = _decon
+
+    # Gopher-style repetition signals, computed per-row with HOFs (zero
+    # exchange; the oracle uses the equivalent groupBy formulation)
+    q["repetition_stats"] = lambda s, d: curation.repetition_stats(_docs(s, d), n=2)
+
+    # PII counting + redaction over deterministically synthesized PII
+    # (the raw testdata is word-soup with no emails/phones, so the entry
+    # appends typed PII derived from doc_id — same expression in SQL)
+    def _pii(s, d):
+        return curation.pii_redact(_pii_docs(_docs(s, d)))
+
+    q["pii_redact"] = _pii
+
+    # data selection under a token budget: best docs by score (n_chars
+    # here) until 5000 tokens — one distributed sort + running sum
+    def _budget(s, d):
+        docs = _docs(s, d).withColumn("score", F.col("n_chars"))
+        return curation.token_budget_select(docs, 5000, score_col="score")
+
+    q["token_budget_select"] = _budget
+
+    # end-to-end curation: exact-dedup survivors ∩ length gate ∩
+    # repetition gate ∖ benchmark-contaminated — the composed "keep set"
+    # a training-data pipeline materializes
+    def _curate(s, d):
+        docs = _docs(s, d)
+        corpus = docs.filter(F.col("doc_id") % 50 != 0)
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        keep = dedup.exact_dedup(corpus).select(F.col("keep_id").alias("doc_id"))
+        rep_ok = (
+            curation.repetition_stats(corpus, n=2)
+            .filter(F.col("dup_gram_frac") <= 0.08)
+            .select("doc_id")
+        )
+        contaminated = curation.ngram_decontaminate(corpus, bench, n=4).select("doc_id")
+        toks = corpus.select(
+            "doc_id", F.size(textops.token_array(F.col("text"))).cast("long").alias("n_tokens")
+        )
+        return (
+            toks.filter(F.col("n_tokens") >= 20)
+            .join(rep_ok, "doc_id")
+            .join(keep, "doc_id", "semi")
+            .join(contaminated, "doc_id", "left_anti")
+            .select("doc_id", "n_tokens")
+        )
+
+    q["curation_pipeline"] = _curate
+
     return q
+
+
+def _pii_docs(docs: DataFrame) -> DataFrame:
+    """Append deterministic synthetic PII (email/phone/IPv4 derived from
+    doc_id) to the given documents — mirrored verbatim in the SQL oracle."""
+    did = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1773,6 +1865,128 @@ def oracle_sql() -> dict[str, str]:
              round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4) AS cosine
       FROM z GROUP BY id_a, id_b
       HAVING round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4) >= 0.3
+    """
+
+    # --- curation family --------------------------------------------------
+    # 4-gram shingles via the same unnest(range)+list_slice pattern the
+    # minhash oracle uses; bench = doc_id % 50 == 0
+    _SH4 = f"""
+      fl AS ({_TOKLIST}),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(l, i, i + 3), ' ') AS shingle
+        FROM fl, unnest(range(1, len(l) - 2)) AS t(i)
+        WHERE len(l) >= 4
+      ),
+      bench AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+      corp AS (SELECT * FROM sh WHERE doc_id % 50 != 0),
+      hits AS (
+        SELECT c.doc_id, c.shingle, b.doc_id AS bench_id
+        FROM corp c JOIN bench b USING (shingle)
+      )
+    """
+
+    o["decontaminate_ngrams"] = f"""
+      WITH {_SH4}
+      SELECT doc_id,
+             count(DISTINCT shingle)::bigint AS n_hit_shingles,
+             count(DISTINCT bench_id)::bigint AS n_bench_docs
+      FROM hits GROUP BY doc_id
+    """
+
+    # the per-row HOF computation's groupBy-formulated twin: identical
+    # numbers, different (shuffling) plan — the point of the oracle
+    _REP2 = f"""
+      fl AS ({_TOKLIST}),
+      g AS (
+        SELECT doc_id, array_to_string(list_slice(l, i, i + 1), ' ') AS gram
+        FROM fl, unnest(range(1, len(l))) AS t(i)
+        WHERE len(l) >= 2
+      ),
+      per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+    """
+
+    o["repetition_stats"] = f"""
+      WITH {_REP2}
+      SELECT doc_id, sum(c)::bigint AS n_grams, count(*)::bigint AS n_distinct,
+             round(max(c) / sum(c), 6) AS top_gram_frac,
+             round(1 - count(*) / sum(c), 6) AS dup_gram_frac
+      FROM per GROUP BY doc_id
+    """
+
+    # same synthesized-PII expression as _pii_docs; patterns are the
+    # Java-regex/RE2-portable module constants (plain string + replace —
+    # the regexes' braces would fight an f-string)
+    _pii_sql = """
+      WITH p AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call 555-010-' || lpad((doc_id % 10000)::varchar, 4, '0') ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ELSE '' END
+               AS text
+        FROM documents
+      )
+      SELECT doc_id,
+             len(regexp_extract_all(text, '@EMAIL@'))::bigint AS n_emails,
+             len(regexp_extract_all(text, '@PHONE@'))::bigint AS n_phones,
+             len(regexp_extract_all(text, '@IPV4@'))::bigint AS n_ips,
+             md5(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g'),
+                     '@IPV4@', '<IP>', 'g'),
+                   '@PHONE@', '<PHONE>', 'g')) AS redacted_md5
+      FROM p
+    """
+    o["pii_redact"] = (
+        _pii_sql.replace("@EMAIL@", curation.EMAIL_RE)
+        .replace("@PHONE@", curation.PHONE_RE)
+        .replace("@IPV4@", curation.IPV4_RE)
+    )
+
+    o["token_budget_select"] = f"""
+      WITH fl AS ({_TOKLIST}),
+      sel AS (
+        SELECT d.doc_id, len(fl.l)::bigint AS n_tokens,
+               sum(len(fl.l)) OVER (
+                 ORDER BY d.n_chars DESC, d.doc_id
+                 ROWS UNBOUNDED PRECEDING
+               )::bigint AS cum_tokens
+        FROM documents d JOIN fl ON d.doc_id = fl.doc_id
+      )
+      SELECT doc_id, n_tokens, cum_tokens FROM sel WHERE cum_tokens <= 5000
+    """
+
+    o["curation_pipeline"] = f"""
+      WITH {_SH4},
+      cont AS (SELECT DISTINCT doc_id FROM hits),
+      toks AS (
+        SELECT doc_id, len(l)::bigint AS n_tokens FROM fl WHERE doc_id % 50 != 0
+      ),
+      g AS (
+        SELECT doc_id, array_to_string(list_slice(l, i, i + 1), ' ') AS gram
+        FROM fl, unnest(range(1, len(l))) AS t(i)
+        WHERE len(l) >= 2 AND doc_id % 50 != 0
+      ),
+      per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+      rep_ok AS (
+        SELECT doc_id FROM per GROUP BY doc_id
+        HAVING round(1 - count(*) / sum(c), 6) <= 0.08
+      ),
+      keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 50 != 0)
+        GROUP BY h
+      )
+      SELECT t.doc_id, t.n_tokens
+      FROM toks t
+      JOIN rep_ok USING (doc_id)
+      JOIN keep USING (doc_id)
+      WHERE t.n_tokens >= 20
+        AND t.doc_id NOT IN (SELECT doc_id FROM cont)
     """
 
     # engine_bm25_and / engine_bm25_or: rows-only (Porter stemming is not

@@ -1,0 +1,190 @@
+"""Training-data curation operators: benchmark decontamination,
+repetition signals, PII redaction, and budgeted data selection.
+
+Not present in the reference (its ETL stops at heuristic labeling,
+src/ETL/heuristic_label.py); these are the standard LLM-corpus curation
+family (GPT-3 appendix C / The Pile / Gopher rules), built Spark-first:
+
+  decontaminate   — n-gram overlap against a benchmark/eval set; the
+                    bench side is tiny by construction -> broadcast hash
+                    join, the corpus shingle stream never shuffles
+  repetition      — Gopher-style duplicate/top n-gram fractions computed
+                    PER ROW with higher-order functions: zero exchange
+                    (the groupBy(doc, gram) alternative shuffles the
+                    entire gram stream — O(corpus tokens) — to compute a
+                    per-doc scalar; interpreted-lambda overhead is the
+                    right price for removing that exchange at 100 TB)
+  pii_redact      — regex counts + redaction as pure column expressions
+                    (patterns chosen to parse identically under Java
+                    regex and DuckDB's RE2 so the op stays oracle-checkable)
+  token_budget    — select the highest-quality docs whose cumulative
+                    token count fits a budget: one distributed sort +
+                    running sum (Spark's range-partitioned sort — the
+                    same shape it uses for any 100 TB ORDER BY)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _shingle_array, shingles
+from .textops import spread_small_input, token_array
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_hit_shingles, n_bench_docs) for every corpus doc sharing
+    at least one n-gram shingle with the benchmark set — the GPT-3/Pile
+    decontamination rule (they use 13-grams over web text; n is a knob
+    because this corpus' docs are ~50 tokens).
+
+    Scale shape: the benchmark side is small by definition (eval sets are
+    thousands of docs, the corpus is billions), so its distinct shingles
+    are broadcast and the corpus stream is probed map-side — no shuffle
+    of corpus shingles ever happens; the only exchange is the per-doc
+    count aggregation over the HIT rows (a tiny fraction of the corpus).
+    Callers should pre-filter benchmark ids out of `corpus` (identity
+    contamination is not contamination).
+    """
+    corpus_sh = shingles(corpus, n, text_col, id_col)
+    bench_sh = (
+        shingles(bench, n, text_col, id_col)
+        .withColumnRenamed(id_col, "bench_id")
+    )
+    hits = corpus_sh.join(F.broadcast(bench_sh), "shingle")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("shingle").alias("n_hit_shingles"),
+        F.countDistinct("bench_id").alias("n_bench_docs"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per doc over word n-grams:
+    (doc_id, n_grams, n_distinct, top_gram_frac, dup_gram_frac).
+
+    ``dup_gram_frac`` = fraction of n-gram occurrences that are repeats
+    of an earlier occurrence (1 - distinct/total); ``top_gram_frac`` =
+    the most frequent n-gram's share (Gopher filters docs whose top
+    2-gram exceeds 0.20).  Docs with fewer than n tokens emit no row
+    (they have no n-grams to measure — length filters catch them).
+
+    Computed entirely per-row: the gram array is built in-projection
+    (transform+slice, same machinery as the dedup family), distinct
+    count via array_distinct, and the top-gram run length via one
+    ``aggregate`` over the SORTED array (equal grams are adjacent after
+    array_sort, so the longest run IS the max frequency).  Zero
+    exchange — the groupBy(doc, gram) formulation the SQL oracle uses
+    would shuffle every gram in the corpus to compute a per-doc scalar.
+    The HOF lambdas evaluate interpreted (measured ~5x slower per
+    element than codegen in round 3's minhash A/B), which is the right
+    trade here: an embarrassingly parallel map beats an O(corpus
+    tokens) exchange at any scale worth having.
+    """
+    grams = _shingle_array(F.col(text_col), n)
+    g = F.array_sort(grams)
+    n_grams = F.size(g)
+    n_distinct = F.size(F.array_distinct(g))
+    # longest run of equal adjacent elements in the sorted array ==
+    # max per-gram count.  State: (prev gram, current run, best run).
+    top_cnt = F.aggregate(
+        g,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        spread_small_input(df)
+        .select(
+            F.col(id_col),
+            n_grams.cast("long").alias("n_grams"),
+            n_distinct.cast("long").alias("n_distinct"),
+            F.round(top_cnt / n_grams, 6).alias("top_gram_frac"),
+            F.round(F.lit(1.0) - n_distinct / n_grams, 6).alias("dup_gram_frac"),
+        )
+        .filter(F.col("n_grams") >= 1)
+    )
+
+
+# PII patterns — the portable subset: identical parse under Java regex
+# (Spark) and RE2 (DuckDB).  No backrefs, no lookaround, no \b-adjacent
+# unicode classes.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ips, redacted_md5): count PII
+    matches and redact them to typed placeholders; the redacted text is
+    returned as its md5 so the compare row stays small (the full
+    redacted column is one `.withColumn` away for pipeline use).
+
+    Pure column expressions — counts via regexp_extract_all on the
+    original text, redaction as three chained regexp_replace (email
+    first: an email's host part would otherwise be visible to the IP
+    pattern after partial rewrites).  Embarrassingly parallel; no
+    shuffle, no UDF, whole-stage codegen end to end.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(txt, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(txt, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(txt, F.lit(IPV4_RE), 0)).cast("long").alias("n_ips"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, cum_tokens): the highest-scoring docs whose
+    cumulative token count fits ``budget`` — data selection under a
+    token budget (the 'take the best N tokens' step of corpus mixing).
+
+    One distributed sort by (score desc, id) + a running sum window.
+    At scale this is Spark's range-partitioned ORDER BY — a real
+    shuffle, but the canonical one: there is no budgeted-prefix
+    selection without a global order, and the window's running sum
+    needs no extra exchange once the sort has run.  Ties broken by id
+    so the selection is deterministic.
+    """
+    toks = F.size(token_array(F.col(text_col))).cast("long")
+    w = (
+        Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = df.select(F.col(id_col), F.col(score_col), toks.alias("n_tokens"))
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, "n_tokens", "cum_tokens")
+    )

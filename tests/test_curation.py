@@ -1,0 +1,209 @@
+"""Curation-family operators: decontamination, repetition signals, PII
+redaction, token-budget selection (operators/curation.py).  Semantics are
+driver-oracle-gated at sf0.01; these tests pin the edge cases the oracle
+data never hits (empty/short docs, overlap-free corpora, exact budget
+boundaries) and the plan shapes the docstrings promise."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beetle_search_engine_spark.operators.curation import (
+    ngram_decontaminate,
+    pii_redact,
+    repetition_stats,
+    token_budget_select,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+
+
+def test_repetition_counts_longest_run(spark):
+    # "alpha beta" x3 + "alpha gamma": 2-grams (stopwords absent):
+    # [alpha beta, beta alpha, alpha beta, beta alpha, alpha beta,
+    #  beta alpha, alpha gamma] -> 7 grams, 3 distinct, top count 3
+    df = _docs(spark, [(1, "alpha beta alpha beta alpha beta alpha gamma")])
+    r = repetition_stats(df, n=2).collect()[0]
+    assert r.n_grams == 7
+    assert r.n_distinct == 3
+    assert r.top_gram_frac == round(3 / 7, 6)
+    assert r.dup_gram_frac == round(1 - 3 / 7, 6)
+
+
+def test_repetition_all_distinct_and_all_same(spark):
+    out = {
+        r.doc_id: r
+        for r in repetition_stats(
+            _docs(
+                spark,
+                [
+                    (1, "alpha beta gamma delta"),  # all 2-grams distinct
+                    (2, "echo echo echo echo"),  # one repeated 2-gram
+                ],
+            ),
+            n=2,
+        ).collect()
+    }
+    assert out[1].dup_gram_frac == 0.0 and out[1].top_gram_frac == round(1 / 3, 6)
+    assert out[2].n_grams == 3 and out[2].n_distinct == 1
+    assert out[2].top_gram_frac == 1.0 and out[2].dup_gram_frac == round(2 / 3, 6)
+
+
+def test_repetition_short_docs_emit_no_row(spark):
+    # 1 token -> no 2-grams; empty/NULL text -> no tokens at all
+    df = _docs(spark, [(1, "solitary"), (2, ""), (3, None), (4, "alpha beta")])
+    ids = [r.doc_id for r in repetition_stats(df, n=2).collect()]
+    assert ids == [4]
+
+
+def test_repetition_plan_has_no_exchange(spark):
+    """The per-row HOF formulation must not shuffle (its whole point)."""
+    df = _docs(spark, [(1, "alpha beta alpha beta")]).repartition(4)
+    plan = repetition_stats(df, n=2)._jdf.queryExecution().executedPlan().toString()
+    # the input repartition is the only exchange allowed
+    assert plan.count("Exchange") <= 1
+
+
+# ---------------------------------------------------------------------------
+# ngram_decontaminate
+
+
+def _decon_fixture(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta echo"),  # shares 4-gram with bench 100
+            (2, "foxtrot golf hotel india"),  # no overlap
+            (3, "alpha beta gamma delta zulu victor whiskey xray"),  # same 4-gram
+        ],
+    )
+    bench = _docs(
+        spark,
+        [
+            (100, "alpha beta gamma delta"),
+            (101, "kilo lima mike november"),
+        ],
+    )
+    return corpus, bench
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    corpus, bench = _decon_fixture(spark)
+    out = {r.doc_id: r for r in ngram_decontaminate(corpus, bench, n=4).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].n_hit_shingles == 1 and out[1].n_bench_docs == 1
+    assert out[3].n_hit_shingles == 1 and out[3].n_bench_docs == 1
+
+
+def test_decontaminate_clean_corpus_is_empty(spark):
+    corpus, _ = _decon_fixture(spark)
+    bench = _docs(spark, [(100, "papa quebec romeo sierra")])
+    assert ngram_decontaminate(corpus, bench, n=4).count() == 0
+
+
+def test_decontaminate_counts_multiple_bench_hits(spark):
+    corpus = _docs(spark, [(1, "alpha beta gamma delta echo foxtrot")])
+    bench = _docs(
+        spark,
+        [
+            (100, "alpha beta gamma delta"),
+            (101, "beta gamma delta echo"),
+            (102, "alpha beta gamma delta echo"),  # shares 3 shingles
+        ],
+    )
+    r = ngram_decontaminate(corpus, bench, n=4).collect()[0]
+    # corpus shingles {abgd, bgde, gdef}: abgd hit by bench 100+102,
+    # bgde by 101+102, gdef by nobody -> 2 hit shingles, 3 bench docs
+    assert r.n_hit_shingles == 2
+    assert r.n_bench_docs == 3
+
+
+def test_decontaminate_plan_broadcasts_bench(spark):
+    corpus, bench = _decon_fixture(spark)
+    plan = (
+        ngram_decontaminate(corpus, bench, n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# pii_redact
+
+
+def test_pii_counts_and_redaction(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "reach me at jane.doe+spam@mail.example.org or 555-123-4567"),
+            (2, "server 192.168.1.100 and 10.0.0.1 no contact"),
+            (3, "clean text with no identifiers"),
+            (4, None),
+        ],
+    )
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (1, 1, 0)
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_ips) == (0, 0, 2)
+    assert (out[3].n_emails, out[3].n_phones, out[3].n_ips) == (0, 0, 0)
+    assert (out[4].n_emails, out[4].n_phones, out[4].n_ips) == (0, 0, 0)
+
+
+def test_pii_redacted_text_content(spark):
+    df = _docs(spark, [(1, "mail a@b.io ip 1.2.3.4 tel 555-123-4567 end")])
+    red = (
+        _docs(spark, [(1, "mail a@b.io ip 1.2.3.4 tel 555-123-4567 end")])
+        .select(F.md5(F.lit("mail <EMAIL> ip <IP> tel <PHONE> end")).alias("want"))
+        .collect()[0]
+        .want
+    )
+    assert pii_redact(df).collect()[0].redacted_md5 == red
+
+
+def test_pii_phone_boundary_not_matched_inside_longer_number(spark):
+    # \b guards: a 3-3-4 shape embedded in a longer digit run is not a phone
+    df = _docs(spark, [(1, "serial 9555-123-45678 ok")])
+    r = pii_redact(df).collect()[0]
+    assert r.n_phones == 0
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select
+
+
+def test_token_budget_prefix_and_boundary(spark):
+    # scores pick order 3,2,1; token counts 3,2,2 -> budget 5 keeps 3,2
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta", 10),
+            (2, "gamma delta", 20),
+            (3, "echo foxtrot golf", 30),
+        ],
+        "doc_id long, text string, score long",
+    )
+    out = token_budget_select(df, 5).orderBy("cum_tokens").collect()
+    assert [(r.doc_id, r.n_tokens, r.cum_tokens) for r in out] == [(3, 3, 3), (2, 2, 5)]
+
+
+def test_token_budget_tie_broken_by_id(spark):
+    df = spark.createDataFrame(
+        [(2, "alpha beta", 1), (1, "gamma delta", 1)],
+        "doc_id long, text string, score long",
+    )
+    out = token_budget_select(df, 2).collect()
+    assert [(r.doc_id, r.cum_tokens) for r in out] == [(1, 2)]
+
+
+def test_token_budget_zero_budget(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta", 1)], "doc_id long, text string, score long"
+    )
+    assert token_budget_select(df, 0).count() == 0
