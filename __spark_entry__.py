@@ -981,6 +981,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pipeline"] = _curate
 
+    # reproducible global training shuffle, emitted as shard assignment
+    # (bucket = output file, pos = rank within shard — windows per
+    # bucket, never a single global row_number)
+    q["deterministic_shuffle"] = lambda s, d: curation.deterministic_shuffle(
+        _docs(s, d), n_buckets=8, seed=3
+    )
+
+    # GPT-style packing: concat the shuffled token stream, split into
+    # ctx_len=64 chunks (docs span boundaries); per-bucket streams
+    q["pack_sequences"] = lambda s, d: curation.pack_sequences(
+        _docs(s, d), ctx_len=64, n_buckets=4, seed=7
+    )
+
+    # corpus mixing: deterministic per-source Bernoulli keep
+    q["mixture_sample"] = lambda s, d: curation.mixture_sample(
+        _docs(s, d), {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default=0.1, seed=5
+    )
+
     return q
 
 
@@ -1987,6 +2005,45 @@ def oracle_sql() -> dict[str, str]:
       JOIN keep USING (doc_id)
       WHERE t.n_tokens >= 20
         AND t.doc_id NOT IN (SELECT doc_id FROM cont)
+    """
+
+    o["deterministic_shuffle"] = """
+      WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::varchar || '#3'), 1, 8))::bigint AS h
+        FROM documents
+      )
+      SELECT doc_id, (h % 8)::int AS bucket,
+             row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)::bigint AS pos
+      FROM h
+    """
+
+    o["pack_sequences"] = f"""
+      WITH fl AS ({_TOKLIST}),
+      b AS (
+        SELECT doc_id, len(l)::bigint AS n_tokens,
+               ('0x' || substr(md5(doc_id::varchar || '#7'), 1, 8))::bigint AS h
+        FROM fl WHERE len(l) >= 1
+      ),
+      c AS (
+        SELECT doc_id, (h % 4)::int AS bucket, n_tokens,
+               sum(n_tokens) OVER (
+                 PARTITION BY h % 4 ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM b
+      )
+      SELECT doc_id, bucket, n_tokens,
+             (cum - n_tokens)::bigint AS start_offset,
+             ((cum - n_tokens) // 64)::bigint AS first_chunk,
+             ((cum - 1) // 64)::bigint AS last_chunk
+      FROM c
+    """
+
+    o["mixture_sample"] = """
+      SELECT doc_id, source FROM documents
+      WHERE ('0x' || substr(md5(doc_id::varchar || '#5'), 1, 8))::bigint % 10000
+            < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                          WHEN 'src2' THEN 2500 ELSE 1000 END
     """
 
     # engine_bm25_and / engine_bm25_or: rows-only (Porter stemming is not

@@ -21,6 +21,12 @@ family (GPT-3 appendix C / The Pile / Gopher rules), built Spark-first:
                     token count fits a budget: one distributed sort +
                     running sum (Spark's range-partitioned sort — the
                     same shape it uses for any 100 TB ORDER BY)
+  shuffle/pack/mix— reproducible training shuffle emitted as shard
+                    assignments (per-bucket windows, no global
+                    row_number), GPT-style fixed-length sequence packing
+                    over per-bucket token streams, and deterministic
+                    per-source Bernoulli mixing — the materialization
+                    steps between a curated corpus and a training run
 """
 
 from __future__ import annotations
@@ -28,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _shingle_array, shingles
+from .dedup import _h64, _shingle_array, shingles
 from .textops import spread_small_input, token_array
 
 
@@ -188,3 +194,96 @@ def token_budget_select(
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, "n_tokens", "cum_tokens")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame, n_buckets: int = 8, seed: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, bucket, pos): a reproducible global shuffle of the corpus
+    for training — the order is a pure function of (id, seed), never of
+    input layout or partition count.
+
+    Scale shape: a training shuffle is materialized as output FILES, so
+    the operator emits the file assignment directly — ``bucket`` =
+    hash % n_buckets (the output shard) and ``pos`` = rank within the
+    shard (row_number windowed PER BUCKET, so the sort parallelizes
+    across buckets; at 100 TB n_buckets is thousands and no single
+    window sees more than a shard).  A single global row_number would
+    serialize on one partition — the classic mistake this shape avoids.
+    """
+    h = _h64(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy("bucket").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .withColumn("bucket", (F.col("h") % n_buckets).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "bucket", "pos")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int = 512,
+    n_buckets: int = 8,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate the (shuffled) token
+    stream and split it into fixed ``ctx_len`` training chunks; docs may
+    span chunk boundaries.  Per doc: (doc_id, bucket, n_tokens,
+    start_offset, first_chunk, last_chunk) — enough for a writer to
+    emit every chunk's members without re-tokenizing.
+
+    The stream order is the deterministic_shuffle order (hash of id,
+    seeded), bucketed so each bucket is an independent stream: the
+    running token sum windows per bucket, which is exactly how a
+    1000-executor packing job shards — one output stream per task, no
+    global coordination.  Zero-token docs are excluded (they occupy no
+    stream positions).
+    """
+    toks = F.size(token_array(F.col(text_col))).cast("long")
+    h = _h64(F.col(id_col).cast("string"), seed)
+    base = (
+        df.select(F.col(id_col), toks.alias("n_tokens"), h.alias("h"))
+        .filter(F.col("n_tokens") >= 1)
+        .withColumn("bucket", (F.col("h") % n_buckets).cast("int"))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("cum", cum)
+        .select(
+            F.col(id_col),
+            "bucket",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+            F.floor((F.col("cum") - F.col("n_tokens")) / ctx_len).cast("long").alias("first_chunk"),
+            F.floor((F.col("cum") - 1) / ctx_len).cast("long").alias("last_chunk"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: int = 5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, source): deterministic per-source Bernoulli sampling —
+    corpus mixing by source weights (upweight curated sources, thin the
+    crawl).  Keep iff hash(id, seed) % 10000 < frac*10000: a pure
+    per-row filter, zero shuffle, reproducible under any partitioning,
+    and (unlike ``sample()``) stable across Spark versions and retries.
+    """
+    thresh = F.lit(int(default * 10000))
+    for src, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(source_col) == src, F.lit(int(frac * 10000))).otherwise(thresh)
+    keep = (_h64(F.col(id_col).cast("string"), seed) % 10000) < thresh
+    return df.filter(keep).select(F.col(id_col), F.col(source_col))

@@ -10,7 +10,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from beetle_search_engine_spark.operators.curation import (
+    deterministic_shuffle,
+    mixture_sample,
     ngram_decontaminate,
+    pack_sequences,
     pii_redact,
     repetition_stats,
     token_budget_select,
@@ -207,3 +210,77 @@ def test_token_budget_zero_budget(spark):
         [(1, "alpha beta", 1)], "doc_id long, text string, score long"
     )
     assert token_budget_select(df, 0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# deterministic_shuffle / pack_sequences / mixture_sample
+
+
+def test_shuffle_is_layout_independent_and_dense(spark):
+    rows = [(i, f"tok{i}") for i in range(40)]
+    a = deterministic_shuffle(_docs(spark, rows), n_buckets=4, seed=3).collect()
+    b = deterministic_shuffle(
+        _docs(spark, list(reversed(rows))).repartition(7), n_buckets=4, seed=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # per-bucket positions are dense 1..n
+    by_bucket: dict[int, list[int]] = {}
+    for r in a:
+        by_bucket.setdefault(r.bucket, []).append(r.pos)
+    for poss in by_bucket.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_shuffle_seed_changes_order(spark):
+    rows = [(i, f"tok{i}") for i in range(40)]
+    a = {r.doc_id: (r.bucket, r.pos) for r in deterministic_shuffle(_docs(spark, rows), 4, seed=3).collect()}
+    b = {r.doc_id: (r.bucket, r.pos) for r in deterministic_shuffle(_docs(spark, rows), 4, seed=4).collect()}
+    assert a != b
+
+
+def test_pack_sequences_stream_is_contiguous(spark):
+    # 1 bucket -> one stream; offsets must tile [0, total) exactly
+    rows = [(i, " ".join(f"tok{i}w{j}" for j in range(i + 1))) for i in range(10)]
+    out = sorted(
+        pack_sequences(_docs(spark, rows), ctx_len=5, n_buckets=1, seed=7).collect(),
+        key=lambda r: r.start_offset,
+    )
+    offset = 0
+    for r in out:
+        assert r.start_offset == offset
+        assert r.first_chunk == offset // 5
+        assert r.last_chunk == (offset + r.n_tokens - 1) // 5
+        offset += r.n_tokens
+    assert offset == sum(i + 1 for i in range(10))
+
+
+def test_pack_sequences_doc_spans_chunks(spark):
+    # a 7-token doc with ctx_len 3 spans chunks 0..2
+    df = _docs(spark, [(1, "alpha beta gamma delta echo foxtrot golf")])
+    r = pack_sequences(df, ctx_len=3, n_buckets=1, seed=7).collect()[0]
+    assert (r.start_offset, r.first_chunk, r.last_chunk) == (0, 0, 2)
+
+
+def test_pack_sequences_drops_tokenless_docs(spark):
+    df = _docs(spark, [(1, "alpha beta"), (2, ""), (3, None), (4, "the of")])
+    ids = [r.doc_id for r in pack_sequences(df, ctx_len=4, n_buckets=1).collect()]
+    assert ids == [1]  # 2/3 empty; 4 is all stopwords
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mixture_sample_extremes_and_determinism(spark):
+    rows = [(i, "keep_all" if i % 2 == 0 else "drop_all") for i in range(100)]
+    df = _src_docs(spark, rows)
+    out = mixture_sample(df, {"keep_all": 1.0, "drop_all": 0.0}, default=0.0).collect()
+    assert sorted(r.doc_id for r in out) == [i for i in range(100) if i % 2 == 0]
+    again = mixture_sample(df.repartition(5), {"keep_all": 1.0, "drop_all": 0.0}, default=0.0).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mixture_sample_default_fraction_applies(spark):
+    df = _src_docs(spark, [(i, "unlisted") for i in range(200)])
+    kept = mixture_sample(df, {"other": 1.0}, default=0.5).count()
+    assert 0 < kept < 200  # roughly half, exact value pinned by the hash
