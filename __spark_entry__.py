@@ -999,6 +999,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default=0.1, seed=5
     )
 
+    # document deletion (Lucene/Whoosh tombstone semantics): docs with
+    # doc_id % 10 == 0 are deleted from a dedicated stem-free index;
+    # they vanish from results while N/df/avgdl stay STALE, so the
+    # DuckDB oracle scores with FULL-corpus stats and only filters the
+    # result set — the exact semantics under test.  Separate cached
+    # index dir so the shared nostem entries stay deletion-free.
+    def _engine_delete(s, d):
+        idx = _cached_index(s, d, _NOSTEM_CFG, "_nostemdel10")
+        if idx.deleted is None:
+            idx.delete_docs(
+                idx.docids.filter(F.col("doc_id").cast("long") % 10 == 0).select("doc_id")
+            )
+        res = idx.search(ENGINE_QUERY, 10, "or")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["engine_delete"] = _engine_delete
+
     return q
 
 
@@ -1566,6 +1583,14 @@ def oracle_sql() -> dict[str, str]:
         _bm25_ctes(_eq_terms)
         + f"SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores "
         f"WHERE nt = {len(_eq_terms)} ORDER BY s DESC, doc_id LIMIT 10"
+    )
+
+    # tombstone deletion: scores use FULL-corpus (stale) stats — the CTEs
+    # are unchanged — and only the RESULT SET excludes deleted docs
+    o["engine_delete"] = (
+        _bm25_ctes(_eq_terms)
+        + "SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores "
+        + "WHERE doc_id % 10 != 0 ORDER BY s DESC, doc_id LIMIT 10"
     )
 
     # two-field BM25F: the title boost made driver-green (per-field

@@ -425,6 +425,9 @@ def build_index(
         # partitions from a previous corpus (or pre-v4 flat files) would
         # otherwise survive and collide with the new docnum range
         _sh.rmtree(f"{index_dir}/docids", ignore_errors=True)
+        # ... and any tombstones: a rebuild reassigns docnums, and it IS
+        # the merge that makes deletions physical (Lucene optimize)
+        _sh.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
         # pruned numbering pass: only (doc_id [+meta]) ride through Arrow
         write_docids(numbered(staged, offsets, ["doc_id", *meta_cols]), f"{index_dir}/docids", meta_cols)
         _mark('write_docids')

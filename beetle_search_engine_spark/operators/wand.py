@@ -216,6 +216,7 @@ def make_wand_kernel(
     excluded: list[str] | None = None,
     groups: list[list[str]] | None = None,
     excluded_phrases: list[list[tuple[str, int]]] | None = None,
+    deleted=None,
 ):
     """Build the applyInPandas kernel for one query.
 
@@ -257,6 +258,14 @@ def make_wand_kernel(
     containing the phrase — same per-field positional adjacency as
     ``phrases`` — are dropped after candidate selection.  Their terms
     must ride the posting scan (planner's job) but never score.
+
+    ``deleted``: sorted int64 array of tombstoned docnums (Lucene/Whoosh
+    deletion semantics: deleted docs are skipped at collection time,
+    corpus stats — N, df, avgdl — stay STALE until a rebuild merges the
+    tombstones away, exactly like Whoosh's ``delete_document`` before an
+    ``optimize``).  Surviving docs therefore score identically with or
+    without deletions.  Block-max bounds may still reflect deleted docs —
+    bounds only loosen, pruning stays sound.
 
     ``taat_density``: when the query's AVERAGE per-cursor posting density
     (total postings / (chunk span x number of cursors), so always in
@@ -352,12 +361,13 @@ def make_wand_kernel(
                 cand = np.intersect1d(cand, docs_t, assume_unique=True)
             if cand.size == 0:
                 return EMPTY
-        if excluded_set:
-            ex = _excluded_docs(cursors)
-            if ex is not None:
-                cand = cand[~np.isin(cand, ex)]
-                if cand.size == 0:
-                    return EMPTY
+        ex = _excluded_docs(cursors) if excluded_set else None
+        if deleted is not None:
+            ex = deleted if ex is None else np.union1d(ex, deleted)
+        if ex is not None:
+            cand = cand[~np.isin(cand, ex)]
+            if cand.size == 0:
+                return EMPTY
         for phrase in phrases:
             cand = cand[_phrase_mask(phrase, cand, cursors)]
             if cand.size == 0:
@@ -413,6 +423,8 @@ def make_wand_kernel(
         if not cursors:
             return EMPTY
         ex = _excluded_docs(all_cursors) if excluded_set else None
+        if deleted is not None:
+            ex = deleted if ex is None else np.union1d(ex, deleted)
         total_postings = int(pdf["n"].sum())
         span = max(r.doc_hi for c in cursors for r in c.rows) - min(
             r.doc_lo for c in cursors for r in c.rows

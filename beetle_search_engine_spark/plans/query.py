@@ -66,6 +66,7 @@ class BM25Index:
         self.analyzer = get_analyzer(self.stats.get("analyzer", "whoosh"))
         self.postings = spark.read.parquet(f"{index_dir}/postings")
         self.docids = spark.read.parquet(f"{index_dir}/docids")
+        self._load_tombstones()
 
     def _buckets_for(self, terms: list[str]) -> dict[str, int]:
         # driver-local pure-Python XXH64, parity-tested vs Spark's
@@ -83,12 +84,61 @@ class BM25Index:
         postings, max_skew_ratio}."""
         return read_index_metrics(self.index_dir)
 
+    def _load_tombstones(self) -> None:
+        """Deleted docnums -> sorted int64 array on the driver (None when
+        none).  The in-memory shape is Lucene's: per-segment deleted-doc
+        sets live beside the searcher, not in the posting storage — here
+        one dense array (8 MB per million deletions) shipped to kernels
+        inside the query closure."""
+        import os
+
+        import numpy as np
+
+        tomb_dir = f"{self.index_dir}/tombstones"
+        self.deleted = None
+        if os.path.isdir(tomb_dir):
+            try:
+                import pyarrow.dataset as ds
+
+                t = ds.dataset(tomb_dir, format="parquet").to_table(columns=["docnum"])
+                arr = np.unique(np.asarray(t.column("docnum").to_numpy(), dtype=np.int64))
+            except Exception:
+                rows = self.spark.read.parquet(tomb_dir).select("docnum").distinct().collect()
+                arr = np.array(sorted(int(r["docnum"]) for r in rows), dtype=np.int64)
+            if arr.size:
+                self.deleted = arr
+
+    def delete_docs(self, doc_ids) -> int:
+        """Tombstone documents by display id — the Whoosh
+        ``writer.delete_by_term`` analog (the reference's Whoosh index
+        supports it even though its app never calls it).  Semantics are
+        Lucene's: deleted docs vanish from results immediately; N, df and
+        avgdl stay STALE until a full rebuild merges tombstones away, so
+        surviving docs keep their exact scores.  Accepts a list of ids or
+        a one-column DataFrame (the scale path: ids resolve to docnums
+        via a semi join against the docids dimension and the tombstone
+        parquet is written distributed — no driver materialization).
+        Returns the number of newly resolved docnums."""
+        if isinstance(doc_ids, DataFrame):
+            ids_df = doc_ids.select(F.col(doc_ids.columns[0]).cast("string").alias("doc_id"))
+            resolved = self.docids.join(ids_df, "doc_id", "semi").select("docnum")
+        else:
+            resolved = self.docids.filter(
+                F.col("doc_id").isin([str(i) for i in doc_ids])
+            ).select("docnum")
+        n = resolved.count()
+        if n:
+            resolved.write.mode("append").parquet(f"{self.index_dir}/tombstones")
+            self._load_tombstones()
+        return n
+
     def refresh_stats(self) -> None:
         """Re-read stats.json (after an incremental append_epoch)."""
         with open(f"{self.index_dir}/stats.json") as f:
             self.stats = json.load(f)
         self.postings = self.spark.read.parquet(f"{self.index_dir}/postings")
         self.docids = self.spark.read.parquet(f"{self.index_dir}/docids")
+        self._load_tombstones()
         # drop cached pyarrow file listings (the local fast path would
         # otherwise keep serving the pre-append snapshot)
         for attr in ("_arrow_postings", "_arrow_docids"):
@@ -156,6 +206,7 @@ class BM25Index:
             terms, self.stats, top_k, mode, df_override, phrases,
             fielded=pq.fielded, excluded=pq.excluded,
             groups=pq.groups or None, excluded_phrases=pq.excluded_phrases or None,
+            deleted=self.deleted,
         )
         scored = scan.groupBy("chunk").applyInPandas(kernel, "docnum long, score double")
         top_rows = (
@@ -366,6 +417,7 @@ class BM25Index:
             pq.terms, self.stats, top_k, pq.mode, df_override, pq.phrases,
             fielded=pq.fielded, excluded=pq.excluded,
             groups=pq.groups or None, excluded_phrases=pq.excluded_phrases or None,
+            deleted=self.deleted,
         )
         outs = [kernel(grp.reset_index(drop=True)) for _, grp in pdf.groupby("chunk")]
         import pandas as pd

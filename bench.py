@@ -72,6 +72,12 @@ HEADLINE = [
     "search_rerank_pipeline",
     "ann_lsh_cosine",
     "ivf_ann_cosine",
+    # curation family (round 4): overlap decon, per-row repetition HOFs,
+    # packing windows, composed keep-set
+    "decontaminate_ngrams",
+    "repetition_stats",
+    "pack_sequences",
+    "curation_pipeline",
 ]
 
 
