@@ -94,6 +94,60 @@ scores AS (
 _BM25_CTES = _bm25_ctes(BM25_TERMS)
 
 
+def _bm25_weighted_sql(
+    required: list[str],
+    maybe: tuple | list = (),
+    filter_only: tuple | list = (),
+    boosts: dict | None = None,
+    k: int = 10,
+) -> str:
+    """Single-field BM25 oracle with Whoosh operator semantics: candidates
+    must contain every ``required`` + ``filter_only`` term (AndGroup +
+    Require); the score sums required + ``maybe`` contributions (AndMaybe
+    scores without gating; Require gates without scoring), each times its
+    query boost (``term^x``).  Same formula constants as _bm25_ctes /
+    the engine kernel (scoring.py:23-31)."""
+    boosts = boosts or {}
+    all_terms = list(dict.fromkeys([*required, *maybe, *filter_only]))
+    gate = list(dict.fromkeys([*required, *filter_only]))
+    q_in = ", ".join(f"'{t}'" for t in all_terms)
+    gate_in = ", ".join(f"'{t}'" for t in gate)
+    wcase = (
+        "CASE tf.term "
+        + " ".join(
+            f"WHEN '{t}' THEN {0.0 if t in filter_only else boosts.get(t, 1.0)}"
+            for t in all_terms
+        )
+        + " ELSE 1.0 END"
+    )
+    return f"""
+WITH toks AS ({_FTOKS}),
+tf AS (
+  SELECT doc_id, term, count(*)::double AS tf FROM toks
+  WHERE term IN ({q_in}) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(l)::double AS dl FROM ({_TOKLIST})),
+st AS (SELECT count(*)::double AS n_docs, avg(dl) AS avgdl FROM dl),
+dfq AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks WHERE term IN ({q_in}))
+  GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum({wcase}
+             * (ln(st.n_docs / (dfq.df + 1.0)) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s,
+         count(CASE WHEN tf.term IN ({gate_in}) THEN 1 END) AS nreq
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores
+WHERE nreq = {len(gate)} ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
 def _bm25f_fielded_sql(terms: list[str], fielded: dict | None = None, excluded: list | None = None) -> str:
     """Two-field BM25F oracle over (title = substr(text,1,60), body =
     text): per-field tokenization, dl/avgdl/df, title boost 2.0 — the
@@ -1016,6 +1070,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["engine_delete"] = _engine_delete
 
+    # Whoosh operator-semantics trio on the stem-free index, all through
+    # the parser grammar (mode="parse"):
+    #   term^2.5  — query boost multiplies contributions AND WAND bounds
+    #   ANDMAYBE  — operand scores where present, never gates
+    #   REQUIRE   — operand gates, never scores
+    def _parse_entry(query):
+        def run(s, d):
+            res = _engine_index_nostem(s, d).search(query, 10, "parse")
+            return res.select("doc_id", F.round("score", 4).alias("score"))
+
+        return run
+
+    q["engine_term_boost"] = _parse_entry("spark^2.5 table scan")
+    q["engine_andmaybe"] = _parse_entry("spark table ANDMAYBE scan^2")
+    q["engine_require"] = _parse_entry("spark REQUIRE scan")
+
     return q
 
 
@@ -1592,6 +1662,17 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores "
         + "WHERE doc_id % 10 != 0 ORDER BY s DESC, doc_id LIMIT 10"
     )
+
+    # Whoosh operator semantics (boost / AndMaybe / Require) — the
+    # weighted oracle puts the per-term multiplier (0 for Require
+    # operands) inside the scoring sum and gates on required+filter terms
+    o["engine_term_boost"] = _bm25_weighted_sql(
+        ["spark", "table", "scan"], boosts={"spark": 2.5}
+    )
+    o["engine_andmaybe"] = _bm25_weighted_sql(
+        ["spark", "table"], maybe=["scan"], boosts={"scan": 2.0}
+    )
+    o["engine_require"] = _bm25_weighted_sql(["spark"], filter_only=["scan"])
 
     # two-field BM25F: the title boost made driver-green (per-field
     # stats + boosted weight in ANSI SQL; see _bm25f_fielded_sql)

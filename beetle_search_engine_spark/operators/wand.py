@@ -217,6 +217,9 @@ def make_wand_kernel(
     groups: list[list[str]] | None = None,
     excluded_phrases: list[list[tuple[str, int]]] | None = None,
     deleted=None,
+    term_boosts: dict[str, float] | None = None,
+    maybe_terms: list[str] | None = None,
+    filter_terms: list[str] | None = None,
 ):
     """Build the applyInPandas kernel for one query.
 
@@ -259,6 +262,19 @@ def make_wand_kernel(
     ``phrases`` — are dropped after candidate selection.  Their terms
     must ride the posting scan (planner's job) but never score.
 
+    ``term_boosts``: query-time score multipliers (parser ``term^2.5``,
+    Whoosh's boost attribute): every contribution of the term — and, for
+    soundness, its block-max bounds — is scaled by the factor.  Applies
+    in every kernel (AND, WAND, TAAT).
+
+    ``maybe_terms``: ANDMAYBE operands (Whoosh AndMaybe): they never
+    gate candidacy but add their BM25F score where present.  Honored by
+    the conjunctive kernel (the planner routes ANDMAYBE queries there).
+
+    ``filter_terms``: REQUIRE operands (Whoosh Require): docs must
+    contain them, but they contribute NO score.  Each becomes its own
+    conjunctive clause; the scoring loop skips them.
+
     ``deleted``: sorted int64 array of tombstoned docnums (Lucene/Whoosh
     deletion semantics: deleted docs are skipped at collection time,
     corpus stats — N, df, avgdl — stay STALE until a rebuild merges the
@@ -279,7 +295,7 @@ def make_wand_kernel(
     k1, b = stats["k1"], stats["b"]
     n_docs = stats["n_docs"]
     avgdl = stats["avgdl"]
-    boosts = stats["field_boosts"]
+    field_boosts = stats["field_boosts"]
     epoch_stats = stats.get("epochs", {})
     qterms = list(dict.fromkeys(terms))
     phrases = [p for p in (phrases or []) if len(p) >= 2]
@@ -292,6 +308,12 @@ def make_wand_kernel(
     _covered = {t for c in clauses for t in c}
     clauses += [[t] for t in qterms if t not in _covered]
     ex_phrases = [p for p in (excluded_phrases or []) if len(p) >= 2]
+    maybe = [t for t in dict.fromkeys(maybe_terms or []) if t not in qterms]
+    filter_set = set(filter_terms or [])
+    # REQUIRE terms gate like any clause but never score
+    clauses += [[t] for t in filter_set if t not in _covered and t not in qterms]
+    # the scoring pass covers query terms + ANDMAYBE terms, minus REQUIRE
+    scoring_terms = [t for t in [*qterms, *maybe] if t not in filter_set]
 
     def _allowed(c: _Cursor) -> bool:
         want = fielded.get(c.term)
@@ -312,21 +334,23 @@ def make_wand_kernel(
         return row.df
 
     def bound_scale(cursor: _Cursor, row: _Row) -> float:
+        bst = term_boosts.get(cursor.term, 1.0) if term_boosts else 1.0
         dft = true_df(cursor, row)
         if dft == row.df and row.epoch_n == n_docs:
-            return 1.0  # single-epoch fast path
+            return bst  # single-epoch fast path (boost still scales bounds)
         idf_true = math.log(n_docs / (dft + 1.0)) + 1.0
         idf_enc = math.log(row.epoch_n / (row.df + 1.0)) + 1.0
         es = epoch_stats.get(str(row.epoch), {})
         avgdl_enc = es.get("avgdl", avgdl).get(cursor.field, avgdl[cursor.field])
-        return (idf_true / idf_enc) * max(1.0, avgdl[cursor.field] / avgdl_enc)
+        return bst * (idf_true / idf_enc) * max(1.0, avgdl[cursor.field] / avgdl_enc)
 
     def contribs(cursor: _Cursor, row: _Row):
         d, tf, dl = row.decode()
         sc = term_scores(
-            tf, dl, true_df(cursor, row), boosts.get(cursor.field, 1.0), k1, b, n_docs, avgdl[cursor.field]
+            tf, dl, true_df(cursor, row), field_boosts.get(cursor.field, 1.0), k1, b, n_docs, avgdl[cursor.field]
         )
-        return d, sc
+        bst = term_boosts.get(cursor.term, 1.0) if term_boosts else 1.0
+        return d, (sc * bst if bst != 1.0 else sc)
 
     # ---------------- conjunctive (AND) ----------------
     def kernel_and(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -378,7 +402,7 @@ def make_wand_kernel(
             if cand.size == 0:
                 return EMPTY
         scores = np.zeros(cand.size, dtype=np.float64)
-        for t in qterms:
+        for t in scoring_terms:
             for c in by_term.get(t, ()):
                 for r in c.rows:
                     if r.doc_hi < cand[0] or r.doc_lo > cand[-1]:

@@ -38,17 +38,26 @@ Supported grammar (a deliberate, documented subset of Whoosh's):
                           exactly.  NESTED boolean trees (``(a b) OR
                           (c d)``) are beyond the flat clause model and
                           degrade to the paren-free reading (documented).
-* ``term^2.5``          — boost syntax is recognized and the numeric
-                          boost DISCARDED (the term stays, unboosted) —
-                          without this the analyzer would leak a
-                          spurious ``2`` term into the query.
+* ``term^2.5``          — query-time boost (Whoosh's boost attribute):
+                          the term's BM25F contributions are multiplied
+                          by the factor, in every kernel incl. WAND
+                          (block-max bounds scale with it, so pruning
+                          stays sound).  Per analyzed term, last boost
+                          wins (Whoosh sums separate boosted nodes —
+                          documented divergence); boosts on
+                          prefix/wildcard/range expansions and phrases
+                          are recognized and discarded.
 * ``a ANDNOT b``        — mapped to ``a NOT b`` (identical semantics).
-* ``a ANDMAYBE b``      — b is optional in Whoosh (it can only boost
-                          a's matches, never filter); the b term is
-                          DROPPED, which preserves the result SET
-                          exactly and loses only the score boost.
-* ``a REQUIRE b``       — treated as plain And (b required and scored;
-                          Whoosh scores a only — documented divergence).
+* ``a ANDMAYBE b``      — Whoosh AndMaybe: b never gates candidacy but
+                          ADDS its score where present (UnionMatcher on
+                          the scoring side only).  ``b^2`` keeps its
+                          boost.  An ANDMAYBE'd expansion (``pre*``)
+                          is dropped (result set identical, boost
+                          lost — documented).
+* ``a REQUIRE b``       — Whoosh Require: b is a required FILTER — docs
+                          must contain it, but only a scores.  A
+                          REQUIRE'd expansion degrades to a plain
+                          scored OR group (documented).
 * ``NOT term`` / ``-term`` — excluded term (Whoosh's AndNot): any doc
                           containing it in ANY field is dropped from the
                           results; excluded terms never contribute to
@@ -139,7 +148,7 @@ _FIELD_PREFIX = re.compile(r"^(\w+):(.+)$")
 # [a TO b] / {a TO b] / title:[a TO b] / NOT [a TO b] / -[a TO b];
 # either bound may be omitted (open range) — extracted before the word
 # loop because the body contains a space
-_BOOST = re.compile(r"^(.+?)\^[\d.]+$")  # term^2.5 -> term (boost discarded)
+_BOOST = re.compile(r"^(.+?)\^([\d.]+)$")  # term^2.5 -> (term, 2.5)
 _RANGE = re.compile(
     r"(?:(NOT)\s+|(?<!\S)(-))?(?:(\w+):)?([\[\{])\s*(\w+)?\s+TO(?:\s+(\w+))?\s*([\]\}])"
 )
@@ -191,6 +200,16 @@ class ParsedQuery:
     wildcards: list[str] = field(default_factory=list)
     excluded_wildcards: list[str] = field(default_factory=list)
     wildcard_fields: dict[str, str] = field(default_factory=dict)
+    # term^2.5 -> query-time score multiplier (Whoosh boost); per analyzed
+    # term, last occurrence wins (Whoosh sums separate boosted nodes —
+    # documented divergence).  Expansions (prefix/wildcard/range) ignore
+    # boosts, as before.
+    boosts: dict[str, float] = field(default_factory=dict)
+    # ANDMAYBE operands: never gate candidacy, score where present
+    # (Whoosh AndMaybe — result SET equals dropping them, scores don't)
+    maybe_terms: list[str] = field(default_factory=list)
+    # REQUIRE operands: gate candidacy, never score (Whoosh Require)
+    filter_terms: list[str] = field(default_factory=list)
 
     @property
     def empty(self) -> bool:
@@ -251,8 +270,12 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     wildcards: list[str] = []
     excluded_wildcards: list[str] = []
     wildcard_fields: dict[str, str] = {}
+    boosts: dict[str, float] = {}
+    maybe_list: list[str] = []
+    filter_list: list[str] = []
     pending_not = False
     pending_maybe = False
+    pending_filter = False
     or_pending = False  # an OR was seen after clauses[-1]; the next
     # positive term joins that clause instead of opening a new one
     for word in rest.split():
@@ -260,23 +283,27 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
             if clauses:  # leading OR has no left operand -> noise
                 or_pending = True
             continue
-        if word in ("AND", "REQUIRE"):
-            continue  # REQUIRE -> plain And (see module doc)
+        if word == "AND":
+            continue  # conjunctive is the default
+        if word == "REQUIRE":
+            pending_filter = True  # next term gates but never scores
+            continue
         if word in ("NOT", "ANDNOT"):
             pending_not = True  # binds to the next term (ANDNOT == NOT)
             continue
         if word == "ANDMAYBE":
-            pending_maybe = True  # the next term is optional -> dropped
+            pending_maybe = True  # next term scores but never gates
             continue
-        if pending_maybe:
-            pending_maybe = False
-            if not pending_not:  # NOT overrides: 'ANDMAYBE NOT x' keeps the NOT
-                continue
+        # NOT overrides either modifier: 'ANDMAYBE NOT x' keeps the NOT
+        is_maybe = pending_maybe and not pending_not
+        is_filter = pending_filter and not pending_not and not is_maybe
+        pending_maybe = pending_filter = False
         neg = pending_not
         pending_not = False
+        bval = None
         bm = _BOOST.match(word)
         if bm:
-            word = bm.group(1)  # boost recognized, numeric factor discarded
+            word, bval = bm.group(1), float(bm.group(2))
         if word.startswith("-") and len(word) > 1:
             neg = True
             word = word[1:]
@@ -295,6 +322,12 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         if ("*" in word or "?" in word) and re.fullmatch(r"[\w*?]+", word):
             lit_count = len(re.sub(r"[*?]", "", word))
             if lit_count >= 2:  # <2 literal chars = dictionary scan, not a query
+                if is_maybe:
+                    # ANDMAYBE expansion: dropping it preserves the result
+                    # set exactly (pre-round-4 ANDMAYBE behavior); a
+                    # REQUIRE expansion degrades to a plain scored
+                    # OR-group (documented)
+                    continue
                 base = word.lower()  # wildcard tokens bypass analysis
                 if base.endswith("*") and not re.search(r"[*?]", base[:-1]):
                     # pure trailing star -> the cheap prefix fast path
@@ -319,6 +352,17 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
             excluded.extend(toks)
             or_pending = False  # Or(x, Not(y)) simplified away: the OR drops
             continue
+        if is_maybe or is_filter:
+            # ANDMAYBE/REQUIRE operands never join clauses or OR groups
+            for t in toks:
+                (maybe_list if is_maybe else filter_list).append(t)
+                if fld is not None:
+                    fielded[t] = fld
+                if is_maybe and bval is not None:
+                    boosts[t] = bval  # boosted optional term keeps its boost
+            if toks:
+                or_pending = False
+            continue
         for j, t in enumerate(toks):
             if j == 0 and or_pending:
                 if t not in clauses[-1]:
@@ -328,6 +372,8 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
                 clauses.append([t])
             if fld is not None:
                 fielded[t] = fld
+            if bval is not None:
+                boosts[t] = bval
         if toks:
             or_pending = False
 
@@ -353,10 +399,16 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     has_group = any(len(c) > 1 for c in clauses)
     if not has_group:
         mode = "and"
-    elif len(clauses) == 1 and not phrases and not ex_phrases:
+    elif (
+        len(clauses) == 1 and not phrases and not ex_phrases
+        and not maybe_list and not filter_list
+    ):
         mode = "or"  # pure disjunction -> block-max WAND path
     else:
-        mode = "group"  # And over clauses, >=1 a real OR group
+        # And over clauses, >=1 a real OR group; also the route for
+        # OR groups mixed with ANDMAYBE/REQUIRE operands (the
+        # conjunctive kernel is the one that honors them)
+        mode = "group"
     ex_seen: dict[str, None] = {}
     for t in excluded:
         ex_seen.setdefault(t)
@@ -372,4 +424,7 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         ranges=ranges, excluded_ranges=ex_ranges,
         wildcards=list(dict.fromkeys(wildcards)),
         excluded_wildcards=excluded_wildcards, wildcard_fields=wildcard_fields,
+        boosts=boosts,
+        maybe_terms=list(dict.fromkeys(t for t in maybe_list if t not in seen)),
+        filter_terms=list(dict.fromkeys(t for t in filter_list if t not in seen)),
     )

@@ -181,7 +181,12 @@ class BM25Index:
         # pruned scan: their postings are needed to drop matching docs,
         # but they never score
         ex_phrase_terms = [t for ph in pq.excluded_phrases for t, _off in ph]
-        all_terms = list(dict.fromkeys([*terms, *pq.excluded, *ex_phrase_terms]))
+        # maybe (ANDMAYBE) and filter (REQUIRE) terms need their postings
+        # on the scan too: one scores without gating, the other gates
+        # without scoring
+        all_terms = list(dict.fromkeys(
+            [*terms, *pq.excluded, *ex_phrase_terms, *pq.maybe_terms, *pq.filter_terms]
+        ))
         buckets = self._buckets_for(all_terms)
         scan = self.postings.filter(
             F.col("bucket").isin(sorted(set(buckets.values()))) & F.col("term").isin(all_terms)
@@ -207,6 +212,8 @@ class BM25Index:
             fielded=pq.fielded, excluded=pq.excluded,
             groups=pq.groups or None, excluded_phrases=pq.excluded_phrases or None,
             deleted=self.deleted,
+            term_boosts=pq.boosts or None, maybe_terms=pq.maybe_terms or None,
+            filter_terms=pq.filter_terms or None,
         )
         scored = scan.groupBy("chunk").applyInPandas(kernel, "docnum long, score double")
         top_rows = (
@@ -418,6 +425,8 @@ class BM25Index:
             fielded=pq.fielded, excluded=pq.excluded,
             groups=pq.groups or None, excluded_phrases=pq.excluded_phrases or None,
             deleted=self.deleted,
+            term_boosts=pq.boosts or None, maybe_terms=pq.maybe_terms or None,
+            filter_terms=pq.filter_terms or None,
         )
         outs = [kernel(grp.reset_index(drop=True)) for _, grp in pdf.groupby("chunk")]
         import pandas as pd

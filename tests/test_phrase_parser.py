@@ -531,9 +531,10 @@ def test_phrase_on_positionless_index_raises(spark, tmp_path):
         BM25Index(spark, idx_dir).search('"alpha beta"', 10, mode="parse")
 
 
-def test_parse_boost_discarded():
+def test_parse_boost_recorded():
     pq = parse_query("spark^2 scan^0.5 flink", S)
     assert pq.terms == ["spark", "scan", "flink"]  # no spurious '2'/'0'/'5'
+    assert pq.boosts == {"spark": 2.0, "scan": 0.5}  # round 4: applied, not dropped
 
 
 def test_parse_andnot_maps_to_not():
@@ -542,17 +543,20 @@ def test_parse_andnot_maps_to_not():
     assert pq.excluded == ["shuffle"]
 
 
-def test_parse_andmaybe_drops_optional_term():
-    # Whoosh: b can only boost a's matches, never filter -> dropping b
-    # preserves the result set
+def test_parse_andmaybe_optional_term_scores_only():
+    # Whoosh AndMaybe: b never gates; round 4 keeps it as a score-only
+    # operand (result set still equals dropping it)
     pq = parse_query("spark ANDMAYBE flink scan", S)
     assert pq.terms == ["spark", "scan"]
+    assert pq.maybe_terms == ["flink"]
     assert pq.excluded == []
 
 
-def test_parse_require_is_plain_and():
+def test_parse_require_gates_without_scoring():
+    # Whoosh Require: scan must match but only spark scores (round 4)
     pq = parse_query("spark REQUIRE scan", S)
-    assert pq.terms == ["spark", "scan"]
+    assert pq.terms == ["spark"]
+    assert pq.filter_terms == ["scan"]
     assert pq.mode == "and"
 
 
