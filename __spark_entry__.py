@@ -1086,6 +1086,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_andmaybe"] = _parse_entry("spark table ANDMAYBE scan^2")
     q["engine_require"] = _parse_entry("spark REQUIRE scan")
 
+    # physical merge (Lucene forceMerge + expungeDeletes): delete
+    # doc_id % 10 == 0, then optimize — postings/docids rewritten from
+    # the decoded index, stats recomputed FRESH over the survivors.  The
+    # oracle is therefore the plain nostem BM25 over the FILTERED corpus
+    # (contrast engine_delete, whose pre-merge oracle keeps stale
+    # full-corpus stats — the two entries pin both halves of Lucene's
+    # deletion story).
+    def _engine_optimize(s, d):
+        from beetle_search_engine_spark.operators.build import optimize_index
+
+        idx = _cached_index(s, d, _NOSTEM_CFG, "_nostemopt10")
+        if int(idx.stats.get("optimize_count", 0)) == 0:
+            idx.delete_docs(
+                idx.docids.filter(F.col("doc_id").cast("long") % 10 == 0).select("doc_id")
+            )
+            optimize_index(s, idx.index_dir)
+            idx = BM25Index(s, idx.index_dir)  # reopen over the merged index
+        res = idx.search(ENGINE_QUERY, 10, "or")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["engine_optimize"] = _engine_optimize
+
     return q
 
 
@@ -1673,6 +1695,18 @@ def oracle_sql() -> dict[str, str]:
         ["spark", "table"], maybe=["scan"], boosts={"scan": 2.0}
     )
     o["engine_require"] = _bm25_weighted_sql(["spark"], filter_only=["scan"])
+
+    # post-merge: deleted docs are physically gone AND stats are fresh,
+    # so the oracle is the standard nostem BM25 over the filtered corpus
+    # (every CTE — tf, dl, n_docs, avgdl, df — sees only survivors)
+    o["engine_optimize"] = (
+        _bm25_ctes(_eq_terms)
+        + "SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores "
+        + "ORDER BY s DESC, doc_id LIMIT 10"
+    ).replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 10 != 0) documents",
+    )
 
     # two-field BM25F: the title boost made driver-green (per-field
     # stats + boosted weight in ANSI SQL; see _bm25f_fielded_sql)

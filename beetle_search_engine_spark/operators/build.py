@@ -45,10 +45,17 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT, EngineConfig
-from .codecs import encode_docgap_rows, encode_positions_rows, varint_encode_rows
+from ..config import DEFAULT, BM25Params, EngineConfig, IndexConfig
+from .codecs import (
+    decode_docgaps,
+    decode_positions,
+    encode_docgap_rows,
+    encode_positions_rows,
+    varint_decode,
+    varint_encode_rows,
+)
 from .docnums import numbered, stage_corpus, write_docids
-from .tokenize import tokenize
+from .tokenize import TOKENS_SCHEMA, TOKENS_SCHEMA_POS, tokenize
 
 INDEX_LAYOUT_VERSION = 4  # bump when POSTINGS_SCHEMA / stats layout changes
 
@@ -295,6 +302,16 @@ def _group_metrics_agg(spark: SparkSession, out_path: str) -> dict:
             "avg_bucket": float(per_bucket.mean()) if len(per_bucket) else 1.0,
         }
     except Exception:
+        # a group whose bucket range got no postings (tiny corpora /
+        # many groups) writes only _SUCCESS — neither reader can infer a
+        # schema from zero files, and zero metrics are the truth
+        has_parquet = any(
+            fn.endswith(".parquet")
+            for _r, _d, fns in os.walk(out_path)
+            for fn in fns
+        )
+        if not has_parquet:
+            return {"postings": 0, "rows": 0, "bytes": 0, "max_bucket": 0, "avg_bucket": 1.0}
         row = (
             spark.read.parquet(out_path)
             .groupBy("bucket")
@@ -508,13 +525,57 @@ def build_index(
     }
 
     # ---- salted, bucketed encode in resumable groups
+    group_metrics = _encode_groups(
+        spark, tokens, index_dir, cfg, stats, hot_df, fp, cfg_hash, resume, _mark
+    )
+
+    import shutil as _sh
+
+    _sh.rmtree(f"{index_dir}/_stage", ignore_errors=True)
+    with open(stats_path, "w") as f:
+        json.dump(stats, f, indent=1)
+    _mark('stage cleanup + stats')
+
+    wall = time.time() - t0
+    built = [m for m in group_metrics if not m.get("skipped")]
+    metrics = {
+        "wall_s": round(wall, 3),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / max(wall, 1e-9), 1),
+        "postings": sum(m["postings"] for m in group_metrics),
+        "compressed_bytes": sum(m["compressed_bytes"] for m in group_metrics),
+        "vocab_size": vocab_size,
+        "n_hot_terms": len(hot_df),
+        "groups_built": len(built),
+        "groups_skipped": cfg.index.bucket_groups - len(built),
+        "groups": group_metrics,
+    }
+    with open(f"{index_dir}/_manifest/build.json", "w") as f:
+        json.dump(metrics, f, indent=1)
+    return metrics
+
+
+def _encode_groups(
+    spark: SparkSession,
+    tokens: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig,
+    stats: dict,
+    hot_df: dict,
+    fp: str,
+    cfg_hash: str,
+    resume: bool,
+    _mark=lambda s: None,
+) -> list[dict]:
+    """The salted, bucketed, group-resumable encode shared by full builds
+    and optimize_index: token rows -> posting parquet + group manifests.
+    Bucket-major shuffle key: a reduce task owns whole buckets (salted
+    hot terms excepted), so partitionBy(bucket) writes ~1 file per bucket
+    instead of tasks x buckets small files."""
     groups = cfg.index.bucket_groups
     p_enc = cfg.index.encode_partitions or spark.sparkContext.defaultParallelism
-    field_names = sorted(fields)
+    field_names = sorted(stats["fields"])
     kernel = _make_encode_kernel(cfg, stats, hot_df, field_names=field_names)
-    # bucket-major shuffle key: a reduce task owns whole buckets (salted
-    # hot terms excepted), so partitionBy(bucket) writes ~1 file per
-    # bucket instead of tasks x buckets small files.
     base, part_key, enc_cols = _encode_input(spark, tokens, cfg, hot_df, field_names)
 
     group_metrics = []
@@ -571,28 +632,230 @@ def build_index(
         with open(man_path, "w") as f:
             json.dump(man, f, indent=1)
         group_metrics.append(man)
+    return group_metrics
 
+
+def _make_decode_kernel(deleted: np.ndarray, positions: bool):
+    """mapInPandas kernel: posting rows -> the token-stage rows they were
+    encoded from (docnum, field, term, tf, dl[, pos]), minus tombstoned
+    docnums.  Per-row numpy decode at the same ~1024-posting granularity
+    the query kernels work at."""
+
+    def kernel(batches):
+        for pdf in batches:
+            docs_out, fld_out, trm_out, tf_out, dl_out = [], [], [], [], []
+            pos_out: list = []
+            pos_col = pdf["pos"] if positions else [b""] * len(pdf)
+            for f_, t_, docs_, tfs_, dls_, pos_ in zip(
+                pdf["field"], pdf["term"], pdf["docs"], pdf["tfs"], pdf["dls"], pos_col
+            ):
+                d = decode_docgaps(docs_)
+                tf = varint_decode(tfs_).astype(np.int64)
+                dl = varint_decode(dls_).astype(np.int64)
+                m = ~np.isin(d, deleted) if deleted.size else np.ones(d.size, dtype=bool)
+                kept = int(m.sum())
+                if kept == 0:
+                    continue
+                docs_out.append(d[m])
+                tf_out.append(tf[m])
+                dl_out.append(dl[m])
+                fld_out.append(np.full(kept, f_, dtype=object))
+                trm_out.append(np.full(kept, t_, dtype=object))
+                if positions:
+                    flat, starts = decode_positions(pos_, tf)
+                    ends = starts + tf
+                    pos_out.extend(
+                        flat[s:e].astype(np.int32).tolist()
+                        for s, e, km in zip(starts, ends, m)
+                        if km
+                    )
+            if not docs_out:
+                continue
+            out = {
+                "docnum": np.concatenate(docs_out),
+                "field": np.concatenate(fld_out),
+                "term": np.concatenate(trm_out),
+                "tf": np.concatenate(tf_out).astype(np.int32),
+                "dl": np.concatenate(dl_out).astype(np.int32),
+            }
+            if positions:
+                out["pos"] = pos_out
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def config_from_stats(index_dir: str, stats: dict) -> EngineConfig:
+    """Reconstruct the build config an index was written with from its
+    stats.json (+ the on-disk group count).  Lets maintenance operators
+    (optimize_index) run without the caller re-supplying the config."""
+    import re as _re
+
+    man_dir = f"{index_dir}/_manifest"
+    groups = 0
+    if os.path.isdir(man_dir):
+        for fn in os.listdir(man_dir):
+            m = _re.fullmatch(r"group_(\d+)\.json", fn)
+            if m and int(m.group(1)) < 1000:  # >=1000 are epoch groups
+                groups += 1
+    return EngineConfig(
+        bm25=BM25Params(
+            k1=stats["k1"], b=stats["b"], field_boosts=dict(stats["field_boosts"])
+        ),
+        index=IndexConfig(
+            n_buckets=stats["n_buckets"],
+            block_size=stats["block_size"],
+            blocks_per_row=stats["blocks_per_row"],
+            chunk_docs=stats["chunk_docs"],
+            hot_df_threshold=stats.get("hot_df_threshold"),
+            bucket_groups=max(groups, 1),
+            store_positions=bool(stats.get("store_positions", False)),
+        ),
+        tokenizer=stats.get("tokenizer", "auto"),
+        analyzer=stats.get("analyzer", "whoosh"),
+    )
+
+
+def optimize_index(spark: SparkSession, index_dir: str, cfg: EngineConfig | None = None) -> dict:
+    """Physically merge the index: apply tombstones and collapse epochs —
+    Lucene's forceMerge(1) + expungeDeletes (Whoosh: ``optimize()``).
+
+    The decoded postings ARE the token stage: every posting row decodes
+    back to the (docnum, field, term, tf, dl[, pos]) rows it was encoded
+    from, so the merge re-runs the build's own stats + salted-encode path
+    over them — no corpus re-read, no re-tokenize.  After the merge:
+
+    * deleted docs are physically gone (postings AND docids); the
+      tombstone directory is removed, so queries stop shipping the mask
+    * N / df / avgdl / block-max bounds are recomputed FRESH over the
+      surviving docs (this is the point where stale-stats deletion
+      semantics catch up — scores now equal a from-scratch rebuild of
+      the filtered corpus, which is exactly how the pytest oracle and
+      the engine_optimize driver entry verify it)
+    * all epochs collapse to epoch 0 (docnums are KEPT, the docnum space
+      just becomes sparse — kernels never assumed density)
+
+    One distributed decode pass + the standard encode shuffle; at scale
+    this is the same cost profile as a Lucene segment merge: read +
+    rewrite the posting storage once.  Resumable at group granularity
+    like a build (fresh fingerprint derived from the pre-merge one and
+    the tombstone set keeps old manifests from short-circuiting it).
+    """
     import shutil as _sh
 
+    t0 = time.time()
+    stats_path = f"{index_dir}/stats.json"
+    with open(stats_path) as f:
+        stats = json.load(f)
+    if cfg is None:
+        cfg = config_from_stats(index_dir, stats)
+    store_pos = bool(stats.get("store_positions", False))
+
+    tomb_dir = f"{index_dir}/tombstones"
+    deleted = np.array([], dtype=np.int64)
+    if os.path.isdir(tomb_dir):
+        rows = spark.read.parquet(tomb_dir).select("docnum").distinct().collect()
+        deleted = np.array(sorted(int(r["docnum"]) for r in rows), dtype=np.int64)
+
+    # ---- 1. docids minus deleted, collapsed to one epoch (anti-join,
+    # not an IN list: the tombstone set can be arbitrarily large).
+    # Survivor count first: refusing an empty merge must happen BEFORE
+    # any decode work, and an all-deleted index would otherwise stage an
+    # empty (schema-less) parquet dir.
+    docids = spark.read.parquet(f"{index_dir}/docids")
+    kept = docids.select(*[c for c in docids.columns if c != "epoch"])
+    if deleted.size:
+        tomb = spark.read.parquet(tomb_dir).select("docnum").distinct()
+        kept = kept.join(tomb, "docnum", "left_anti")
+    docids_tmp = f"{index_dir}/_stage/docids_opt"
+    kept.write.mode("overwrite").parquet(f"{docids_tmp}/epoch=0")
+    n_docs = spark.read.parquet(docids_tmp).count()
+    if n_docs == 0:
+        raise ValueError("optimize_index would produce an empty index")
+
+    # ---- 2. decode postings -> staged token rows (minus tombstones).
+    # The stage write MATERIALIZES the decode before any old file is
+    # removed — a crash mid-optimize leaves the original index intact.
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    cols = ["field", "term", "docs", "tfs", "dls"] + (["pos"] if store_pos else [])
+    stage = f"{index_dir}/_stage/merge_tokens"
+    (
+        postings.select(*cols)
+        .mapInPandas(
+            _make_decode_kernel(deleted, store_pos),
+            schema=TOKENS_SCHEMA_POS if store_pos else TOKENS_SCHEMA,
+        )
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    tokens = spark.read.parquet(stage)
+
+    # ---- 3. fresh stats over the survivors (same formulas as build)
+    thr = cfg.index.hot_df_threshold or max(5000, n_docs // 50)
+    dfs = (
+        tokens.groupBy("field", "term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tfsum"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    avg_rows = dfs.groupBy("field").agg(
+        F.sum("tfsum").alias("s"), F.count(F.lit(1)).alias("v")
+    ).collect()
+    avgdl = {r["field"]: float(r["s"]) / n_docs for r in avg_rows}
+    for fname in stats["fields"]:
+        avgdl.setdefault(fname, 1.0)
+    vocab_size = sum(int(r["v"]) for r in avg_rows)
+    hot_rows = dfs.filter(F.col("df") > thr).select("field", "term", "df").collect()
+    hot_df = {(r["field"], r["term"]): int(r["df"]) for r in hot_rows}
+    dfs.unpersist()
+
+    opt_n = int(stats.get("optimize_count", 0)) + 1
+    # rotate the fingerprint structurally (it is the corpus-identity dict
+    # stage_corpus produces): a merged index is a different artifact, so
+    # old group manifests must never short-circuit a later build/resume
+    old_fp = stats["fingerprint"]
+    fp = dict(old_fp) if isinstance(old_fp, dict) else {"base": old_fp}
+    fp.update(n_docs=n_docs, optimized=opt_n, purged=int(deleted.size))
+    cfg_hash = stats["layout_hash"]  # layout unchanged by a merge
+    new_stats = dict(stats)
+    new_stats.update(
+        n_docs=n_docs,
+        avgdl=avgdl,
+        vocab_size=vocab_size,
+        n_hot_terms=len(hot_df),
+        hot_df_threshold=thr,
+        fingerprint=fp,
+        optimize_count=opt_n,
+        epochs={"0": {"n_docs": n_docs, "avgdl": avgdl}},
+    )
+
+    # ---- 4. swap in: fresh postings/manifests/docids, tombstones gone
+    _sh.rmtree(f"{index_dir}/postings", ignore_errors=True)
+    man_dir = f"{index_dir}/_manifest"
+    if os.path.isdir(man_dir):
+        for fn in os.listdir(man_dir):
+            if fn.startswith("group_"):
+                os.remove(f"{man_dir}/{fn}")
+    os.makedirs(man_dir, exist_ok=True)
+    group_metrics = _encode_groups(
+        spark, tokens, index_dir, cfg, new_stats, hot_df, fp, cfg_hash, resume=False
+    )
+    _sh.rmtree(f"{index_dir}/docids", ignore_errors=True)
+    os.replace(docids_tmp, f"{index_dir}/docids")
+    _sh.rmtree(tomb_dir, ignore_errors=True)
     _sh.rmtree(f"{index_dir}/_stage", ignore_errors=True)
     with open(stats_path, "w") as f:
-        json.dump(stats, f, indent=1)
-    _mark('stage cleanup + stats')
+        json.dump(new_stats, f, indent=1)
 
     wall = time.time() - t0
-    built = [m for m in group_metrics if not m.get("skipped")]
     metrics = {
         "wall_s": round(wall, 3),
         "n_docs": n_docs,
-        "docs_per_sec": round(n_docs / max(wall, 1e-9), 1),
+        "deleted_purged": int(deleted.size),
         "postings": sum(m["postings"] for m in group_metrics),
         "compressed_bytes": sum(m["compressed_bytes"] for m in group_metrics),
-        "vocab_size": vocab_size,
-        "n_hot_terms": len(hot_df),
-        "groups_built": len(built),
-        "groups_skipped": groups - len(built),
+        "optimize_count": opt_n,
         "groups": group_metrics,
     }
-    with open(f"{index_dir}/_manifest/build.json", "w") as f:
+    with open(f"{man_dir}/optimize.json", "w") as f:
         json.dump(metrics, f, indent=1)
     return metrics

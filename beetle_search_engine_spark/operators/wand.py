@@ -310,8 +310,12 @@ def make_wand_kernel(
     ex_phrases = [p for p in (excluded_phrases or []) if len(p) >= 2]
     maybe = [t for t in dict.fromkeys(maybe_terms or []) if t not in qterms]
     filter_set = set(filter_terms or [])
-    # REQUIRE terms gate like any clause but never score
-    clauses += [[t] for t in filter_set if t not in _covered and t not in qterms]
+    # REQUIRE terms gate like any clause but never score (list order, not
+    # set order — clause order must not depend on hash seeds)
+    clauses += [
+        [t] for t in dict.fromkeys(filter_terms or [])
+        if t not in _covered and t not in qterms
+    ]
     # the scoring pass covers query terms + ANDMAYBE terms, minus REQUIRE
     scoring_terms = [t for t in [*qterms, *maybe] if t not in filter_set]
 

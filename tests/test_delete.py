@@ -112,6 +112,34 @@ def test_deletion_composes_with_not_and_mode_and(spark, idx_dir):
     assert "d3" not in got and "d4" not in got
 
 
+def test_delete_composes_with_incremental_append(spark, tmp_path):
+    """Tombstones refer to docnums; an epoch append extends the docnum
+    range without renumbering, so earlier deletions stay valid and new
+    epoch docs are searchable alongside them."""
+    from beetle_search_engine_spark.streaming.incremental import append_epoch
+
+    d = str(tmp_path / "incdel")
+    base = spark.createDataFrame(
+        [(f"d{i}", f"alpha filler{i}") for i in range(8)], "doc_id string, content string"
+    )
+    build_index(spark, base, d, fields={"body": "content"}, cfg=CFG)
+    idx = BM25Index(spark, d)
+    assert idx.delete_docs(["d1", "d2"]) == 2
+    extra = spark.createDataFrame(
+        [(f"e{i}", f"alpha extra{i}") for i in range(4)], "doc_id string, content string"
+    )
+    append_epoch(spark, d, extra, fields={"body": "content"}, cfg=CFG)
+    idx.refresh_stats()  # re-reads stats AND tombstones
+    got = {r.doc_id for r in idx.search("alpha", 20, "or").collect()}
+    assert not {"d1", "d2"} & got
+    assert {"e0", "e1", "e2", "e3"} <= got
+    assert len(got) == 10  # 8 - 2 deleted + 4 appended
+    # deleting an epoch doc works too (docnum resolution spans epochs)
+    assert idx.delete_docs(["e0"]) == 1
+    got = {r.doc_id for r in idx.search("alpha", 20, "or").collect()}
+    assert "e0" not in got and len(got) == 9
+
+
 def test_full_rebuild_clears_tombstones(spark, idx_dir):
     idx = _fresh(spark, idx_dir)
     idx.delete_docs(["d3"])

@@ -1,0 +1,153 @@
+"""optimize_index: physical merge (Lucene forceMerge + expungeDeletes).
+Driver-gated via the engine_optimize oracle entry; these tests pin the
+strongest invariant directly — a deleted-then-optimized index answers
+queries EXACTLY like a from-scratch build over the filtered corpus —
+plus epoch collapse, positions survival, and tombstone clearing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from beetle_search_engine_spark.config import EngineConfig, IndexConfig
+from beetle_search_engine_spark.operators.build import build_index, optimize_index
+from beetle_search_engine_spark.plans.query import BM25Index
+
+CFG = EngineConfig(
+    analyzer="sql",
+    index=IndexConfig(
+        n_buckets=4, bucket_groups=2, chunk_docs=8, encode_partitions=4,
+        hot_df_threshold=10,
+    ),
+)
+POS_CFG = EngineConfig(
+    analyzer="sql",
+    index=IndexConfig(
+        n_buckets=4, bucket_groups=1, chunk_docs=8, encode_partitions=4,
+        store_positions=True,
+    ),
+)
+
+
+def _corpus(spark, n=24):
+    rows = []
+    for i in range(n):
+        toks = ["alpha", f"filler{i}"]
+        if i % 2 == 0:
+            toks.append("beta gamma")  # adjacent for phrase tests
+        rows.append((f"d{i}", " ".join(toks * (1 + i % 3))))
+    return spark.createDataFrame(rows, "doc_id string, content string")
+
+
+def _res(idx, q, mode="or", k=20):
+    return [(r.doc_id, round(r.score, 9)) for r in idx.search(q, k, mode).collect()]
+
+
+def test_optimize_equals_rebuild_on_filtered_corpus(spark, tmp_path):
+    """THE invariant: after delete+optimize, every query is
+    score-identical to a fresh build over the corpus minus the deleted
+    docs (fresh stats, fresh bounds, fresh df)."""
+    corpus = _corpus(spark)
+    d1 = str(tmp_path / "opt")
+    build_index(spark, corpus, d1, fields={"body": "content"}, cfg=CFG)
+    idx = BM25Index(spark, d1)
+    dead = ["d0", "d3", "d7", "d10"]
+    assert idx.delete_docs(dead) == 4
+    m = optimize_index(spark, d1)
+    assert m["deleted_purged"] == 4 and m["n_docs"] == 20
+    idx = BM25Index(spark, d1)
+
+    d2 = str(tmp_path / "ref")
+    build_index(
+        spark, corpus.filter(~F.col("doc_id").isin(dead)), d2,
+        fields={"body": "content"}, cfg=CFG,
+    )
+    ref = BM25Index(spark, d2)
+    for q, mode in [("alpha", "or"), ("alpha beta", "and"), ("beta OR gamma", "parse")]:
+        assert _res(idx, q, mode) == _res(ref, q, mode)
+
+
+def test_optimize_clears_tombstones_and_refreshes_stats(spark, tmp_path):
+    d = str(tmp_path / "opt2")
+    build_index(spark, _corpus(spark), d, fields={"body": "content"}, cfg=CFG)
+    idx = BM25Index(spark, d)
+    idx.delete_docs(["d1", "d2"])
+    old_n = idx.stats["n_docs"]
+    optimize_index(spark, d)
+    idx = BM25Index(spark, d)
+    assert idx.deleted is None  # tombstone dir gone
+    assert idx.stats["n_docs"] == old_n - 2  # stats caught up
+    assert idx.stats["optimize_count"] == 1
+    assert list(idx.stats["epochs"]) == ["0"]
+    got = {r.doc_id for r in idx.search("alpha", 30, "or").collect()}
+    assert not {"d1", "d2"} & got and len(got) == 22
+
+
+def test_optimize_merges_epochs_without_deletions(spark, tmp_path):
+    """forceMerge alone: multi-epoch index collapses to one epoch with
+    identical results (df summing / bound rescaling no longer needed)."""
+    from beetle_search_engine_spark.streaming.incremental import append_epoch
+
+    corpus = _corpus(spark)
+    d = str(tmp_path / "opt3")
+    build_index(
+        spark, corpus.filter(F.col("doc_id").cast("string") < "d2"), d,
+        fields={"body": "content"}, cfg=CFG,
+    )
+    first = corpus.filter(F.col("doc_id").cast("string") < "d2")
+    rest = corpus.join(first.select("doc_id"), "doc_id", "left_anti")
+    append_epoch(spark, d, rest, fields={"body": "content"}, cfg=CFG)
+    idx = BM25Index(spark, d)
+    before = _res(idx, "alpha")
+    assert len(idx.stats["epochs"]) == 2
+    optimize_index(spark, d)
+    idx = BM25Index(spark, d)
+    assert list(idx.stats["epochs"]) == ["0"]
+    assert _res(idx, "alpha") == before
+
+
+def test_optimize_preserves_positions(spark, tmp_path):
+    d = str(tmp_path / "opt4")
+    build_index(spark, _corpus(spark), d, fields={"body": "content"}, cfg=POS_CFG)
+    idx = BM25Index(spark, d)
+    before = {r.doc_id for r in idx.search('"beta gamma"', 30, "parse").collect()}
+    assert before  # phrase matches exist pre-merge
+    idx.delete_docs(["d2"])
+    optimize_index(spark, d)
+    idx = BM25Index(spark, d)
+    after = {r.doc_id for r in idx.search('"beta gamma"', 30, "parse").collect()}
+    assert after == before - {"d2"}
+
+
+def test_optimize_empty_result_guard(spark, tmp_path):
+    d = str(tmp_path / "opt5")
+    corpus = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "alpha gamma")], "doc_id string, content string"
+    )
+    build_index(spark, corpus, d, fields={"body": "content"}, cfg=CFG)
+    idx = BM25Index(spark, d)
+    idx.delete_docs(["a", "b"])
+    with pytest.raises(ValueError, match="empty index"):
+        optimize_index(spark, d)
+    # original index untouched by the refused merge (tombstones intact)
+    idx = BM25Index(spark, d)
+    assert idx.deleted is not None
+    assert idx.search("alpha", 10, "or").count() == 0
+
+
+def test_optimize_fingerprint_rotates(spark, tmp_path):
+    d = str(tmp_path / "opt6")
+    build_index(spark, _corpus(spark), d, fields={"body": "content"}, cfg=CFG)
+    with open(f"{d}/stats.json") as f:
+        fp0 = json.load(f)["fingerprint"]
+    BM25Index(spark, d).delete_docs(["d1"])
+    optimize_index(spark, d)
+    with open(f"{d}/stats.json") as f:
+        st = json.load(f)
+    assert st["fingerprint"] != fp0
+    assert st["fingerprint"]["optimized"] == 1 and st["fingerprint"]["purged"] == 1
+    # group manifests carry the new fingerprint (resume-safe)
+    with open(f"{d}/_manifest/group_0.json") as f:
+        assert json.load(f)["fingerprint"] == st["fingerprint"]

@@ -585,6 +585,7 @@ from hypothesis import strategies as st
 _QUERY_ALPHABET = st.sampled_from(
     list("abc xyz") + ['"', "*", "?", "[", "]", "{", "}", ":", "-", "^", "("]
     + [" OR ", " AND ", " NOT ", " TO ", "title:", '"big data"', "tr*", "[a TO b]"]
+    + [" ANDMAYBE ", " REQUIRE ", "^2.5", "^0.5"]
 )
 
 
@@ -605,8 +606,12 @@ def test_parser_never_crashes_and_invariants_hold(q):
         assert all(len(c) == 1 for c in pq.groups)
     if pq.mode == "or":
         assert len(pq.groups) == 1 and not pq.phrases and not pq.excluded_phrases
-    # fielded only maps scoring terms
-    assert set(pq.fielded) <= set(pq.terms)
+    # fielded maps only scoring / maybe / filter terms; the three term
+    # roles never overlap (a scored term wins over its modifier twin)
+    assert set(pq.fielded) <= set(pq.terms) | set(pq.maybe_terms) | set(pq.filter_terms)
+    assert not set(pq.terms) & set(pq.maybe_terms)
+    assert not set(pq.terms) & set(pq.filter_terms)
+    assert set(pq.boosts) <= set(pq.terms) | set(pq.maybe_terms)
 
 
 def test_nasty_queries_dont_crash_search(phrase_index):
@@ -614,6 +619,8 @@ def test_nasty_queries_dont_crash_search(phrase_index):
         '"unclosed phrase', "NOT", "-", "*", "?", "^", "title:", ":",
         "[ TO ]", "[a TO", "NOT -", '""', '"" OR', "( OR )", "a^b",
         'NOT "', "--x", "title:*", "[z TO a]",  # inverted range: no terms
+        "ANDMAYBE", "REQUIRE", "alpha REQUIRE", "ANDMAYBE alpha",
+        "REQUIRE beta", "alpha ANDMAYBE -beta", "alpha^ beta", "^2",
     ]:
         df = phrase_index.search(q, 5, mode="parse")
         assert df.count() >= 0  # parses + executes (possibly empty)
