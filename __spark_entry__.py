@@ -539,6 +539,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         min_jaccard=0.5,
     )
 
+    # pairs -> dedup CLUSTERS (min-label propagation) and the surviving
+    # corpus (cluster minima kept, other members dropped) — the step
+    # that makes LSH near-dup detection an actual deduplicator
+    def _nd_pairs(s, d):
+        return dedup.ngram_jaccard_pairs(
+            _docs(s, d), dedup.lsh_candidate_pairs(_docs(s, d), 8, 2, 3), min_jaccard=0.5
+        )
+
+    q["near_dup_clusters"] = lambda s, d: dedup.connected_components(_nd_pairs(s, d))
+
+    def _nd_survivors(s, d):
+        comp = dedup.connected_components(_nd_pairs(s, d))
+        drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+        return _docs(s, d).join(drop, "doc_id", "left_anti").select("doc_id")
+
+    q["near_dup_survivors"] = _nd_survivors
+
     # --- text analysis / pipeline ops (P/A/F families)
     q["text_quality"] = lambda s, d: textops.text_quality(_docs(s, d))
     q["heuristic_label"] = lambda s, d: textops.heuristic_label(_docs(s, d))
@@ -1336,6 +1353,8 @@ def oracle_sql() -> dict[str, str]:
       FROM bits GROUP BY doc_id
     """
 
+    # body shared with near_dup_clusters / near_dup_survivors below:
+    # everything through the thresholded pair set `pr`
     o["near_dup_pairs"] = f"""
       WITH fl AS ({_TOKLIST}),
       tp AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l) + 1)) AS ord FROM fl),
@@ -1374,12 +1393,44 @@ def oracle_sql() -> dict[str, str]:
         FROM cand c JOIN dt ta ON ta.doc_id = c.id_a
                     JOIN dt tb ON tb.doc_id = c.id_b AND tb.term = ta.term
         GROUP BY c.id_a, c.id_b
+      ),
+      pr AS (
+        SELECT i.id_a, i.id_b,
+               round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+        FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5
       )
-      SELECT i.id_a, i.id_b,
-             round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-      FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
-      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5
+      SELECT id_a, id_b, jaccard FROM pr
     """
+
+    # connected components over the SAME pair body, via a recursive CTE:
+    # every node starts labeled with itself; the recursion propagates
+    # labels across edges (UNION dedupes -> terminates); min per node ==
+    # smallest reachable id == the Spark operator's fixpoint
+    _nd_body = o["near_dup_pairs"].split("SELECT id_a, id_b, jaccard FROM pr")[0].split("WITH", 1)[1]
+    _cc_ctes = (
+        "WITH RECURSIVE "
+        + _nd_body
+        + """, edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION ALL SELECT id_b, id_a FROM pr
+      ),
+      lab AS (
+        SELECT src AS node, src AS lab FROM edges
+        UNION
+        SELECT e.dst AS node, l.lab FROM lab l JOIN edges e ON e.src = l.node
+      ),
+      comp AS (SELECT node, min(lab) AS component FROM lab GROUP BY node)
+    """
+    )
+    o["near_dup_clusters"] = (
+        _cc_ctes + "SELECT node AS doc_id, component::bigint AS component FROM comp"
+    )
+    o["near_dup_survivors"] = (
+        _cc_ctes
+        + """SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != component)"""
+    )
 
     o["text_quality"] = f"""
       SELECT doc_id,

@@ -241,3 +241,61 @@ def simhash(df: DataFrame, bits: int = 16, text_col="text", id_col="doc_id") -> 
         start=F.lit(0).cast("long"),
     )
     return votes.select(F.col(id_col), packed.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    id_out: str = "doc_id",
+    comp_out: str = "component",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, component) for every node appearing in ``pairs``:
+    ``component`` = the smallest node id reachable through the pair
+    graph — the step that turns near-dup PAIRS into dedup CLUSTERS
+    (keep ``component`` itself, drop the rest).
+
+    Iterative min-label propagation: every round each node takes the min
+    of its own label and its neighbors' labels, until a fixpoint
+    (converges in O(graph diameter) rounds — near-dup graphs are unions
+    of small cliques, so typically 2-3).  Each round is one equi-join +
+    one map-side-combined min aggregation — the simplified form of the
+    large-star/small-star MapReduce CC algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), which is
+    the drop-in upgrade if a corpus ever produces long chains.  Rounds
+    are localCheckpoint-ed: iterative lineage would otherwise double the
+    plan every round (on a cluster, stage each round to parquet).  The
+    convergence probe reuses the checkpointed frames — one tiny join per
+    round, cheaper than a wasted extra round.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)  # reused every round
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("lab")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .take(1)
+        )
+        labels = new
+        if not changed:
+            break
+    return labels.select(F.col("node").alias(id_out), F.col("lab").alias(comp_out))

@@ -284,3 +284,40 @@ def test_mixture_sample_default_fraction_applies(spark):
     df = _src_docs(spark, [(i, "unlisted") for i in range(200)])
     kept = mixture_sample(df, {"other": 1.0}, default=0.5).count()
     assert 0 < kept < 200  # roughly half, exact value pinned by the hash
+
+
+# ---------------------------------------------------------------------------
+# connected components (dedup clusters)
+
+
+def _cc(spark, pairs):
+    from beetle_search_engine_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {
+        r.doc_id: r.component for r in connected_components(df).collect()
+    }
+
+
+def test_cc_merges_transitive_chain(spark):
+    # 1-2, 2-3, 3-4: one component rooted at 1 (propagation must cross
+    # multiple hops, not just direct neighbors)
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_long_chain_converges(spark):
+    n = 30  # diameter >> 2: exercises the iteration loop properly
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_cc_clique_and_reversed_edges(spark):
+    # unordered/duplicated edges collapse to the same component
+    got = _cc(spark, [(5, 3), (3, 5), (5, 4), (4, 3)])
+    assert got == {3: 3, 4: 3, 5: 3}
+
+
+def test_cc_only_paired_nodes_appear(spark):
+    got = _cc(spark, [(7, 8)])
+    assert set(got) == {7, 8}
