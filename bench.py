@@ -72,12 +72,13 @@ HEADLINE = [
     "search_rerank_pipeline",
     "ann_lsh_cosine",
     "ivf_ann_cosine",
-    # curation family (round 4): overlap decon, per-row repetition HOFs,
-    # packing windows, composed keep-set
+    # curation family (round 4): overlap decon, per-row repetition
+    # kernel, packing windows, composed keep-set, CC survivors
     "decontaminate_ngrams",
     "repetition_stats",
     "pack_sequences",
     "curation_pipeline",
+    "near_dup_survivors",
 ]
 
 
