@@ -1125,6 +1125,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["engine_optimize"] = _engine_optimize
 
+    # batch multi-query search: THREE parser-grammar queries (AndGroup /
+    # boosted / REQUIRE) answered by ONE scan + ONE kernel pass via
+    # search_many — results per query identical to search(); the oracle
+    # is the UNION ALL of the per-query oracles tagged with query_id
+    def _batch_search(s, d):
+        res = _engine_index_nostem(s, d).search_many(
+            {
+                "q_and": "spark table scan",
+                "q_boost": "spark^2.5 table scan",
+                "q_req": "spark REQUIRE scan",
+            },
+            10,
+            "parse",
+        )
+        return res.select("query_id", "doc_id", F.round("score", 4).alias("score"))
+
+    q["engine_batch_search"] = _batch_search
+
     return q
 
 
@@ -1746,6 +1764,18 @@ def oracle_sql() -> dict[str, str]:
         ["spark", "table"], maybe=["scan"], boosts={"scan": 2.0}
     )
     o["engine_require"] = _bm25_weighted_sql(["spark"], filter_only=["scan"])
+
+    # batch search == per-query oracles, tagged and unioned
+    def _tagged(sql: str, qid: str) -> str:
+        return f"SELECT '{qid}' AS query_id, * FROM ({sql})"
+
+    o["engine_batch_search"] = " UNION ALL ".join(
+        [
+            _tagged(o["engine_bm25_nostem_and"], "q_and"),
+            _tagged(o["engine_term_boost"], "q_boost"),
+            _tagged(o["engine_require"], "q_req"),
+        ]
+    )
 
     # post-merge: deleted docs are physically gone AND stats are fresh,
     # so the oracle is the standard nostem BM25 over the filtered corpus

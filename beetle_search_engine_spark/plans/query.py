@@ -241,6 +241,179 @@ class BM25Index:
         )
 
 
+    def search_many(
+        self,
+        queries: dict[str, str] | list[str],
+        top_k: int = 10,
+        mode: str = "and",
+        prefer_local: bool | None = None,
+    ) -> DataFrame:
+        """Answer MANY queries in ONE job chain: (query_id, doc_id,
+        score, rank), semantically identical to per-query ``search``.
+
+        The batch shape is the service-throughput plan: all queries'
+        terms merge into ONE bucket-pruned, term-pushdown scan and ONE
+        applyInPandas pass — per (chunk) task, each query's kernel runs
+        over just its own cursors (a pandas term-mask, no extra scan).
+        Scheduling overhead (job launch, scan setup, shuffle) is paid
+        once for Q queries instead of Q times; per-query work is
+        unchanged.  Global selection is a per-query top-k window
+        (partitioned by query_id — parallel across queries), then one
+        shared docid fetch for the union of winners.
+
+        Queries that parse to nothing contribute no rows.  A list input
+        gets ids "q0".."qN" in order.
+        """
+        if isinstance(queries, list):
+            queries = {f"q{i}": q for i, q in enumerate(queries)}
+        fields = set(self.stats.get("fields", []))
+        parsed: dict[str, ParsedQuery] = {}
+        for qid, qs in queries.items():
+            if mode == "parse":
+                pq = parse_query(qs, self.analyzer, fields=fields)
+            else:
+                pq = ParsedQuery(terms=self.analyzer.analyze_query(qs), mode=mode)
+            if (
+                pq.prefixes or pq.excluded_prefixes or pq.ranges
+                or pq.excluded_ranges or pq.wildcards or pq.excluded_wildcards
+            ):
+                pq = self._expand_prefixes(pq)
+            if pq is None or pq.empty:
+                continue
+            if (pq.phrases or pq.excluded_phrases) and not self.stats.get("store_positions"):
+                raise ValueError("phrase query needs an index built with store_positions=True")
+            parsed[qid] = pq
+        if not parsed:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id string, score double, rank int"
+            )
+
+        def _q_terms(pq: ParsedQuery) -> list[str]:
+            ex_ph = [t for ph in pq.excluded_phrases for t, _off in ph]
+            return list(dict.fromkeys(
+                [*pq.terms, *pq.excluded, *ex_ph, *pq.maybe_terms, *pq.filter_terms]
+            ))
+
+        per_q_terms = {qid: _q_terms(pq) for qid, pq in parsed.items()}
+        all_terms = list(dict.fromkeys(t for ts in per_q_terms.values() for t in ts))
+        buckets = self._buckets_for(all_terms)
+        scan = self.postings.filter(
+            F.col("bucket").isin(sorted(set(buckets.values()))) & F.col("term").isin(all_terms)
+        )
+        df_override = None
+        if len(self.stats.get("epochs", {"0": 0})) > 1:
+            rows = (
+                scan.groupBy("field", "term", "epoch")
+                .agg(F.first("df").alias("df"))
+                .groupBy("field", "term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            df_override = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+        kernels = {
+            qid: (
+                make_wand_kernel(
+                    pq.terms, self.stats, top_k, pq.mode, df_override, pq.phrases,
+                    fielded=pq.fielded, excluded=pq.excluded,
+                    groups=pq.groups or None,
+                    excluded_phrases=pq.excluded_phrases or None,
+                    deleted=self.deleted,
+                    term_boosts=pq.boosts or None,
+                    maybe_terms=pq.maybe_terms or None,
+                    filter_terms=pq.filter_terms or None,
+                ),
+                set(per_q_terms[qid]),
+            )
+            for qid, pq in parsed.items()
+        }
+
+        def batch_kernel(pdf):
+            import pandas as pd
+
+            outs = []
+            for qid, (kern, termset) in kernels.items():
+                sub = pdf[pdf["term"].isin(termset)]
+                if len(sub) == 0:
+                    continue
+                r = kern(sub.reset_index(drop=True))
+                if len(r):
+                    r = r.copy()
+                    r["query_id"] = qid
+                    outs.append(r)
+            if not outs:
+                return pd.DataFrame({"query_id": [], "docnum": [], "score": []})
+            return pd.concat(outs, ignore_index=True)[["query_id", "docnum", "score"]]
+
+        if prefer_local is None:
+            prefer_local = self.stats["n_docs"] <= 200_000
+        if prefer_local:
+            try:
+                pdf = self._pruned_rows_arrow(all_terms, buckets)
+            except Exception:
+                pdf = scan.toPandas()
+            import pandas as pd
+
+            outs = [
+                batch_kernel(grp.reset_index(drop=True))
+                for _, grp in pdf.groupby("chunk")
+            ] if len(pdf) else []
+            res = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                {"query_id": [], "docnum": [], "score": []}
+            )
+            if len(res) == 0:
+                return self.spark.createDataFrame(
+                    [], "query_id string, doc_id string, score double, rank int"
+                )
+            res = (
+                res.sort_values(["query_id", "score", "docnum"], ascending=[True, False, True])
+                .groupby("query_id")
+                .head(top_k)
+            )
+            res["rank"] = res.groupby("query_id").cumcount() + 1
+            docnums = sorted({int(d) for d in res["docnum"]})
+            try:
+                id_map = self._docids_arrow(docnums)
+            except Exception:
+                id_rows = (
+                    self.docids.filter(F.col("docnum").isin(docnums))
+                    .select("docnum", "doc_id").collect()
+                )
+                id_map = {r["docnum"]: r["doc_id"] for r in id_rows}
+            out = [
+                (qid, id_map[int(d)], float(s), int(rk))
+                for qid, d, s, rk in zip(res["query_id"], res["docnum"], res["score"], res["rank"])
+            ]
+            return self.spark.createDataFrame(
+                out, "query_id string, doc_id string, score double, rank int"
+            )
+
+        from pyspark.sql import Window
+
+        scored = scan.groupBy("chunk").applyInPandas(
+            batch_kernel, "query_id string, docnum long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docnum"))
+        top_rows = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .collect()
+        )
+        if not top_rows:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id string, score double, rank int"
+            )
+        ranked = self.spark.createDataFrame(
+            [(r["query_id"], int(r["docnum"]), float(r["score"]), int(r["rank"])) for r in top_rows],
+            "query_id string, docnum long, score double, rank int",
+        )
+        docnums = sorted({int(r["docnum"]) for r in top_rows})
+        pruned = self.docids.filter(F.col("docnum").isin(docnums))
+        return (
+            pruned.join(F.broadcast(ranked), "docnum", "inner")
+            .orderBy(F.asc("query_id"), F.asc("rank"))
+            .select("query_id", "doc_id", "score", "rank")
+        )
+
     def _expand_term_range(
         self, lo: str | None, hi: str | None,
         lo_incl: bool = True, hi_incl: bool = False,
