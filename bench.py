@@ -79,6 +79,7 @@ HEADLINE = [
     "pack_sequences",
     "curation_pipeline",
     "near_dup_survivors",
+    "engine_batch_search",
 ]
 
 

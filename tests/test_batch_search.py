@@ -24,6 +24,7 @@ QUERIES = {
     "group": "beta OR gamma alpha",
     "phrase": '"beta gamma"',
     "require": "alpha REQUIRE beta",
+    "prefix": "fille* beta",  # dictionary expansion inside a batch
 }
 
 
