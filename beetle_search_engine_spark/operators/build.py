@@ -302,18 +302,29 @@ def _group_metrics_agg(spark: SparkSession, out_path: str) -> dict:
             "avg_bucket": float(per_bucket.mean()) if len(per_bucket) else 1.0,
         }
     except Exception:
+        zero = {"postings": 0, "rows": 0, "bytes": 0, "max_bucket": 0, "avg_bucket": 1.0}
         # a group whose bucket range got no postings (tiny corpora /
         # many groups) writes only _SUCCESS — neither reader can infer a
-        # schema from zero files, and zero metrics are the truth
-        has_parquet = any(
+        # schema from zero files, and zero metrics are the truth.  Only
+        # decidable with a LOCAL listing: os.walk on an hdfs://|s3:// URI
+        # yields nothing, which must not be read as "empty" — remote
+        # paths fall through to the Spark aggregation (the whole point
+        # of this branch on a real cluster) and the schema-inference
+        # error for a genuinely empty remote dir is caught below.
+        if os.path.isdir(out_path) and not any(
             fn.endswith(".parquet")
             for _r, _d, fns in os.walk(out_path)
             for fn in fns
-        )
-        if not has_parquet:
-            return {"postings": 0, "rows": 0, "bytes": 0, "max_bucket": 0, "avg_bucket": 1.0}
+        ):
+            return zero
+        try:
+            reader = spark.read.parquet(out_path)
+        except Exception as e:
+            if "UNABLE_TO_INFER_SCHEMA" in str(e) or "infer schema" in str(e).lower():
+                return zero
+            raise
         row = (
-            spark.read.parquet(out_path)
+            reader
             .groupBy("bucket")
             .agg(
                 F.sum("n").alias("postings"),
@@ -566,12 +577,18 @@ def _encode_groups(
     cfg_hash: str,
     resume: bool,
     _mark=lambda s: None,
+    out_root: str | None = None,
 ) -> list[dict]:
     """The salted, bucketed, group-resumable encode shared by full builds
     and optimize_index: token rows -> posting parquet + group manifests.
     Bucket-major shuffle key: a reduce task owns whole buckets (salted
     hot terms excepted), so partitionBy(bucket) writes ~1 file per bucket
-    instead of tasks x buckets small files."""
+    instead of tasks x buckets small files.
+
+    ``out_root`` redirects postings + manifests to a staging root (the
+    optimize_index path: encode beside the live index, swap after
+    success); default writes into ``index_dir`` itself (full builds)."""
+    root = out_root or index_dir
     groups = cfg.index.bucket_groups
     p_enc = cfg.index.encode_partitions or spark.sparkContext.defaultParallelism
     field_names = sorted(stats["fields"])
@@ -580,7 +597,7 @@ def _encode_groups(
 
     group_metrics = []
     for g in range(groups):
-        man_path = f"{index_dir}/_manifest/group_{g}.json"
+        man_path = f"{root}/_manifest/group_{g}.json"
         if resume and os.path.exists(man_path):
             with open(man_path) as f:
                 man = json.load(f)
@@ -600,7 +617,7 @@ def _encode_groups(
             .select(*enc_cols)
             .mapInPandas(kernel, schema=POSTINGS_SCHEMA)
         )
-        out_path = f"{index_dir}/postings/group={g}"
+        out_path = f"{root}/postings/group={g}"
         # token rows are narrow (~40 B); 64k-row Arrow batches cut the
         # per-batch Python/carry overhead of the encode kernel ~6x vs the
         # session default 10k (which is sized for wide document rows).
@@ -737,9 +754,21 @@ def optimize_index(spark: SparkSession, index_dir: str, cfg: EngineConfig | None
 
     One distributed decode pass + the standard encode shuffle; at scale
     this is the same cost profile as a Lucene segment merge: read +
-    rewrite the posting storage once.  Resumable at group granularity
-    like a build (fresh fingerprint derived from the pre-merge one and
-    the tombstone set keeps old manifests from short-circuiting it).
+    rewrite the posting storage once.
+
+    Crash safety: the merged postings are encoded into ``_stage/opt``
+    (with their own group manifests) and only swapped over the live
+    ``postings/`` + ``docids/`` via directory renames AFTER the whole
+    encode succeeds — a failure anywhere up to the swap leaves the
+    original index byte-identical and serving.  A retried optimize
+    resumes at group granularity: the rotated fingerprint is a pure
+    function of (old fingerprint, survivor count, optimize count,
+    tombstone count), so staged manifests from the crashed attempt
+    short-circuit their groups while stale pre-merge manifests never
+    can.  The only non-atomic window is the pair of renames (metadata
+    ops, microseconds); a crash exactly there leaves NO postings dir —
+    a loud open-time failure, never a silently half-merged index — with
+    the full staged result still on disk for recovery.
     """
     import shutil as _sh
 
@@ -828,23 +857,39 @@ def optimize_index(spark: SparkSession, index_dir: str, cfg: EngineConfig | None
         epochs={"0": {"n_docs": n_docs, "avgdl": avgdl}},
     )
 
-    # ---- 4. swap in: fresh postings/manifests/docids, tombstones gone
-    _sh.rmtree(f"{index_dir}/postings", ignore_errors=True)
-    man_dir = f"{index_dir}/_manifest"
-    if os.path.isdir(man_dir):
-        for fn in os.listdir(man_dir):
-            if fn.startswith("group_"):
-                os.remove(f"{man_dir}/{fn}")
-    os.makedirs(man_dir, exist_ok=True)
+    # ---- 4. staged encode, then swap.  The live index is not touched
+    # until every group is encoded: a crash mid-encode leaves the
+    # original postings/docids/stats intact (and the staged groups
+    # resume on retry — fp is deterministic given the same tombstones).
+    stage_root = f"{index_dir}/_stage/opt"
+    os.makedirs(f"{stage_root}/_manifest", exist_ok=True)
     group_metrics = _encode_groups(
-        spark, tokens, index_dir, cfg, new_stats, hot_df, fp, cfg_hash, resume=False
+        spark, tokens, index_dir, cfg, new_stats, hot_df, fp, cfg_hash,
+        resume=True, out_root=stage_root,
     )
-    _sh.rmtree(f"{index_dir}/docids", ignore_errors=True)
+    # swap: pure directory renames.  Ordering keeps every intermediate
+    # crash state either loud (no postings dir, microsecond window) or
+    # semantically correct (merged postings + still-stale stats ==
+    # engine deletion semantics until the stats write lands).
+    old_postings = f"{index_dir}/_stage/postings_old"
+    _sh.rmtree(old_postings, ignore_errors=True)
+    os.replace(f"{index_dir}/postings", old_postings)
+    os.replace(f"{stage_root}/postings", f"{index_dir}/postings")
+    old_docids = f"{index_dir}/_stage/docids_old"
+    _sh.rmtree(old_docids, ignore_errors=True)
+    os.replace(f"{index_dir}/docids", old_docids)
     os.replace(docids_tmp, f"{index_dir}/docids")
-    _sh.rmtree(tomb_dir, ignore_errors=True)
-    _sh.rmtree(f"{index_dir}/_stage", ignore_errors=True)
+    man_dir = f"{index_dir}/_manifest"
+    os.makedirs(man_dir, exist_ok=True)
+    for fn in os.listdir(man_dir):
+        if fn.startswith("group_"):
+            os.remove(f"{man_dir}/{fn}")
+    for fn in os.listdir(f"{stage_root}/_manifest"):
+        os.replace(f"{stage_root}/_manifest/{fn}", f"{man_dir}/{fn}")
     with open(stats_path, "w") as f:
         json.dump(new_stats, f, indent=1)
+    _sh.rmtree(tomb_dir, ignore_errors=True)
+    _sh.rmtree(f"{index_dir}/_stage", ignore_errors=True)
 
     wall = time.time() - t0
     metrics = {

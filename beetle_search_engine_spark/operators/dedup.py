@@ -250,6 +250,7 @@ def connected_components(
     id_out: str = "doc_id",
     comp_out: str = "component",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, component) for every node appearing in ``pairs``:
     ``component`` = the smallest node id reachable through the pair
@@ -263,31 +264,53 @@ def connected_components(
     one map-side-combined min aggregation — the simplified form of the
     large-star/small-star MapReduce CC algorithm (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14), which is
-    the drop-in upgrade if a corpus ever produces long chains.  Rounds
-    are localCheckpoint-ed: iterative lineage would otherwise double the
-    plan every round (on a cluster, stage each round to parquet).  The
-    convergence probe reuses the checkpointed frames — one tiny join per
+    the drop-in upgrade if a corpus ever produces long chains.  The
+    convergence probe reuses the staged frames — one tiny join per
     round, cheaper than a wasted extra round.
+
+    Round staging (iterative lineage would otherwise double the plan
+    every round): with ``checkpoint_dir`` each round's labels (and the
+    doubled edge list, once) are written to parquet and read back — the
+    cluster-real path, surviving executor loss because the staged data
+    lives on the shared filesystem, not in executor memory.  Without it,
+    rounds are ``localCheckpoint``-ed — fine in local mode, but on a
+    real cluster localCheckpoint pins blocks to executors and dies with
+    them, so pass ``checkpoint_dir`` there.  Intermediate round files
+    are cleaned up (local filesystems only); the final round's parquet
+    backs the returned DataFrame and is kept.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds (truncated labels would be silently wrong —
+    a graph needing that many rounds has diameter > max_iter; raise
+    ``max_iter`` or switch to large-star/small-star).
     """
+    spark = pairs.sparkSession
+    staged_paths: list[str] = []
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{checkpoint_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        staged_paths.append(path)
+        return spark.read.parquet(path)
+
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    edges = edges.localCheckpoint(eager=True)  # reused every round
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lab", F.col("node"))
-        .localCheckpoint(eager=True)
+    edges = _stage(edges, "edges")  # reused every round
+    labels = _stage(
+        edges.select(F.col("src").alias("node")).distinct().withColumn("lab", F.col("node")),
+        "labels_0",
     )
-    for _ in range(max_iter):
+    converged = False
+    for rnd in range(1, max_iter + 1):
         prop = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("lab")
         )
-        new = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
+        new = _stage(
+            labels.unionByName(prop).groupBy("node").agg(F.min("lab").alias("lab")),
+            f"labels_{rnd}",
         )
         changed = (
             new.alias("n")
@@ -297,5 +320,22 @@ def connected_components(
         )
         labels = new
         if not changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; the pair graph has diameter beyond that — raise max_iter "
+            "(or upgrade to large-star/small-star for pathological chains)"
+        )
+    if checkpoint_dir is not None and staged_paths:
+        # drop intermediate rounds + edges; the last labels parquet backs
+        # the returned frame.  Local paths only — remote staging dirs are
+        # the caller's to manage.
+        import os
+        import shutil
+
+        for p in staged_paths[:-1]:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
     return labels.select(F.col("node").alias(id_out), F.col("lab").alias(comp_out))

@@ -118,7 +118,11 @@ class BM25Index:
         a one-column DataFrame (the scale path: ids resolve to docnums
         via a semi join against the docids dimension and the tombstone
         parquet is written distributed — no driver materialization).
-        Returns the number of newly resolved docnums."""
+        Returns the number of NEWLY deleted docnums: already-tombstoned
+        docs are anti-joined out first, so a repeated delete reports 0
+        and appends no duplicate tombstone rows (idempotent)."""
+        import os
+
         if isinstance(doc_ids, DataFrame):
             ids_df = doc_ids.select(F.col(doc_ids.columns[0]).cast("string").alias("doc_id"))
             resolved = self.docids.join(ids_df, "doc_id", "semi").select("docnum")
@@ -126,6 +130,12 @@ class BM25Index:
             resolved = self.docids.filter(
                 F.col("doc_id").isin([str(i) for i in doc_ids])
             ).select("docnum")
+        tomb_dir = f"{self.index_dir}/tombstones"
+        if os.path.isdir(tomb_dir):
+            # distributed anti-join (the tombstone set can be arbitrarily
+            # large — never an IN list on the driver)
+            existing = self.spark.read.parquet(tomb_dir).select("docnum").distinct()
+            resolved = resolved.join(existing, "docnum", "left_anti")
         n = resolved.count()
         if n:
             resolved.write.mode("append").parquet(f"{self.index_dir}/tombstones")

@@ -321,3 +321,31 @@ def test_cc_clique_and_reversed_edges(spark):
 def test_cc_only_paired_nodes_appear(spark):
     got = _cc(spark, [(7, 8)])
     assert set(got) == {7, 8}
+
+
+def test_cc_checkpoint_dir_parquet_rounds(spark, tmp_path):
+    """The cluster-real staging path (ADVICE r04): rounds staged to
+    parquet give clusters identical to the localCheckpoint default, over
+    a graph needing several propagation rounds."""
+    from beetle_search_engine_spark.operators.dedup import connected_components
+
+    pairs = [(i, i + 1) for i in range(8)] + [(20, 21), (21, 22)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    ck = str(tmp_path / "cc_ck")
+    staged = {
+        r.doc_id: r.component
+        for r in connected_components(df, checkpoint_dir=ck).collect()
+    }
+    default = {r.doc_id: r.component for r in connected_components(df).collect()}
+    assert staged == default == {**{i: 0 for i in range(9)}, 20: 20, 21: 20, 22: 20}
+
+
+def test_cc_nonconvergence_raises(spark):
+    """Truncated labels must never be returned silently (ADVICE r04)."""
+    import pytest as _pytest
+
+    from beetle_search_engine_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2).collect()

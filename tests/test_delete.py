@@ -152,3 +152,14 @@ def test_full_rebuild_clears_tombstones(spark, idx_dir):
     rebuilt = BM25Index(spark, idx_dir)
     assert rebuilt.deleted is None
     assert "d3" in {r.doc_id for r in rebuilt.search("alpha", 20, "or").collect()}
+
+
+def test_repeated_delete_is_idempotent(spark, idx_dir):
+    """ADVICE r04: re-deleting tombstoned ids reports 0 NEW deletions and
+    appends no duplicate tombstone rows."""
+    idx = _fresh(spark, idx_dir)
+    assert idx.delete_docs(["d1", "d2"]) == 2
+    assert idx.delete_docs(["d1", "d2"]) == 0
+    assert idx.delete_docs(["d2", "d5"]) == 1  # only d5 is new
+    tomb = spark.read.parquet(f"{idx_dir}/tombstones")
+    assert tomb.count() == 3 == tomb.distinct().count()

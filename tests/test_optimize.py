@@ -151,3 +151,44 @@ def test_optimize_fingerprint_rotates(spark, tmp_path):
     # group manifests carry the new fingerprint (resume-safe)
     with open(f"{d}/_manifest/group_0.json") as f:
         assert json.load(f)["fingerprint"] == st["fingerprint"]
+
+
+def test_optimize_crash_before_swap_then_resume(spark, tmp_path, monkeypatch):
+    """Crash safety + resume (ADVICE r04 high): a failure anywhere up to
+    the swap leaves the live index byte-identical (stale-stats deletion
+    semantics intact), and the retry resumes the staged encode at group
+    granularity instead of redoing it."""
+    import beetle_search_engine_spark.operators.build as B
+
+    corpus = _corpus(spark)
+    d = str(tmp_path / "opt7")
+    build_index(spark, corpus, d, fields={"body": "content"}, cfg=CFG)
+    idx = BM25Index(spark, d)
+    idx.delete_docs(["d0", "d4"])
+    before_del = _res(BM25Index(spark, d), "alpha")
+
+    real = B._encode_groups
+
+    def crash_after_encode(*a, **k):
+        real(*a, **k)  # staged encode fully lands
+        raise RuntimeError("simulated crash after staged encode, before swap")
+
+    monkeypatch.setattr(B, "_encode_groups", crash_after_encode)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        optimize_index(spark, d)
+    # live index untouched: tombstones still applied, stats not rotated
+    idx2 = BM25Index(spark, d)
+    assert idx2.deleted is not None
+    assert idx2.stats.get("optimize_count", 0) == 0
+    assert _res(idx2, "alpha") == before_del
+
+    monkeypatch.setattr(B, "_encode_groups", real)
+    m = optimize_index(spark, d)
+    # every group came from the crashed attempt's staged manifests
+    assert all(g.get("skipped") for g in m["groups"])
+    d2 = str(tmp_path / "ref7")
+    build_index(
+        spark, corpus.filter(~F.col("doc_id").isin(["d0", "d4"])), d2,
+        fields={"body": "content"}, cfg=CFG,
+    )
+    assert _res(BM25Index(spark, d), "alpha") == _res(BM25Index(spark, d2), "alpha")
