@@ -86,14 +86,18 @@ HEADLINE = [
 P50_QUERIES = ["engine_bm25_or", "engine_bm25_nostem_or", "engine_phrase", "engine_bm25_fielded"]
 P50_REPEATS = 5
 
-# non-engine suite queries whose r02->r03 walls moved +25-35% in a
-# pattern matching host weather (uniform inflation incl. unchanged
-# code); bench.py measures these TWICE per session (an in-session A/B
-# pass) so the canonical artifact separates weather from regression —
-# `min` is the robust wall, `pass1`/`pass2` expose the spread
+# suite queries measured TWICE per session (an in-session A/B pass) so
+# the canonical artifact separates weather from regression — `min` is
+# the robust wall, `pass1`/`pass2` expose the spread.  First block:
+# the r02->r03 +25-35% uniform-inflation set.  Second block (round 5):
+# the LATE-suite entries whose r03->r04 first-pass walls rose 2.7-3.7x
+# OUTSIDE the A/B window — extended here so the weather explanation is
+# verified exactly where it was not (VERDICT r04 task 2).
 AB_QUERIES = [
     "token_tf", "bm25_topk_or", "bm25_topk_and", "rrf_hybrid",
     "minhash_signatures", "simhash16", "simhash64", "knn_cosine_topk",
+    "ann_lsh_cosine", "ivf_ann_cosine", "near_dup_pairs",
+    "near_dup_survivors", "search_rerank_pipeline", "decontaminate_ngrams",
 ]
 
 

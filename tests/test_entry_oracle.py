@@ -57,3 +57,24 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert [f.name for f in df.schema.fields] == ["doc_id", "score", "rank"]
+
+
+def test_driver_window_composition(spark):
+    """The driver records only the FIRST 50 registry entries; this pins
+    that window to _DRIVER_WINDOW (one representative per proven family,
+    every flagship inside), that every window entry has a value-hash
+    oracle (zero no_oracle rows in the canonical artifact), and that the
+    demoted tail still exists for this suite's full-registry gate."""
+    keys = list(_QUERIES)
+    assert keys[:50] == entrymod._DRIVER_WINDOW
+    assert len(entrymod._DRIVER_WINDOW) == 50
+    # evaluate oracles the way the driver does — with a live session, so
+    # the LR-coefficient oracle (weak_to_strong_labels) is registered
+    oracles = entrymod.oracle_sql()
+    missing = [k for k in keys[:50] if k not in oracles]
+    assert missing == [], f"window entries without an oracle: {missing}"
+    # demoted family twins remain registered (pytest-only coverage)
+    assert len(keys) == 70
+    for demoted in ("knn_dot_topk", "simhash16", "near_dup_pairs",
+                    "engine_not_phrase", "engine_wildcard", "engine_range"):
+        assert demoted in keys[50:]

@@ -192,3 +192,54 @@ def test_optimize_crash_before_swap_then_resume(spark, tmp_path, monkeypatch):
         fields={"body": "content"}, cfg=CFG,
     )
     assert _res(BM25Index(spark, d), "alpha") == _res(BM25Index(spark, d2), "alpha")
+
+
+def test_lifecycle_delete_append_optimize_equals_clean_rebuild(spark, tmp_path):
+    """The full index lifecycle (VERDICT r04 task 5): build -> delete ->
+    append epoch -> search (stale stats, epoch-merged) -> optimize ->
+    search == a from-scratch build of the NET corpus.  Pins that
+    tombstones, epoch df-summing, and the physical merge compose."""
+    from beetle_search_engine_spark.streaming.incremental import append_epoch
+
+    corpus = _corpus(spark, 30)
+    first_ids = [f"d{i}" for i in range(20)]
+    dead = ["d0", "d5", "d12"]
+    d = str(tmp_path / "life")
+    build_index(
+        spark, corpus.filter(F.col("doc_id").isin(first_ids)), d,
+        fields={"body": "content"}, cfg=CFG,
+    )
+    idx = BM25Index(spark, d)
+    assert idx.delete_docs(dead) == 3
+    append_epoch(
+        spark, d, corpus.filter(~F.col("doc_id").isin(first_ids)),
+        fields={"body": "content"}, cfg=CFG,
+    )
+    idx = BM25Index(spark, d)
+    # mid-lifecycle: deleted gone, epoch docs visible, stats still stale
+    mid = {r.doc_id for r in idx.search("alpha", 40, "or").collect()}
+    assert not (set(dead) & mid)
+    assert {f"d{i}" for i in range(20, 30)} <= mid
+    assert len(idx.stats["epochs"]) == 2 and idx.deleted is not None
+
+    m = optimize_index(spark, d)
+    assert m["deleted_purged"] == 3 and m["n_docs"] == 27
+    idx = BM25Index(spark, d)
+    assert idx.deleted is None and list(idx.stats["epochs"]) == ["0"]
+
+    ref_dir = str(tmp_path / "life_ref")
+    build_index(
+        spark, corpus.filter(~F.col("doc_id").isin(dead)), ref_dir,
+        fields={"body": "content"}, cfg=CFG,
+    )
+    ref = BM25Index(spark, ref_dir)
+    # k > corpus size and (score, doc_id)-sorted: every surviving doc's
+    # exact score must match.  (Rank-order comparison would be flaky on
+    # EXACT float ties: the engine tie-breaks by docnum, and the
+    # lifecycle index keeps sparse original docnums while the clean
+    # rebuild renumbers — documented engine behavior, not a score bug.)
+    for q, mode in [("alpha", "or"), ("alpha beta", "and"),
+                    ("beta OR gamma", "parse"), ("alpha NOT gamma", "parse")]:
+        got = sorted(_res(idx, q, mode, k=40))
+        want = sorted(_res(ref, q, mode, k=40))
+        assert got == want, (q, mode)
