@@ -220,6 +220,7 @@ def make_wand_kernel(
     term_boosts: dict[str, float] | None = None,
     maybe_terms: list[str] | None = None,
     filter_terms: list[str] | None = None,
+    tree: tuple | None = None,
 ):
     """Build the applyInPandas kernel for one query.
 
@@ -283,6 +284,19 @@ def make_wand_kernel(
     without deletions.  Block-max bounds may still reflect deleted docs —
     bounds only loosen, pruning stays sound.
 
+    ``tree``: nested boolean tree (parser ``(a b) OR (c d)``), nodes
+    ("term", t) | ("and", (...)) | ("or", (...)).  Candidacy is the
+    tree's match set (And = intersection, Or = union); scoring follows
+    Whoosh's matchers exactly — And sums all children, Or sums only the
+    MATCHING children, so a doc matching branch (a b) but not (c d)
+    scores a+b even when c is present.  The flat ``groups`` clauses (in
+    tree mode: phrase singletons + planner-appended expansions) stay
+    AND-side gates beside the tree, as do excluded/phrase/REQUIRE
+    constraints; ANDMAYBE terms add score on top.  Tree queries run an
+    exact per-chunk evaluation (decode + set ops) — no block-max
+    pruning across the tree, the same cost class as the flat group
+    kernel.
+
     ``taat_density``: when the query's AVERAGE per-cursor posting density
     (total postings / (chunk span x number of cursors), so always in
     [0, 1]) exceeds this threshold, block-max pruning cannot win (the
@@ -303,9 +317,22 @@ def make_wand_kernel(
     excluded_set = set(excluded or [])
     # conjunctive clause list: parser groups, topped up with singletons
     # for any scoring term they don't cover (bag-of-words callers pass
-    # groups=None -> all-singleton == classic AND)
+    # groups=None -> all-singleton == classic AND).  Tree leaves are
+    # covered by the tree itself — a singleton for them would wrongly
+    # REQUIRE every Or-branch member.
+    def _tree_leaves(n, out):
+        if n[0] == "term":
+            out.append(n[1])
+        else:
+            for c in n[1]:
+                _tree_leaves(c, out)
+
+    tleaves: list[str] = []
+    if tree is not None:
+        _tree_leaves(tree, tleaves)
+    tree_set = set(tleaves)
     clauses = [list(dict.fromkeys(c)) for c in (groups or [])]
-    _covered = {t for c in clauses for t in c}
+    _covered = {t for c in clauses for t in c} | tree_set
     clauses += [[t] for t in qterms if t not in _covered]
     ex_phrases = [p for p in (excluded_phrases or []) if len(p) >= 2]
     maybe = [t for t in dict.fromkeys(maybe_terms or []) if t not in qterms]
@@ -415,6 +442,117 @@ def make_wand_kernel(
                     idx = np.searchsorted(cand, d)
                     m = (idx < cand.size) & (cand[np.minimum(idx, cand.size - 1)] == d)
                     scores[idx[m]] += sc[m]
+        if cand.size > k:
+            sel = np.lexsort((cand, -scores))[:k]
+        else:
+            sel = np.lexsort((cand, -scores))
+        return pd.DataFrame({"docnum": cand[sel], "score": scores[sel]})
+
+    # ---------------- nested boolean tree ----------------
+    def kernel_tree(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Exact per-chunk evaluation of a nested And/Or tree.  Each
+        term's postings decode ONCE (cached) into a sorted (docs,
+        scores) pair; And intersects + sums all children, Or unions +
+        sums matching children only — Whoosh's Intersection/UnionMatcher
+        semantics vectorized as numpy set ops.  Flat clauses (phrase
+        singletons, expansions, REQUIRE) gate beside the tree; excluded
+        terms/phrases, tombstones and ANDMAYBE compose as in the
+        conjunctive kernel."""
+        cursors = _cursors_from_pdf(pdf)
+        by_term: dict[str, list[_Cursor]] = {}
+        for (f, t), c in cursors.items():
+            if t in excluded_set or not _allowed(c):
+                continue
+            by_term.setdefault(t, []).append(c)
+
+        _tc: dict[str, tuple] = {}
+
+        def term_eval(t: str):
+            """(sorted unique docs, summed scores) for one term across
+            its fields' cursors in this chunk."""
+            if t not in _tc:
+                pd_, ps_ = [], []
+                for c in by_term.get(t, ()):
+                    for r in c.rows:
+                        d, sc = contribs(c, r)
+                        pd_.append(d)
+                        ps_.append(sc)
+                if not pd_:
+                    _tc[t] = (np.empty(0, dtype=np.int64), np.empty(0))
+                else:
+                    d = np.concatenate(pd_)
+                    s = np.concatenate(ps_)
+                    ud, inv = np.unique(d, return_inverse=True)
+                    us = np.zeros(ud.size, dtype=np.float64)
+                    np.add.at(us, inv, s)
+                    _tc[t] = (ud, us)
+            return _tc[t]
+
+        def node_eval(n):
+            if n[0] == "term":
+                return term_eval(n[1])
+            parts = [node_eval(c) for c in n[1]]
+            if n[0] == "and":
+                docs = parts[0][0]
+                for d2, _ in parts[1:]:
+                    docs = np.intersect1d(docs, d2, assume_unique=True)
+                    if docs.size == 0:
+                        return docs, np.empty(0)
+                out = np.zeros(docs.size, dtype=np.float64)
+                for d2, s2 in parts:
+                    out += s2[np.searchsorted(d2, docs)]
+                return docs, out
+            docs = parts[0][0]
+            for d2, _ in parts[1:]:
+                docs = np.union1d(docs, d2)
+            if docs.size == 0:
+                return docs, np.empty(0)
+            out = np.zeros(docs.size, dtype=np.float64)
+            for d2, s2 in parts:
+                if d2.size:
+                    out[np.searchsorted(docs, d2)] += s2
+            return docs, out
+
+        cand, scores = node_eval(tree)
+        if cand.size == 0:
+            return EMPTY
+        for cl in clauses:  # AND-side gates beside the tree
+            parts = [term_eval(t)[0] for t in cl]
+            parts = [p for p in parts if p.size]
+            if not parts:
+                return EMPTY
+            docs_t = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+            keep = np.isin(cand, docs_t, assume_unique=True)
+            cand, scores = cand[keep], scores[keep]
+            if cand.size == 0:
+                return EMPTY
+        ex = _excluded_docs(cursors) if excluded_set else None
+        if deleted is not None:
+            ex = deleted if ex is None else np.union1d(ex, deleted)
+        if ex is not None:
+            keep = ~np.isin(cand, ex)
+            cand, scores = cand[keep], scores[keep]
+            if cand.size == 0:
+                return EMPTY
+        for phrase in phrases:
+            keep = _phrase_mask(phrase, cand, cursors)
+            cand, scores = cand[keep], scores[keep]
+            if cand.size == 0:
+                return EMPTY
+        for phrase in ex_phrases:
+            keep = ~_phrase_mask(phrase, cand, cursors)
+            cand, scores = cand[keep], scores[keep]
+            if cand.size == 0:
+                return EMPTY
+        for t in scoring_terms:
+            if t in tree_set:
+                continue  # tree leaves scored inside the tree
+            d, sc = term_eval(t)
+            if d.size == 0:
+                continue
+            idx = np.searchsorted(cand, d)
+            m = (idx < cand.size) & (cand[np.minimum(idx, cand.size - 1)] == d)
+            scores[idx[m]] += sc[m]
         if cand.size > k:
             sel = np.lexsort((cand, -scores))[:k]
         else:
@@ -549,5 +687,8 @@ def make_wand_kernel(
         )
 
     # "group" (And over OR clauses) is the conjunctive kernel with
-    # non-singleton clauses; pure "or" keeps the block-max WAND path
+    # non-singleton clauses; a nested tree takes its dedicated kernel;
+    # pure "or" keeps the block-max WAND path
+    if tree is not None:
+        return kernel_tree
     return kernel_and if mode in ("and", "group") else kernel_or

@@ -31,13 +31,23 @@ Supported grammar (a deliberate, documented subset of Whoosh's):
                           analyzer strips the ':'), matching how Whoosh
                           treats unknown field names as text.  Fielded
                           terms participate in OR groups normally.
-* ``( ... )``           — simple parenthesized OR groups work by
-                          construction: the tokenizer strips parens and
-                          the infix-OR rule binds the adjacent terms, so
-                          ``(a OR b) c`` parses to And(Or(a,b), c)
-                          exactly.  NESTED boolean trees (``(a b) OR
-                          (c d)``) are beyond the flat clause model and
-                          degrade to the paren-free reading (documented).
+* ``( ... )``           — parenthesized boolean groups.  Flat shapes
+                          (``(a OR b) c`` == And(Or(a,b), c)) keep the
+                          long-proven flat clause model.  NESTED trees
+                          (``(a b) OR (c d)`` == Or(And(a,b), And(c,d)),
+                          arbitrary depth) parse into a recursive tree
+                          (round 5) evaluated with Whoosh's matcher
+                          semantics: And sums all children, Or sums only
+                          the MATCHING children — a doc matching branch
+                          (a b) but not (c d) scores a+b even when c is
+                          present.  Tree terms may carry field prefixes
+                          and boosts; top-level NOT / ANDMAYBE / REQUIRE
+                          / phrases / expansions compose beside the tree
+                          as AND-side constraints.  Out of the subset —
+                          a modifier or expansion INSIDE a group, a
+                          phrase or range interleaved with parens, or
+                          unbalanced parens — degrades to the paren-free
+                          flat reading (documented).
 * ``term^2.5``          — query-time boost (Whoosh's boost attribute):
                           the term's BM25F contributions are multiplied
                           by the factor, in every kernel incl. WAND
@@ -210,10 +220,186 @@ class ParsedQuery:
     maybe_terms: list[str] = field(default_factory=list)
     # REQUIRE operands: gate candidacy, never score (Whoosh Require)
     filter_terms: list[str] = field(default_factory=list)
+    # nested boolean tree (round 5): set ONLY when parentheses produce a
+    # structure the flat clause model cannot express — e.g. ``(a b) OR
+    # (c d)`` == Or(And(a,b), And(c,d)).  Nodes are immutable tuples:
+    # ("term", t) | ("and", (children...)) | ("or", (children...)).
+    # Whoosh matcher semantics: And matches when all children match and
+    # scores their sum; Or matches when any child matches and scores the
+    # sum of the MATCHING children only (UnionMatcher — a doc matching
+    # branch (a b) but not (c d) scores a+b even if c is present).
+    # When set, ``groups`` holds only the NON-tree AND-side constraints
+    # (phrase-member singletons; prefix/range/wildcard expansions are
+    # appended later by the planner) and ``mode`` is "group".  Flat
+    # paren shapes like ``(a OR b) c`` keep the existing groups model.
+    tree: tuple | None = None
 
     @property
     def empty(self) -> bool:
         return not (self.terms or self.prefixes or self.ranges or self.wildcards)
+
+
+def tree_terms(node: tuple | None) -> list[str]:
+    """Deduped leaf terms of a boolean tree, document order."""
+    out: dict[str, None] = {}
+
+    def walk(n):
+        if n[0] == "term":
+            out.setdefault(n[1])
+        else:
+            for c in n[1]:
+                walk(c)
+
+    if node is not None:
+        walk(node)
+    return list(out)
+
+
+_TREE_ABORT = object()  # sentinel: shape outside the tree subset
+
+
+def _build_tree(
+    rest: str,
+    analyzer: Analyzer,
+    fields: set[str] | None,
+    boosts: dict[str, float],
+    fielded: dict[str, str],
+) -> tuple | None:
+    """Recursive-descent parse of parenthesized boolean structure over
+    PLAIN (possibly fielded/boosted) terms.  Same precedence as the flat
+    loop at every nesting level: adjacency = And (Whoosh's default
+    AndGroup), uppercase infix OR binds the adjacent units and chains.
+
+    Returns None — meaning "keep the flat reading" — whenever the shape
+    leaves the supported subset: unbalanced parens, or a modifier /
+    expansion (NOT, -x, ANDMAYBE, REQUIRE, wildcards) INSIDE a group.
+    Top-level modifiers are skipped here (the flat pass owns them and
+    they compose with the tree as AND-side constraints).  Field
+    restrictions and boosts on tree terms register into the shared
+    ``fielded``/``boosts`` maps exactly as flat terms do."""
+    toks = re.findall(r"\(|\)|[^\s()]+", rest)
+    pos = 0
+
+    def parse(depth: int):
+        nonlocal pos
+        units: list[tuple] = []
+        or_pending = False
+        while pos < len(toks):
+            w = toks[pos]
+            node = None
+            if w == "(":
+                pos += 1
+                node = parse(depth + 1)
+                if node is _TREE_ABORT:
+                    return _TREE_ABORT
+            elif w == ")":
+                if depth == 0:
+                    return _TREE_ABORT  # unbalanced
+                pos += 1
+                break
+            elif w == "OR":
+                pos += 1
+                if units:
+                    or_pending = True
+                continue
+            elif w == "AND":
+                pos += 1
+                continue
+            elif w in ("NOT", "ANDNOT", "ANDMAYBE", "REQUIRE"):
+                if depth > 0:
+                    return _TREE_ABORT  # no modifiers inside groups
+                pos += 1
+                if pos < len(toks) and toks[pos] == "(":
+                    return _TREE_ABORT  # modifier on a group: flat reading
+                pos += 1  # skip the operand — the flat pass owns it
+                or_pending = False
+                continue
+            elif w.startswith("-") and len(w) > 1:
+                if depth > 0:
+                    return _TREE_ABORT
+                pos += 1
+                or_pending = False
+                continue
+            elif ("*" in w or "?" in w) and re.fullmatch(r"[\w*?]+", w) and len(
+                re.sub(r"[*?]", "", w)
+            ) >= 2:
+                if depth > 0:
+                    return _TREE_ABORT  # expansions never join groups
+                pos += 1
+                or_pending = False
+                continue
+            else:
+                pos += 1
+                word, bval = w, None
+                bm = _BOOST.match(word)
+                if bm:
+                    word, bval = bm.group(1), float(bm.group(2))
+                fld = None
+                m = _FIELD_PREFIX.match(word)
+                if m and fields and m.group(1) in fields:
+                    fld, word = m.group(1), m.group(2)
+                ts = analyzer.analyze(word)
+                if not ts:
+                    continue  # stopword: or_pending carries (flat-loop rule)
+                for t in ts:
+                    if fld is not None:
+                        fielded[t] = fld
+                    if bval is not None:
+                        boosts[t] = bval
+                node = (
+                    ("term", ts[0])
+                    if len(ts) == 1
+                    else ("and", tuple(("term", t) for t in ts))
+                )
+            if node is None:
+                continue  # empty group
+            if or_pending and units:
+                prev = units[-1]
+                units[-1] = (
+                    ("or", prev[1] + (node,)) if prev[0] == "or" else ("or", (prev, node))
+                )
+                or_pending = False
+            else:
+                units.append(node)
+        if not units:
+            return None
+        return units[0] if len(units) == 1 else ("and", tuple(units))
+
+    root = parse(0)
+    if root is _TREE_ABORT or root is None:
+        return None
+    root = _canonical(root)
+    return None if _is_flat(root) else root
+
+
+def _canonical(node: tuple) -> tuple:
+    """Flatten same-operator nesting (And-under-And, Or-under-Or) and
+    collapse single-child groups — ``((a b) c)`` is just And(a,b,c), so
+    it keeps the flat path."""
+    if node[0] == "term":
+        return node
+    kids: list[tuple] = []
+    for c in node[1]:
+        c = _canonical(c)
+        if c[0] == node[0]:
+            kids.extend(c[1])
+        else:
+            kids.append(c)
+    return kids[0] if len(kids) == 1 else (node[0], tuple(kids))
+
+
+def _is_flat(node: tuple) -> bool:
+    """True when the tree is expressible by the existing flat
+    And-of-(term | Or-of-terms) clause model — keep that model then, so
+    long-proven queries take the long-proven path."""
+    if node[0] == "term":
+        return True
+    if node[0] == "or":
+        return all(c[0] == "term" for c in node[1])
+    return all(
+        c[0] == "term" or (c[0] == "or" and all(g[0] == "term" for g in c[1]))
+        for c in node[1]
+    )
 
 
 def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) -> ParsedQuery:
@@ -379,9 +565,26 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
 
     excluded = excluded + ex_singles
 
+    # nested boolean trees: attempted only when parens are present and no
+    # phrase/range was extracted from inside them (a quoted phrase or
+    # [a TO b] interleaved with parens has no reliable position left in
+    # ``rest``, so the flat reading stands — documented).  A successful
+    # NESTED parse replaces the word-derived clauses: the tree owns the
+    # scoring terms' structure; phrase singletons and planner-appended
+    # expansions stay AND-side constraints beside it.
+    tree = None
+    if "(" in rest and not (
+        phrases or ex_phrases or singles or ex_singles or ranges or ex_ranges
+    ):
+        tree = _build_tree(rest, analyzer, fields, boosts, fielded)
+    if tree is not None:
+        clauses = []
+
     # singles (degraded 1-term phrases) and phrase member terms become
     # required singleton clauses unless already covered by a clause
     seen: dict[str, None] = {}
+    for t in tree_terms(tree):
+        seen.setdefault(t)
     for c in clauses:
         for t in c:
             seen.setdefault(t)
@@ -397,7 +600,9 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
 
     terms = list(seen)
     has_group = any(len(c) > 1 for c in clauses)
-    if not has_group:
+    if tree is not None:
+        mode = "group"  # tree queries run the conjunctive-kernel family
+    elif not has_group:
         mode = "and"
     elif (
         len(clauses) == 1 and not phrases and not ex_phrases
@@ -427,4 +632,5 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         boosts=boosts,
         maybe_terms=list(dict.fromkeys(t for t in maybe_list if t not in seen)),
         filter_terms=list(dict.fromkeys(t for t in filter_list if t not in seen)),
+        tree=tree,
     )

@@ -223,7 +223,7 @@ class BM25Index:
             groups=pq.groups or None, excluded_phrases=pq.excluded_phrases or None,
             deleted=self.deleted,
             term_boosts=pq.boosts or None, maybe_terms=pq.maybe_terms or None,
-            filter_terms=pq.filter_terms or None,
+            filter_terms=pq.filter_terms or None, tree=pq.tree,
         )
         scored = scan.groupBy("chunk").applyInPandas(kernel, "docnum long, score double")
         top_rows = (
@@ -331,6 +331,7 @@ class BM25Index:
                     term_boosts=pq.boosts or None,
                     maybe_terms=pq.maybe_terms or None,
                     filter_terms=pq.filter_terms or None,
+                    tree=pq.tree,
                 ),
                 set(per_q_terms[qid]),
             )
@@ -609,7 +610,7 @@ class BM25Index:
             groups=pq.groups or None, excluded_phrases=pq.excluded_phrases or None,
             deleted=self.deleted,
             term_boosts=pq.boosts or None, maybe_terms=pq.maybe_terms or None,
-            filter_terms=pq.filter_terms or None,
+            filter_terms=pq.filter_terms or None, tree=pq.tree,
         )
         outs = [kernel(grp.reset_index(drop=True)) for _, grp in pdf.groupby("chunk")]
         import pandas as pd
