@@ -251,6 +251,7 @@ def connected_components(
     comp_out: str = "component",
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(doc_id, component) for every node appearing in ``pairs``:
     ``component`` = the smallest node id reachable through the pair
@@ -261,12 +262,10 @@ def connected_components(
     of its own label and its neighbors' labels, until a fixpoint
     (converges in O(graph diameter) rounds — near-dup graphs are unions
     of small cliques, so typically 2-3).  Each round is one equi-join +
-    one map-side-combined min aggregation — the simplified form of the
-    large-star/small-star MapReduce CC algorithm (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14), which is
-    the drop-in upgrade if a corpus ever produces long chains.  The
-    convergence probe reuses the staged frames — one tiny join per
-    round, cheaper than a wasted extra round.
+    one map-side-combined min aggregation.  The convergence probe reuses
+    the staged frames — one tiny join per round, cheaper than a wasted
+    extra round.  For long-chain graphs the full large-star/small-star
+    algorithm is implemented as ``algorithm="star"`` (below).
 
     Round staging (iterative lineage would otherwise double the plan
     every round): with ``checkpoint_dir`` each round's labels (and the
@@ -279,10 +278,19 @@ def connected_components(
     are cleaned up (local filesystems only); the final round's parquet
     backs the returned DataFrame and is kept.
 
+    ``algorithm``: ``"label"`` (default) is min-label propagation —
+    O(graph diameter) rounds, the right choice for near-dup graphs
+    (unions of small cliques, diameter 2-3).  ``"star"`` is the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) —
+    O(log^2 n) rounds regardless of diameter, the robust choice when a
+    corpus produces long transitive chains (A~B~C... of drifting
+    near-dups).  Identical output; both honor ``checkpoint_dir``.
+
     Raises ``RuntimeError`` if the fixpoint is not reached within
     ``max_iter`` rounds (truncated labels would be silently wrong —
-    a graph needing that many rounds has diameter > max_iter; raise
-    ``max_iter`` or switch to large-star/small-star).
+    a graph needing that many label rounds has diameter > max_iter;
+    raise ``max_iter`` or pass ``algorithm="star"``).
     """
     spark = pairs.sparkSession
     staged_paths: list[str] = []
@@ -294,6 +302,14 @@ def connected_components(
         df.write.mode("overwrite").parquet(path)
         staged_paths.append(path)
         return spark.read.parquet(path)
+
+    if algorithm == "star":
+        return _cc_star(
+            pairs, a_col, b_col, id_out, comp_out, max_iter, _stage, staged_paths,
+            checkpoint_dir,
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (label | star)")
 
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
@@ -332,6 +348,95 @@ def connected_components(
         # drop intermediate rounds + edges; the last labels parquet backs
         # the returned frame.  Local paths only — remote staging dirs are
         # the caller's to manage.
+        import os
+        import shutil
+
+        for p in staged_paths[:-1]:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+    return labels.select(F.col("node").alias(id_out), F.col("lab").alias(comp_out))
+
+
+def _cc_star(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    id_out: str,
+    comp_out: str,
+    max_iter: int,
+    _stage,
+    staged_paths: list[str],
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., SoCC'14 — the published MapReduce formulation, re-expressed
+    as two groupBy-min rounds per iteration).
+
+    large-star: every node u links each LARGER neighbor v to
+    m = min(N(u) ∪ {u}); small-star: orient edges toward the larger
+    endpoint, then u links each smaller-or-self node to the minimum.
+    The edge set monotonically contracts toward star graphs rooted at
+    each component's minimum id in O(log^2 n) alternations regardless
+    of graph diameter — the scale-robust path for long chains, where
+    label propagation needs O(diameter) rounds.  Convergence = the
+    small-star output equals its input (exceptAll probe — one tiny
+    distinct join per round on the shrinking edge list)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    edges = _stage(edges, "star_0")
+    converged = False
+    for rnd in range(1, max_iter + 1):
+        # ---- large-star: group by EVERY endpoint (bidirected view)
+        bi = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m_large = bi.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            bi.join(m_large, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ---- small-star: orient toward the larger endpoint, link the
+        # smaller ones (and the center) to the minimum
+        sm = ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        m_small = sm.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            sm.join(m_small, "u")
+            .select(F.col("v"), F.col("m"))
+            .unionByName(m_small.select(F.col("u").alias("v"), F.col("m")))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+        )
+        new = _stage(ss, f"star_{rnd}")
+        changed = (
+            new.exceptAll(edges).take(1) or edges.exceptAll(new).take(1)
+        )
+        edges = new
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"star connected_components did not converge within max_iter={max_iter} "
+            "alternations — pathological input; raise max_iter"
+        )
+    # final star edges are (root, child); roots label themselves
+    labels = edges.select(F.col("b").alias("node"), F.col("a").alias("lab")).unionByName(
+        edges.select(F.col("a").alias("node"), F.col("a").alias("lab")).distinct()
+    )
+    labels = _stage(labels.distinct(), "star_labels")
+    if checkpoint_dir is not None and staged_paths:
         import os
         import shutil
 

@@ -349,3 +349,50 @@ def test_cc_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2).collect()
+
+
+def test_cc_star_matches_label_propagation(spark):
+    """Kiveris large-star/small-star returns identical components to
+    min-label propagation on cliques, chains and reversed edges."""
+    from beetle_search_engine_spark.operators.dedup import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(8)]           # chain
+        + [(20, 21), (21, 22), (22, 20)]         # triangle
+        + [(30, 31)]                             # pair
+        + [(41, 40), (40, 42), (42, 41)]         # reversed/duplicated
+    )
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    star = {r.doc_id: r.component
+            for r in connected_components(df, algorithm="star").collect()}
+    label = {r.doc_id: r.component for r in connected_components(df).collect()}
+    assert star == label
+    assert star[8] == 0 and star[22] == 20 and star[42] == 40
+
+
+def test_cc_star_solves_long_chain_in_log_rounds(spark):
+    """A 120-node chain: label propagation needs 120 rounds (raises at
+    max_iter=50); the star algorithm converges in O(log^2 n)."""
+    import pytest as _pytest
+
+    from beetle_search_engine_spark.operators.dedup import connected_components
+
+    n = 120
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=50)
+    got = {r.doc_id: r.component
+           for r in connected_components(df, max_iter=50, algorithm="star").collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_cc_star_checkpoint_dir(spark, tmp_path):
+    from beetle_search_engine_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)] + [(50, 51)], "id_a long, id_b long"
+    )
+    ck = str(tmp_path / "star_ck")
+    staged = {r.doc_id: r.component
+              for r in connected_components(df, algorithm="star", checkpoint_dir=ck).collect()}
+    assert staged == {**{i: 0 for i in range(11)}, 50: 50, 51: 50}
