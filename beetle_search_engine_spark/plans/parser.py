@@ -52,11 +52,15 @@ Supported grammar (a deliberate, documented subset of Whoosh's):
                           the term's BM25F contributions are multiplied
                           by the factor, in every kernel incl. WAND
                           (block-max bounds scale with it, so pruning
-                          stays sound).  Per analyzed term, last boost
-                          wins (Whoosh sums separate boosted nodes —
-                          documented divergence); boosts on
-                          prefix/wildcard/range expansions and phrases
-                          are recognized and discarded.
+                          stays sound).  Repeated occurrences follow
+                          Whoosh's ``Query.normalize()`` exactly (round
+                          5): duplicate nodes collapse (``a a`` == a,
+                          ``a^2 a^2`` == a^2) while distinct-boost nodes
+                          all score — the effective multiplier is the
+                          SUM of the term's distinct boost values
+                          (``a^2 a^3`` -> x5, ``a a^3`` -> x4).  Boosts
+                          on prefix/wildcard/range expansions and
+                          phrases are recognized and discarded.
 * ``a ANDNOT b``        — mapped to ``a NOT b`` (identical semantics).
 * ``a ANDMAYBE b``      — Whoosh AndMaybe: b never gates candidacy but
                           ADDS its score where present (UnionMatcher on
@@ -210,10 +214,11 @@ class ParsedQuery:
     wildcards: list[str] = field(default_factory=list)
     excluded_wildcards: list[str] = field(default_factory=list)
     wildcard_fields: dict[str, str] = field(default_factory=dict)
-    # term^2.5 -> query-time score multiplier (Whoosh boost); per analyzed
-    # term, last occurrence wins (Whoosh sums separate boosted nodes —
-    # documented divergence).  Expansions (prefix/wildcard/range) ignore
-    # boosts, as before.
+    # term^2.5 -> query-time score multiplier (Whoosh boost).  Effective
+    # multiplier = SUM of the term's DISTINCT boost values — Whoosh's
+    # Query.normalize() semantics (duplicate nodes collapse, distinct-
+    # boost nodes all score): a^2 a^3 -> 5.0, a a^3 -> 4.0, a a -> 1.0.
+    # Expansions (prefix/wildcard/range) ignore boosts, as before.
     boosts: dict[str, float] = field(default_factory=dict)
     # ANDMAYBE operands: never gate candidacy, score where present
     # (Whoosh AndMaybe — result SET equals dropping them, scores don't)
@@ -262,7 +267,7 @@ def _build_tree(
     rest: str,
     analyzer: Analyzer,
     fields: set[str] | None,
-    boosts: dict[str, float],
+    boost_sets: dict[str, set],
     fielded: dict[str, str],
 ) -> tuple | None:
     """Recursive-descent parse of parenthesized boolean structure over
@@ -344,8 +349,9 @@ def _build_tree(
                 for t in ts:
                     if fld is not None:
                         fielded[t] = fld
-                    if bval is not None:
-                        boosts[t] = bval
+                    boost_sets.setdefault(t, set()).add(
+                        bval if bval is not None else 1.0
+                    )
                 node = (
                     ("term", ts[0])
                     if len(ts) == 1
@@ -456,7 +462,7 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     wildcards: list[str] = []
     excluded_wildcards: list[str] = []
     wildcard_fields: dict[str, str] = {}
-    boosts: dict[str, float] = {}
+    boost_sets: dict[str, set] = {}  # per-term DISTINCT boost values
     maybe_list: list[str] = []
     filter_list: list[str] = []
     pending_not = False
@@ -544,8 +550,9 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
                 (maybe_list if is_maybe else filter_list).append(t)
                 if fld is not None:
                     fielded[t] = fld
-                if is_maybe and bval is not None:
-                    boosts[t] = bval  # boosted optional term keeps its boost
+                boost_sets.setdefault(t, set()).add(
+                    bval if bval is not None else 1.0
+                )  # boosted optional term keeps its boost
             if toks:
                 or_pending = False
             continue
@@ -558,8 +565,7 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
                 clauses.append([t])
             if fld is not None:
                 fielded[t] = fld
-            if bval is not None:
-                boosts[t] = bval
+            boost_sets.setdefault(t, set()).add(bval if bval is not None else 1.0)
         if toks:
             or_pending = False
 
@@ -576,7 +582,20 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     if "(" in rest and not (
         phrases or ex_phrases or singles or ex_singles or ranges or ex_ranges
     ):
-        tree = _build_tree(rest, analyzer, fields, boosts, fielded)
+        _tb: dict[str, set] = {}
+        _tf: dict[str, str] = {}
+        tree = _build_tree(rest, analyzer, fields, _tb, _tf)
+        if tree is not None:
+            # the tree pass tokenizes paren-adjacent words CLEANLY (the
+            # flat loop sees "(alpha^2" / "alpha^3)" with punctuation
+            # attached and mis-reads boosts/fields there), so for tree
+            # leaves the tree-derived boost/field info is authoritative
+            for _t in tree_terms(tree):
+                boost_sets[_t] = _tb.get(_t, {1.0})
+                if _t in _tf:
+                    fielded[_t] = _tf[_t]
+                elif _t in fielded:
+                    del fielded[_t]
     if tree is not None:
         clauses = []
 
@@ -599,6 +618,23 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
                 seen.setdefault(t)
 
     terms = list(seen)
+
+    # effective boost per term = SUM of its DISTINCT boost values —
+    # Whoosh's Query.normalize() semantics: duplicate nodes collapse
+    # (``a a`` == a; ``a^2 a^2`` == a^2) while distinct-boost nodes all
+    # score (``a^2 a^3`` -> x5, ``a a^3`` -> x4).  Restricted to terms
+    # that can actually score (query terms + ANDMAYBE operands): the
+    # flat loop's paren-adjacent misreads can deposit boost values under
+    # tokens that never became terms.
+    _maybe_set = set(maybe_list)
+    boosts = {}
+    for _t, _vals in boost_sets.items():
+        if _t not in seen and _t not in _maybe_set:
+            continue
+        _eff = sum(_vals)
+        if _eff != 1.0:
+            boosts[_t] = _eff
+
     has_group = any(len(c) > 1 for c in clauses)
     if tree is not None:
         mode = "group"  # tree queries run the conjunctive-kernel family

@@ -174,3 +174,25 @@ def test_nested_batch_parity(idx):
         r.doc_id: r.score for r in batch.collect() if r.query_id == "nested"
     }
     assert got == single
+
+
+# ---------------------------------------------------------------------------
+# boost normalization (Whoosh Query.normalize semantics, round 5)
+
+
+def test_boost_normalize_distinct_values_sum():
+    an = get_analyzer("sql")
+    assert parse_query("alpha^2 alpha^3 beta", an).boosts == {"alpha": 5.0}
+    assert parse_query("alpha alpha^3", an).boosts == {"alpha": 4.0}
+    assert parse_query("alpha^2 alpha^2", an).boosts == {"alpha": 2.0}  # dup collapses
+    assert parse_query("alpha alpha", an).boosts == {}
+    assert parse_query("(alpha^2 beta) OR (gamma alpha^3)", an).boosts == {"alpha": 5.0}
+
+
+def test_boost_normalize_scores(idx, term_scores):
+    """a^2 a^3 scores 5x a's contribution end-to-end."""
+    got = {r.doc_id: r.score for r in idx.search("alpha^2 alpha^3", 20, "parse").collect()}
+    s = term_scores
+    assert got["d5"] == pytest.approx(5 * s["d5"]["alpha"], rel=1e-9)
+    base = {r.doc_id: r.score for r in idx.search("alpha", 20, "parse").collect()}
+    assert set(got) == set(base)
