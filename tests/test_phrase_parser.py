@@ -14,7 +14,7 @@ from beetle_search_engine_spark.config import EngineConfig, IndexConfig
 from beetle_search_engine_spark.functions.analyzer import get_analyzer
 from beetle_search_engine_spark.operators.build import build_index
 from beetle_search_engine_spark.operators.codecs import decode_positions, encode_positions_rows
-from beetle_search_engine_spark.plans.parser import parse_query
+from beetle_search_engine_spark.plans.parser import parse_query, tree_terms
 from beetle_search_engine_spark.plans.query import BM25Index
 
 W = get_analyzer("whoosh")
@@ -593,15 +593,19 @@ _QUERY_ALPHABET = st.sampled_from(
 @settings(max_examples=300, deadline=None)
 def test_parser_never_crashes_and_invariants_hold(q):
     pq = parse_query(q, S, fields={"title", "body"})
-    # clauses cover exactly the scoring terms (duplicate singleton
-    # clauses from repeated input tokens are allowed — the kernel
-    # intersects them away and scores each term once)
+    # scoring terms are covered exactly by clauses + tree leaves (no
+    # tree: clauses alone; tree: leaves own the structure, clauses are
+    # AND-side gates whose terms are still scoring terms).  Duplicate
+    # singleton clauses from repeated input tokens are allowed — the
+    # kernel intersects them away and scores each term once.
     clause_terms = [t for c in pq.groups for t in c]
-    assert set(pq.terms) == set(clause_terms)
+    assert set(pq.terms) == set(clause_terms) | set(tree_terms(pq.tree))
     # no duplicates WITHIN a clause
     for c in pq.groups:
         assert len(c) == len(set(c))
-    # mode is consistent with the clause structure
+    # mode is consistent with the clause/tree structure
+    if pq.tree is not None:
+        assert pq.mode == "group"
     if pq.mode == "and":
         assert all(len(c) == 1 for c in pq.groups)
     if pq.mode == "or":
