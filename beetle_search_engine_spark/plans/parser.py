@@ -24,6 +24,18 @@ Supported grammar (a deliberate, documented subset of Whoosh's):
                           plus x handled by the surrounding grammar — the
                           phrase never joins an OR group (documented
                           simplification of Whoosh's Or(Phrase, x)).
+* ``"a b"~N``           — sloppy phrase (round 5): integer N >= 2
+                          relaxes matching to Whoosh's SpanNear2
+                          semantics (``Phrase.matcher`` builds
+                          ``SpanNear2(terms, slop=N, ordered=True,
+                          mindist=1)``): surviving terms in order with
+                          every consecutive positional gap in [1, N] —
+                          query-side stopword offsets are NOT reproduced
+                          on this path.  ``~1`` / ``~0`` / a fractional
+                          suffix keep exact adjacency (Whoosh's plugin
+                          regex accepts only [1-9][0-9]*; the integer
+                          prefix of ``~2.5`` reads as 2).  Composes with
+                          NOT (``NOT "a b"~2`` drops sloppy matches).
 * ``field:term``        — restricts that term to one index field
                           (Whoosh's FieldsPlugin); the prefix must name a
                           field the index was built with, otherwise the
@@ -148,16 +160,18 @@ from dataclasses import dataclass, field
 
 from ..functions.analyzer import Analyzer
 
-_QUOTED = re.compile(r'"([^"]*)"(?:~[\d.]+)?')
+_QUOTED = re.compile(r'"([^"]*)"(?:~([\d.]+))?')
 # NOT "a b" / -"a b" / NOT title:"a b": extracted before positive phrases
 # so the quoted body never reaches the positive-phrase grab.  The
-# optional ~N slop suffix (Whoosh PhrasePlugin syntax) is consumed and
-# DISCARDED — phrase matching stays exact positional adjacency; without
-# consuming it the analyzer would leak a spurious numeric term.  (Slop
-# semantics over pre-stop-filter positions have no clean reading — a
-# stopword gap already widens the expected offsets — so a documented
-# no-op beats a guessed relaxation.)
-_NEG_QUOTED = re.compile(r'(?:\bNOT\s+|(?<!\S)-)(\w+:)?"([^"]*)"(?:~[\d.]+)?')
+# optional ~N slop suffix (Whoosh PhrasePlugin syntax): an integer
+# N >= 2 switches the phrase to Whoosh's sloppy matching (SpanNear2:
+# ordered terms, consecutive gaps in [1, N] — see wand._slop_phrase_mask
+# for the divergence note vs the exact path's offset reproduction);
+# N <= 1 or a non-integer suffix keeps exact adjacency (Whoosh's
+# PhrasePlugin regex only accepts [1-9][0-9]*, and slop=1 IS exact).
+# Either way the suffix is consumed — without that the analyzer would
+# leak a spurious numeric term.
+_NEG_QUOTED = re.compile(r'(?:\bNOT\s+|(?<!\S)-)(\w+:)?"([^"]*)"(?:~([\d.]+))?')
 _FIELD_PREFIX = re.compile(r"^(\w+):(.+)$")
 # [a TO b] / {a TO b] / title:[a TO b] / NOT [a TO b] / -[a TO b];
 # either bound may be omitted (open range) — extracted before the word
@@ -200,6 +214,12 @@ class ParsedQuery:
     # NOT "a b": docs containing the phrase are dropped (same positional
     # semantics as `phrases`; requires store_positions)
     excluded_phrases: list[list[tuple[str, int]]] = field(default_factory=list)
+    # "a b"~N with integer N >= 2: (members, slop) pairs matched with
+    # Whoosh SpanNear2 semantics (ordered, consecutive gaps in [1, N])
+    # instead of exact offset reproduction; members score like phrase
+    # members.  Negated twins gate without scoring.
+    slop_phrases: list[tuple[list[tuple[str, int]], int]] = field(default_factory=list)
+    excluded_slop_phrases: list[tuple[list[tuple[str, int]], int]] = field(default_factory=list)
     # pre*: lowercased prefixes to expand against the index's stored
     # term dictionary at query time; each expansion becomes one OR-group
     # clause (Whoosh Prefix == Or over matching terms)
@@ -415,23 +435,42 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     them."""
     phrases: list[list[tuple[str, int]]] = []
     ex_phrases: list[list[tuple[str, int]]] = []
+    sl_phrases: list[tuple[list[tuple[str, int]], int]] = []
+    ex_sl_phrases: list[tuple[list[tuple[str, int]], int]] = []
     singles: list[str] = []  # single-term "phrases" degrade to plain terms
     ex_singles: list[str] = []  # single-term negated phrases -> NOT terms
 
-    def _analyzed_phrase(text: str, out_multi: list, out_single: list) -> None:
+    def _slop_of(suffix: str | None) -> int:
+        # Whoosh PhrasePlugin: slop is the integer prefix of the digits
+        # ("~2.5" reads as 2); anything that doesn't yield an int >= 2
+        # keeps the exact path (slop=1 IS exact adjacency)
+        try:
+            return int((suffix or "1").split(".")[0] or "1")
+        except ValueError:
+            return 1
+
+    def _analyzed_phrase(
+        text: str, out_multi: list, out_single: list, slop: int = 1, out_slop: list | None = None
+    ) -> None:
         p = analyzer.analyze_pos(text)
         if len(p) >= 2:
             base = p[0][1]
-            out_multi.append([(t, i - base) for t, i in p])
+            members = [(t, i - base) for t, i in p]
+            if slop >= 2 and out_slop is not None:
+                out_slop.append((members, slop))
+            else:
+                out_multi.append(members)
         elif p:
             out_single.append(p[0][0])  # already analyzed — don't re-stem
 
     def grab_neg(m: re.Match) -> str:
-        _analyzed_phrase(m.group(2), ex_phrases, ex_singles)
+        _analyzed_phrase(
+            m.group(2), ex_phrases, ex_singles, _slop_of(m.group(3)), ex_sl_phrases
+        )
         return " "
 
     def grab(m: re.Match) -> str:
-        _analyzed_phrase(m.group(1), phrases, singles)
+        _analyzed_phrase(m.group(1), phrases, singles, _slop_of(m.group(2)), sl_phrases)
         return " "
 
     rest = _QUOTED.sub(grab, _NEG_QUOTED.sub(grab_neg, query))
@@ -580,7 +619,8 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     # expansions stay AND-side constraints beside it.
     tree = None
     if "(" in rest and not (
-        phrases or ex_phrases or singles or ex_singles or ranges or ex_ranges
+        phrases or ex_phrases or sl_phrases or ex_sl_phrases
+        or singles or ex_singles or ranges or ex_ranges
     ):
         _tb: dict[str, set] = {}
         _tf: dict[str, str] = {}
@@ -616,6 +656,11 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
             if t not in seen:
                 clauses.append([t])
                 seen.setdefault(t)
+    for p, _slop in sl_phrases:
+        for t, _off in p:
+            if t not in seen:
+                clauses.append([t])
+                seen.setdefault(t)
 
     terms = list(seen)
 
@@ -642,6 +687,7 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         mode = "and"
     elif (
         len(clauses) == 1 and not phrases and not ex_phrases
+        and not sl_phrases and not ex_sl_phrases
         and not maybe_list and not filter_list
     ):
         mode = "or"  # pure disjunction -> block-max WAND path
@@ -660,6 +706,7 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         terms=terms, mode=mode, phrases=phrases,
         fielded=fielded, excluded=list(ex_seen),
         groups=clauses, excluded_phrases=ex_phrases,
+        slop_phrases=sl_phrases, excluded_slop_phrases=ex_sl_phrases,
         prefixes=list(pfx_seen), excluded_prefixes=excluded_prefixes,
         prefix_fields=prefix_fields,
         ranges=ranges, excluded_ranges=ex_ranges,

@@ -182,7 +182,8 @@ class BM25Index:
             pq = self._expand_prefixes(pq)
             if pq is None or pq.empty:
                 return self.empty_result()
-        if (pq.phrases or pq.excluded_phrases) and not self.stats.get("store_positions"):
+        if (pq.phrases or pq.excluded_phrases or pq.slop_phrases
+                or pq.excluded_slop_phrases) and not self.stats.get("store_positions"):
             raise ValueError(
                 "phrase query needs an index built with store_positions=True"
             )
@@ -191,6 +192,7 @@ class BM25Index:
         # pruned scan: their postings are needed to drop matching docs,
         # but they never score
         ex_phrase_terms = [t for ph in pq.excluded_phrases for t, _off in ph]
+        ex_phrase_terms += [t for ph, _s in pq.excluded_slop_phrases for t, _off in ph]
         # maybe (ANDMAYBE) and filter (REQUIRE) terms need their postings
         # on the scan too: one scores without gating, the other gates
         # without scoring
@@ -224,6 +226,8 @@ class BM25Index:
             deleted=self.deleted,
             term_boosts=pq.boosts or None, maybe_terms=pq.maybe_terms or None,
             filter_terms=pq.filter_terms or None, tree=pq.tree,
+            slop_phrases=pq.slop_phrases or None,
+            excluded_slop_phrases=pq.excluded_slop_phrases or None,
         )
         scored = scan.groupBy("chunk").applyInPandas(kernel, "docnum long, score double")
         top_rows = (
@@ -290,7 +294,8 @@ class BM25Index:
                 pq = self._expand_prefixes(pq)
             if pq is None or pq.empty:
                 continue
-            if (pq.phrases or pq.excluded_phrases) and not self.stats.get("store_positions"):
+            if (pq.phrases or pq.excluded_phrases or pq.slop_phrases
+                or pq.excluded_slop_phrases) and not self.stats.get("store_positions"):
                 raise ValueError("phrase query needs an index built with store_positions=True")
             parsed[qid] = pq
         if not parsed:
@@ -300,6 +305,7 @@ class BM25Index:
 
         def _q_terms(pq: ParsedQuery) -> list[str]:
             ex_ph = [t for ph in pq.excluded_phrases for t, _off in ph]
+            ex_ph += [t for ph, _s in pq.excluded_slop_phrases for t, _off in ph]
             return list(dict.fromkeys(
                 [*pq.terms, *pq.excluded, *ex_ph, *pq.maybe_terms, *pq.filter_terms]
             ))
@@ -332,6 +338,8 @@ class BM25Index:
                     maybe_terms=pq.maybe_terms or None,
                     filter_terms=pq.filter_terms or None,
                     tree=pq.tree,
+                    slop_phrases=pq.slop_phrases or None,
+                    excluded_slop_phrases=pq.excluded_slop_phrases or None,
                 ),
                 set(per_q_terms[qid]),
             )
@@ -546,7 +554,8 @@ class BM25Index:
         has_group = any(len(c) > 1 for c in groups)
         if not has_group:
             mode = "and"
-        elif len(groups) == 1 and not pq.phrases and not pq.excluded_phrases:
+        elif (len(groups) == 1 and not pq.phrases and not pq.excluded_phrases
+                and not pq.slop_phrases and not pq.excluded_slop_phrases):
             mode = "or"  # lone prefix -> pure disjunction, WAND path
         else:
             mode = "group"
@@ -611,6 +620,8 @@ class BM25Index:
             deleted=self.deleted,
             term_boosts=pq.boosts or None, maybe_terms=pq.maybe_terms or None,
             filter_terms=pq.filter_terms or None, tree=pq.tree,
+            slop_phrases=pq.slop_phrases or None,
+            excluded_slop_phrases=pq.excluded_slop_phrases or None,
         )
         outs = [kernel(grp.reset_index(drop=True)) for _, grp in pdf.groupby("chunk")]
         import pandas as pd

@@ -630,12 +630,88 @@ def test_nasty_queries_dont_crash_search(phrase_index):
         assert df.count() >= 0  # parses + executes (possibly empty)
 
 
-def test_parse_phrase_slop_suffix_consumed():
-    # "a b"~2 (Whoosh slop syntax): the suffix must not leak a numeric
-    # term; matching stays exact adjacency (documented no-op)
+def test_parse_phrase_slop_routes_to_slop_phrases():
+    # "a b"~N (Whoosh slop syntax): integer N >= 2 switches to sloppy
+    # matching; the suffix never leaks a numeric term either way
     pq = parse_query('"big data"~2 scan', S)
-    assert pq.phrases == [[("big", 0), ("data", 1)]]
+    assert pq.phrases == []
+    assert pq.slop_phrases == [([("big", 0), ("data", 1)], 2)]
     assert set(pq.terms) == {"big", "data", "scan"}
+    assert pq.mode == "and"
     pq = parse_query('spark NOT "big data"~3', S)
-    assert pq.excluded_phrases == [[("big", 0), ("data", 1)]]
+    assert pq.excluded_slop_phrases == [([("big", 0), ("data", 1)], 3)]
+    assert pq.excluded_phrases == []
     assert pq.terms == ["spark"]
+
+
+def test_parse_phrase_slop_one_and_junk_stay_exact():
+    # ~1 IS exact adjacency (Whoosh mindist=1 == slop=1); ~0 and a
+    # fractional suffix degrade to the exact path, suffix consumed
+    for suffix in ("~1", "~0", "~1.5"):
+        pq = parse_query(f'"big data"{suffix}', S)
+        assert pq.phrases == [[("big", 0), ("data", 1)]]
+        assert pq.slop_phrases == []
+        assert set(pq.terms) == {"big", "data"}
+    # ~2.5 reads its integer prefix (Whoosh's regex stops at the dot)
+    pq = parse_query('"big data"~2.5', S)
+    assert pq.slop_phrases == [([("big", 0), ("data", 1)], 2)]
+
+
+# ---------------- sloppy phrases ("a b"~N, Whoosh SpanNear2) ----------------
+
+
+def test_slop_phrase_widens_to_gap_docs(phrase_index):
+    # exact: a, d.  slop 2 adds c ("transformer deep models", gap 2) and
+    # e ("transformer for models": 'for' is a stopword, positional gap 2)
+    exact = phrase_index.search('"transformer models"', 10, mode="parse")
+    assert _ids(exact) == {"a", "d"}
+    sloppy = phrase_index.search('"transformer models"~2', 10, mode="parse")
+    assert _ids(sloppy) == {"a", "c", "d", "e"}
+    # b stays out at any slop: wrong order (SpanNear2 ordered=True)
+    assert _ids(phrase_index.search('"transformer models"~9', 10, mode="parse")) == {
+        "a", "c", "d", "e"
+    }
+
+
+def test_slop_phrase_gap_boundary(phrase_index):
+    # f: "state of the art transformer" -> state..art positional gap 3
+    # (two stopwords); g: "state art" gap 1.  slop 2 excludes f, slop 3
+    # admits it — the [1, slop] window is tight on both sides
+    assert _ids(phrase_index.search('"state art"~2', 10, mode="parse")) == {"g"}
+    assert _ids(phrase_index.search('"state art"~3', 10, mode="parse")) == {"f", "g"}
+
+
+def test_slop_phrase_distributed_matches_local(phrase_index):
+    loc = phrase_index.search('"transformer models"~2', 10, mode="parse")
+    dist = phrase_index.search(
+        '"transformer models"~2', 10, mode="parse", prefer_local=False
+    )
+    assert [(r["doc_id"], round(r["score"], 9)) for r in loc.collect()] == [
+        (r["doc_id"], round(r["score"], 9)) for r in dist.collect()
+    ]
+
+
+def test_slop_phrase_scores_are_plain_bm25_over_members(phrase_index):
+    # slop phrases gate; scoring stays BM25F over the member terms —
+    # matching docs score identically to the bare AND query
+    sloppy = {r["doc_id"]: r["score"] for r in
+              phrase_index.search('"transformer models"~2', 10, mode="parse").collect()}
+    bare = {r["doc_id"]: r["score"] for r in
+            phrase_index.search("transformer models", 10, mode="parse").collect()}
+    assert set(sloppy) <= set(bare)
+    for doc, s in sloppy.items():
+        assert s == pytest.approx(bare[doc], rel=1e-12)
+
+
+def test_negated_slop_phrase(phrase_index):
+    # drop docs where the sloppy phrase matches; keep the rest
+    res = phrase_index.search('transformer NOT "transformer models"~2', 10, mode="parse")
+    assert _ids(res) == {"b", "f", "g"}
+
+
+def test_slop_phrase_composes_with_terms_and_not(phrase_index):
+    # sloppy phrase + required term + NOT in one query
+    res = phrase_index.search('"transformer models"~2 deep', 10, mode="parse")
+    assert _ids(res) == {"c"}
+    res = phrase_index.search('"transformer models"~2 NOT deep', 10, mode="parse")
+    assert _ids(res) == {"a", "d", "e"}
