@@ -43,6 +43,17 @@ Supported grammar (a deliberate, documented subset of Whoosh's):
                           analyzer strips the ':'), matching how Whoosh
                           treats unknown field names as text.  Fielded
                           terms participate in OR groups normally.
+* ``field:(a b)``       — fielded group (Whoosh FieldsPlugin): the
+                          prefix distributes over every enclosed leaf
+                          (``title:(a OR b) c`` == ``(title:a OR
+                          title:b) c``; works inside nested trees, with
+                          boosts, phrases, expansions, and ranges in
+                          their existing ``field:X`` spellings).  An
+                          inner ``otherfield:x`` wins (innermost
+                          fieldname applies, as in Whoosh); an unknown
+                          field, nested parens in the body, or a
+                          NOT/ANDNOT directly before the group keep the
+                          text untouched and degrade as before.
 * ``( ... )``           — parenthesized boolean groups.  Flat shapes
                           (``(a OR b) c`` == And(Or(a,b), c)) keep the
                           long-proven flat clause model.  NESTED trees
@@ -282,6 +293,72 @@ def tree_terms(node: tuple | None) -> list[str]:
 
 _TREE_ABORT = object()  # sentinel: shape outside the tree subset
 
+# field:( ... ) — Whoosh's FieldsPlugin group syntax.  The body may not
+# contain nested parens (degrade to the existing paren handling).  A
+# preceding '-' or 'NOT ' keeps the match from firing (negated groups
+# stay out of the subset, same as NOT (a b)).
+_FIELD_GROUP = re.compile(r"(?<![-\w])(\w+):\(([^()]*)\)")
+# body tokens: quoted phrase (with optional ~slop / ^boost suffixes),
+# bracketed range (contains spaces), or any non-space run
+_FG_TOKEN = re.compile(r'"[^"]*"(?:~[\d.]+)?(?:\^[\d.]+)?|[\[\{][^\]\}]*[\]\}]|\S+')
+_FG_KEYWORDS = frozenset({"OR", "AND", "NOT", "ANDNOT", "ANDMAYBE", "REQUIRE"})
+
+
+def _distribute_field_groups(query: str, fields: set[str] | None) -> str:
+    """Rewrite Whoosh's fielded-group syntax ``field:(a b "c d" e*)`` by
+    distributing the field prefix over every distributable token in the
+    group: ``title:(a OR b) c`` -> ``(title:a OR title:b) c``.  This is
+    exactly what Whoosh's FieldsPlugin does (it pushes the fieldname of
+    a ``fieldname:(...)`` group onto every enclosed leaf), re-expressed
+    as a textual pre-pass so the long-proven flat/tree grammar handles
+    the rewritten form with zero new kernel code.  Rules:
+
+    * boolean keywords stay bare; an inner ``otherfield:x`` wins over
+      the outer prefix (Whoosh: the innermost fieldname applies);
+    * ``-x`` distributes as ``-field:x`` (negation then drops the field
+      per the documented NOT-field simplification);
+    * quoted phrases, prefix/wildcard tokens, and ``[a TO b]`` ranges
+      take the prefix in their existing ``field:X`` spellings;
+    * an unknown field name, a ``NOT``/``-`` directly before the group,
+      or nested parens inside the body leave the text untouched (the
+      established degrade paths own those shapes).
+
+    Quote-aware: matches starting inside a quoted phrase never rewrite.
+    """
+    if not fields or ":(" not in query:
+        return query
+    # spans of quoted regions — a field:( inside "..." is phrase text
+    qspans = [m.span() for m in re.finditer(r'"[^"]*"', query)]
+
+    def _in_quotes(i: int) -> bool:
+        return any(a <= i < b for a, b in qspans)
+
+    def repl(m: re.Match) -> str:
+        fld, body = m.group(1), m.group(2)
+        if fld not in fields or _in_quotes(m.start()):
+            return m.group(0)
+        # 'NOT title:(...)' — the keyword binds the group; stay out
+        pre = query[: m.start()].rstrip()
+        if re.search(r"(?:^|[\s(])(?:NOT|ANDNOT)$", pre):
+            return m.group(0)
+        out = []
+        for tok in _FG_TOKEN.findall(body):
+            if tok in _FG_KEYWORDS:
+                out.append(tok)
+            elif tok.startswith("-") and len(tok) > 1:
+                inner = tok[1:]
+                fm = _FIELD_PREFIX.match(inner)
+                out.append(tok if (fm and fm.group(1) in fields) else f"-{fld}:{inner}")
+            else:
+                fm = _FIELD_PREFIX.match(tok)
+                if fm and fm.group(1) in fields:
+                    out.append(tok)  # innermost fieldname wins
+                else:
+                    out.append(f"{fld}:{tok}")
+        return "(" + " ".join(out) + ")" if out else " "
+
+    return _FIELD_GROUP.sub(repl, query)
+
 
 def _build_tree(
     rest: str,
@@ -433,6 +510,7 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     excluded, groups, excluded_phrases).  ``fields``: the index's field
     names — a ``field:`` prefix is only honored when it names one of
     them."""
+    query = _distribute_field_groups(query, fields)
     phrases: list[list[tuple[str, int]]] = []
     ex_phrases: list[list[tuple[str, int]]] = []
     sl_phrases: list[tuple[list[tuple[str, int]], int]] = []
@@ -510,6 +588,15 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     or_pending = False  # an OR was seen after clauses[-1]; the next
     # positive term joins that clause instead of opening a new one
     for word in rest.split():
+        # parens carry no meaning on the flat path (precedence is the
+        # paren-free reading by definition) but, left glued to a word,
+        # they hide its field prefix / boost / wildcard from the
+        # matchers below ("(title:a" fails _FIELD_PREFIX and deposits a
+        # spurious 'title' term; "b^2)" mis-reads its boost) — the
+        # analyzer would strip them anyway, so strip them first
+        word = word.strip("()")
+        if not word:
+            continue  # bare paren: pending modifiers + or_pending carry
         if word == "OR":
             if clauses:  # leading OR has no left operand -> noise
                 or_pending = True

@@ -211,3 +211,21 @@ def test_resume_rebuilds_on_corpus_change(spark, built, tmp_path):
         json.dump(stale, f)
     m = build_index(spark, other, idx2, fields=FIELDS, cfg=CFG)
     assert m["groups_built"] == 2  # stale manifest ignored (fingerprint mismatch)
+
+
+def test_field_group_matches_distributed_spelling(spark, built):
+    """field:(...) groups (round 5) are a textual distribution: results
+    must be IDENTICAL to the hand-expanded spelling, whose paths are
+    oracle-verified above."""
+    idx, _, _, _ = built
+    index = BM25Index(spark, idx)
+    pairs = [
+        ("title:(file_7.py OR file_8.py) query", "(title:file_7.py OR title:file_8.py) query"),
+        ("title:(file_7.py query)", "title:file_7.py title:query"),
+        ("body:(spark shuffle) rank", "body:spark body:shuffle rank"),
+        ("title:(file_7.py -spark)", "title:file_7.py -spark"),
+    ]
+    for grouped, expanded in pairs:
+        got = [(r["doc_id"], r["score"]) for r in index.search(grouped, 10, "parse").collect()]
+        want = [(r["doc_id"], r["score"]) for r in index.search(expanded, 10, "parse").collect()]
+        assert got == want, grouped

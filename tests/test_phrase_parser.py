@@ -715,3 +715,93 @@ def test_slop_phrase_composes_with_terms_and_not(phrase_index):
     assert _ids(res) == {"c"}
     res = phrase_index.search('"transformer models"~2 NOT deep', 10, mode="parse")
     assert _ids(res) == {"a", "d", "e"}
+
+
+# ---------------------------------------------------------------------------
+# field:(...) groups — Whoosh FieldsPlugin distribution (round 5)
+
+FG = {"title", "body"}
+
+
+def test_field_group_distributes_over_or():
+    pq = parse_query("title:(spark OR flink) scan", S, fields=FG)
+    assert pq.mode == "group"
+    assert pq.groups == [["spark", "flink"], ["scan"]]
+    assert pq.fielded == {"spark": "title", "flink": "title"}
+
+
+def test_field_group_distributes_over_and():
+    pq = parse_query("title:(a1 b1)", S, fields=FG)
+    assert pq.terms == ["a1", "b1"]
+    assert pq.mode == "and"
+    assert pq.fielded == {"a1": "title", "b1": "title"}
+
+
+def test_field_group_innermost_field_wins():
+    # Whoosh: an inner fieldname overrides the group's
+    pq = parse_query("title:(a1 body:b1)", S, fields=FG)
+    assert pq.fielded == {"a1": "title", "b1": "body"}
+
+
+def test_field_group_negation_drops_field():
+    # -x distributes to -title:x, then the documented NOT-field
+    # simplification excludes globally
+    pq = parse_query("title:(a1 -b1)", S, fields=FG)
+    assert pq.terms == ["a1"] and pq.excluded == ["b1"]
+    assert pq.fielded == {"a1": "title"}
+
+
+def test_field_group_unknown_field_degrades():
+    # zzz isn't an index field: text untouched, degrades like plain parens
+    pq = parse_query("zzz:(a1 b1)", S, fields=FG)
+    assert pq.fielded == {}
+    assert set(pq.terms) == {"zzz", "a1", "b1"}
+
+
+def test_field_group_not_before_group_stays_out():
+    # NOT binding a group is out of the subset — same degrade as NOT (a b)
+    pq = parse_query("scan NOT title:(a1 b1)", S, fields=FG)
+    assert pq.fielded == {}
+    assert pq.excluded == ["a1"] and set(pq.terms) == {"scan", "b1"}
+
+
+def test_field_group_phrase_and_boost_members():
+    pq = parse_query('title:("big data" x1^2)', S, fields=FG)
+    assert pq.phrases == [[("big", 0), ("data", 1)]]
+    assert pq.fielded == {"x1": "title"}
+    assert pq.boosts == {"x1": 2.0}
+
+
+def test_field_group_expansion_members():
+    pq = parse_query("title:(tr* [aa TO bb])", S, fields=FG)
+    assert pq.prefixes == ["tr"] and pq.prefix_fields == {"tr": "title"}
+    assert pq.ranges == [
+        __import__(
+            "beetle_search_engine_spark.plans.parser", fromlist=["TermRange"]
+        ).TermRange(lo="aa", hi="bb", lo_incl=True, hi_incl=True, field="title")
+    ]
+
+
+def test_field_group_empty_body_vanishes():
+    pq = parse_query("title:() scan", S, fields=FG)
+    assert pq.terms == ["scan"]
+
+
+def test_field_group_feeds_nested_tree():
+    # the distributed form can itself be a nested tree; tree leaves keep
+    # their field restriction
+    pq = parse_query("title:(a1 b1) OR scan", S, fields=FG)
+    assert pq.tree == (
+        "or",
+        (("and", (("term", "a1"), ("term", "b1"))), ("term", "scan")),
+    )
+    assert pq.fielded == {"a1": "title", "b1": "title"}
+
+
+def test_flat_loop_paren_glued_field_and_boost():
+    # regression (round 5): the flat path used to mis-read "(title:a"
+    # (spurious 'title' term, lost field) and "b^2)" (lost boost)
+    pq = parse_query("(title:spark OR flink^2) scan", S, fields=FG)
+    assert "title" not in pq.terms
+    assert pq.fielded == {"spark": "title"}
+    assert pq.boosts == {"flink": 2.0}
