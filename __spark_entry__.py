@@ -220,13 +220,22 @@ WHERE nreq = {len(gate)} ORDER BY s DESC, doc_id LIMIT {k}
 """
 
 
-def _bm25f_fielded_sql(terms: list[str], fielded: dict | None = None, excluded: list | None = None) -> str:
+def _bm25f_fielded_sql(
+    terms: list[str],
+    fielded: dict | None = None,
+    excluded: list | None = None,
+    groups: list[list[str]] | None = None,
+) -> str:
     """Two-field BM25F oracle over (title = substr(text,1,60), body =
     text): per-field tokenization, dl/avgdl/df, title boost 2.0 — the
     exact per-field sum the engine's kernel computes (scoring.py:23-31,
     avgdl_field = total field tokens / n_docs as in build.py).  Optional
     ``fielded`` restricts a term to one field; ``excluded`` drops docs
-    containing a term in any field (parser field:term / NOT semantics)."""
+    containing a term in any field (parser field:term / NOT semantics);
+    ``groups`` (clause lists covering ``terms``) switches the final
+    gate from all-terms-conjunctive to per-clause: each clause needs
+    >= 1 matching member, every matching member scores (the parser's
+    And-of-Or-groups / Whoosh UnionMatcher semantics)."""
     fielded = fielded or {}
     q_in = ", ".join(f"'{t}'" for t in terms)
     tok = (
@@ -276,12 +285,33 @@ contrib AS (
   WHERE ({match_pred}) {excl}
 ),
 scores AS (
-  SELECT doc_id, sum(s) AS s, count(DISTINCT term) AS nt FROM contrib GROUP BY doc_id
+  SELECT doc_id, sum(s) AS s, count(DISTINCT term) AS nt{_fg_flags(groups)}
+  FROM contrib GROUP BY doc_id
 )
 SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores
-WHERE nt = {len(terms)}
+WHERE {_fg_gate(groups, len(terms))}
 ORDER BY s DESC, doc_id LIMIT 10
 """
+
+
+def _fg_flags(groups: list[list[str]] | None) -> str:
+    """Per-clause matched-member counts for the grouped gate (empty
+    string on the conjunctive path)."""
+    if not groups:
+        return ""
+    cols = []
+    for i, clause in enumerate(groups):
+        c_in = ", ".join(f"'{t}'" for t in clause)
+        cols.append(
+            f"count(DISTINCT CASE WHEN term IN ({c_in}) THEN term END) AS g{i}"
+        )
+    return ",\n         " + ",\n         ".join(cols)
+
+
+def _fg_gate(groups: list[list[str]] | None, n_terms: int) -> str:
+    if not groups:
+        return f"nt = {n_terms}"
+    return " AND ".join(f"g{i} >= 1" for i in range(len(groups)))
 
 
 def _lemma_case_sql(c: str) -> str:
@@ -1281,6 +1311,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle discriminates the slop window from plain adjacency.
     # Outside the 50-row driver window; same pytest oracle gate.
     q["engine_phrase_slop"] = _parse_entry('"table scan"~3')
+
+    # fielded group (round 5, Whoosh FieldsPlugin group syntax):
+    # title:(spark OR stream) scan distributes the field prefix over
+    # the group — == (title:spark OR title:stream) scan on the
+    # two-field BM25F index.  Outside the 50-row driver window; same
+    # pytest oracle gate (the grouped gate extends _bm25f_fielded_sql).
+    def _field_group(s, d):
+        res = _engine_index_fielded(s, d).search(
+            "title:(spark OR stream) scan", 10, "parse"
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["engine_field_group"] = _field_group
+
+    # match-all (round 5, Whoosh EveryPlugin — in the default plugin
+    # set): '*' matches every live doc at Every's constant score 1.0;
+    # 'NOT spark' composes as AndNot(Every, spark).  All scores tie, so
+    # the top-k cut is deterministic by display id — the oracle's
+    # lexicographic ORDER BY is the same selection.  Outside the 50-row
+    # driver window; same pytest oracle gate.
+    def _every(s, d):
+        res = _engine_index_nostem(s, d).search("* NOT spark", 10, "parse")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["engine_every"] = _every
 
     # reorder: driver window first (see _DRIVER_WINDOW above), demoted
     # family twins after — same entry set either way
@@ -2427,6 +2482,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         10,
     )
+
+    # fielded OR-group: the grouped gate over the two-field BM25F CTEs
+    # (spark/stream restricted to title, scan in either field; >= 1 of
+    # spark/stream required, scan required, every matching member scores)
+    o["engine_field_group"] = _bm25f_fielded_sql(
+        ["spark", "stream", "scan"],
+        fielded={"spark": "title", "stream": "title"},
+        groups=[["spark", "stream"], ["scan"]],
+    )
+
+    # match-all with exclusion: every doc not containing 'spark'
+    # (analyzed), constant score 1.0, lexicographic top-10 — the same
+    # cut the engine's display-id tie-break makes
+    o["engine_every"] = f"""
+      SELECT doc_id::varchar AS doc_id, 1.0::double AS score FROM documents
+      WHERE doc_id NOT IN (
+        SELECT DISTINCT doc_id FROM ({_FTOKS}) WHERE term = 'spark'
+      )
+      ORDER BY doc_id::varchar LIMIT 10
+    """
 
     # sloppy phrase: same CTE chain as engine_phrase but the adjacency
     # predicate widens to the Whoosh SpanNear2 window — b 1..3 positions

@@ -155,6 +155,20 @@ Supported grammar (a deliberate, documented subset of Whoosh's):
                           Field restriction and NOT compose as with
                           prefixes.
 
+* ``*``                 — match-all (Whoosh's EveryPlugin, in the
+                          default plugin set): a standalone star matches
+                          EVERY live (non-tombstoned) document at
+                          constant score 1.0 — Whoosh's ``Every`` query.
+                          Term negations compose (``* NOT x`` ==
+                          ``AndNot(Every, x)``; ``-x`` likewise).  Any
+                          other company degrades by DROPPING the star:
+                          ``And(Every, t)`` matches exactly ``t``'s docs
+                          and adds the same +1.0 to every candidate, so
+                          the ranking is identical and only the constant
+                          offset is lost (documented).  Negated phrases
+                          or expansions beside ``*`` keep today's
+                          no-positive-content empty result.
+
 Terms pass through the same analyzer chain as indexing (each phrase is
 analyzed as a unit, so stop words drop out of phrases exactly as Whoosh's
 analyzer-driven Phrase construction does).  Remaining unsupported Whoosh
@@ -167,7 +181,7 @@ parser degrades rather than erroring on user input.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from ..functions.analyzer import Analyzer
 
@@ -269,10 +283,19 @@ class ParsedQuery:
     # appended later by the planner) and ``mode`` is "group".  Flat
     # paren shapes like ``(a OR b) c`` keep the existing groups model.
     tree: tuple | None = None
+    # '*' as the whole positive query (Whoosh EveryPlugin, in the
+    # default plugin set): match EVERY live document at constant score
+    # 1.0 (Every's matcher weight).  Excluded terms compose ("* NOT x"
+    # == AndNot(Every, x)); any other positive content drops the star
+    # instead (And(Every, t) matches exactly t's docs and shifts every
+    # score by the same +1.0 constant — ranking-identical, documented).
+    every: bool = False
 
     @property
     def empty(self) -> bool:
-        return not (self.terms or self.prefixes or self.ranges or self.wildcards)
+        return not (
+            self.every or self.terms or self.prefixes or self.ranges or self.wildcards
+        )
 
 
 def tree_terms(node: tuple | None) -> list[str]:
@@ -511,6 +534,22 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     names — a ``field:`` prefix is only honored when it names one of
     them."""
     query = _distribute_field_groups(query, fields)
+    # Whoosh EveryPlugin: a standalone '*' matches every live document
+    # (score 1.0).  Term negations compose ('* NOT x' == AndNot(Every,
+    # x)); any other company — positive terms, phrases (incl. negated),
+    # expansions — drops the star and parses the remainder as before
+    # (And(Every, t) is ranking-identical to t; see ParsedQuery.every).
+    stripped = query.strip()
+    if stripped == "*" or stripped.startswith("* "):
+        rest = stripped[1:].strip()
+        sub = parse_query(rest, analyzer, fields) if rest else ParsedQuery(terms=[], mode="and")
+        if sub.empty and not (
+            sub.phrases or sub.slop_phrases or sub.excluded_phrases
+            or sub.excluded_slop_phrases or sub.maybe_terms or sub.filter_terms
+            or sub.excluded_prefixes or sub.excluded_ranges or sub.excluded_wildcards
+        ):
+            return replace(sub, every=True)
+        query = stripped[1:]
     phrases: list[list[tuple[str, int]]] = []
     ex_phrases: list[list[tuple[str, int]]] = []
     sl_phrases: list[tuple[list[tuple[str, int]], int]] = []

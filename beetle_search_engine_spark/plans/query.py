@@ -155,6 +155,47 @@ class BM25Index:
             if hasattr(self, attr):
                 delattr(self, attr)
 
+    def _search_every(self, pq: ParsedQuery, top_k: int) -> DataFrame:
+        """Match-all ('*' — Whoosh's ``Every`` query via EveryPlugin):
+        every live document scores the constant 1.0.  Tombstoned docs are
+        anti-joined out; excluded terms ('* NOT x') drop any doc whose
+        postings contain the term in ANY field, decoded with the same
+        kernel ``optimize_index`` rebuilds from (operators/build.py).
+        All scores tie, so selection is deterministic by display id: one
+        TakeOrderedAndProject over the docids dimension — no posting
+        scan at all unless the query excludes terms."""
+        import os
+
+        import numpy as np
+        from pyspark.sql.window import Window
+
+        from ..operators.build import TOKENS_SCHEMA, _make_decode_kernel
+
+        live = self.docids
+        tomb_dir = f"{self.index_dir}/tombstones"
+        if self.deleted is not None and os.path.isdir(tomb_dir):
+            tomb = self.spark.read.parquet(tomb_dir).select("docnum").distinct()
+            live = live.join(tomb, "docnum", "left_anti")
+        if pq.excluded:
+            buckets = self._buckets_for(pq.excluded)
+            scan = self.postings.filter(
+                F.col("bucket").isin(sorted(set(buckets.values())))
+                & F.col("term").isin(pq.excluded)
+            )
+            deleted = self.deleted if self.deleted is not None else np.empty(0, dtype=np.int64)
+            ex = (
+                scan.select("field", "term", "docs", "tfs", "dls")
+                .mapInPandas(_make_decode_kernel(deleted, False), schema=TOKENS_SCHEMA)
+                .select("docnum")
+                .distinct()
+            )
+            live = live.join(ex, "docnum", "left_anti")
+        top = live.select("doc_id").orderBy("doc_id").limit(top_k)
+        w = Window.orderBy("doc_id")
+        return top.select(
+            "doc_id", F.lit(1.0).alias("score"), F.row_number().over(w).alias("rank")
+        )
+
     def search(
         self, query: str, top_k: int = 10, mode: str = "and", prefer_local: bool | None = None
     ) -> DataFrame:
@@ -173,6 +214,8 @@ class BM25Index:
             pq = parse_query(query, self.analyzer, fields=set(self.stats.get("fields", [])))
         else:
             pq = ParsedQuery(terms=self.analyzer.analyze_query(query), mode=mode)
+        if pq.every:
+            return self._search_every(pq, top_k)
         if pq.empty:
             return self.empty_result()
         if (
@@ -282,11 +325,17 @@ class BM25Index:
             queries = {f"q{i}": q for i, q in enumerate(queries)}
         fields = set(self.stats.get("fields", []))
         parsed: dict[str, ParsedQuery] = {}
+        every_pqs: dict[str, ParsedQuery] = {}
         for qid, qs in queries.items():
             if mode == "parse":
                 pq = parse_query(qs, self.analyzer, fields=fields)
             else:
                 pq = ParsedQuery(terms=self.analyzer.analyze_query(qs), mode=mode)
+            if pq.every:
+                # match-all has no cursors for the batch kernel — answered
+                # by its own docids-dim plan and unioned into the result
+                every_pqs[qid] = pq
+                continue
             if (
                 pq.prefixes or pq.excluded_prefixes or pq.ranges
                 or pq.excluded_ranges or pq.wildcards or pq.excluded_wildcards
@@ -298,10 +347,19 @@ class BM25Index:
                 or pq.excluded_slop_phrases) and not self.stats.get("store_positions"):
                 raise ValueError("phrase query needs an index built with store_positions=True")
             parsed[qid] = pq
+
+        def _with_every(df: DataFrame) -> DataFrame:
+            for eqid, epq in every_pqs.items():
+                er = self._search_every(epq, top_k).select(
+                    F.lit(eqid).alias("query_id"), "doc_id", "score", "rank"
+                )
+                df = df.unionByName(er)
+            return df
+
         if not parsed:
-            return self.spark.createDataFrame(
+            return _with_every(self.spark.createDataFrame(
                 [], "query_id string, doc_id string, score double, rank int"
-            )
+            ))
 
         def _q_terms(pq: ParsedQuery) -> list[str]:
             ex_ph = [t for ph in pq.excluded_phrases for t, _off in ph]
@@ -380,9 +438,9 @@ class BM25Index:
                 {"query_id": [], "docnum": [], "score": []}
             )
             if len(res) == 0:
-                return self.spark.createDataFrame(
+                return _with_every(self.spark.createDataFrame(
                     [], "query_id string, doc_id string, score double, rank int"
-                )
+                ))
             res = (
                 res.sort_values(["query_id", "score", "docnum"], ascending=[True, False, True])
                 .groupby("query_id")
@@ -402,9 +460,9 @@ class BM25Index:
                 (qid, id_map[int(d)], float(s), int(rk))
                 for qid, d, s, rk in zip(res["query_id"], res["docnum"], res["score"], res["rank"])
             ]
-            return self.spark.createDataFrame(
+            return _with_every(self.spark.createDataFrame(
                 out, "query_id string, doc_id string, score double, rank int"
-            )
+            ))
 
         from pyspark.sql import Window
 
@@ -418,16 +476,16 @@ class BM25Index:
             .collect()
         )
         if not top_rows:
-            return self.spark.createDataFrame(
+            return _with_every(self.spark.createDataFrame(
                 [], "query_id string, doc_id string, score double, rank int"
-            )
+            ))
         ranked = self.spark.createDataFrame(
             [(r["query_id"], int(r["docnum"]), float(r["score"]), int(r["rank"])) for r in top_rows],
             "query_id string, docnum long, score double, rank int",
         )
         docnums = sorted({int(r["docnum"]) for r in top_rows})
         pruned = self.docids.filter(F.col("docnum").isin(docnums))
-        return (
+        return _with_every(
             pruned.join(F.broadcast(ranked), "docnum", "inner")
             .orderBy(F.asc("query_id"), F.asc("rank"))
             .select("query_id", "doc_id", "score", "rank")

@@ -163,3 +163,26 @@ def test_repeated_delete_is_idempotent(spark, idx_dir):
     assert idx.delete_docs(["d2", "d5"]) == 1  # only d5 is new
     tomb = spark.read.parquet(f"{idx_dir}/tombstones")
     assert tomb.count() == 3 == tomb.distinct().count()
+
+
+def test_every_respects_tombstones(spark, idx_dir):
+    """'*' (Whoosh EveryPlugin) matches exactly the LIVE docs: tombstoned
+    docs vanish, exclusions compose, every score is Every's constant 1.0,
+    and the top-k cut is the lexicographically-first k live ids."""
+    idx = _fresh(spark, idx_dir)
+    n = idx.stats["n_docs"]
+    res = idx.search("*", 50, "parse").collect()
+    assert len(res) == n
+    assert all(r.score == 1.0 for r in res)
+    ids = [r.doc_id for r in res]
+    assert ids == sorted(ids)
+    idx.delete_docs([ids[0], ids[3]])
+    after = [r.doc_id for r in idx.search("*", 50, "parse").collect()]
+    assert set(after) == set(ids) - {ids[0], ids[3]} and after == sorted(after)
+    # '* NOT x' == the complement of x's match set, among live docs
+    ex = {r.doc_id for r in idx.search("* NOT alpha", 50, "parse").collect()}
+    has = {r.doc_id for r in idx.search("alpha", 50, "or").collect()}
+    assert ex == set(after) - has
+    # top-k cut
+    top3 = [r.doc_id for r in idx.search("*", 3, "parse").collect()]
+    assert top3 == after[:3]

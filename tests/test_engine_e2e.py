@@ -229,3 +229,28 @@ def test_field_group_matches_distributed_spelling(spark, built):
         got = [(r["doc_id"], r["score"]) for r in index.search(grouped, 10, "parse").collect()]
         want = [(r["doc_id"], r["score"]) for r in index.search(expanded, 10, "parse").collect()]
         assert got == want, grouped
+
+
+def test_every_star_matches_all(spark, built):
+    """'*' (Whoosh EveryPlugin, round 5): all docs at score 1.0; '* NOT x'
+    is x's complement; batch mode answers '*' identically to search()."""
+    idx, _, docs, _ = built
+    index = BM25Index(spark, idx)
+    res = index.search("*", N_DOCS + 10, "parse").collect()
+    assert len(res) == N_DOCS
+    assert all(r.score == 1.0 for r in res)
+    ids = [r.doc_id for r in res]
+    assert ids == sorted(ids)
+    has = {r.doc_id for r in index.search("spark", N_DOCS, "or").collect()}
+    ex = {r.doc_id for r in index.search("* NOT spark", N_DOCS, "parse").collect()}
+    assert ex == set(ids) - has
+    b = index.search_many({"qe": "*", "qa": "spark"}, 5, "parse").collect()
+    got = [(r.doc_id, r.score) for r in b if r.query_id == "qe"]
+    want = [(r.doc_id, r.score) for r in index.search("*", 5, "parse").collect()]
+    assert got == want
+    got_a = [(r.doc_id, round(r.score, 9)) for r in b if r.query_id == "qa"]
+    want_a = [
+        (r.doc_id, round(r.score, 9))
+        for r in index.search("spark", 5, "parse").collect()
+    ]
+    assert got_a == want_a

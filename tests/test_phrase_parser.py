@@ -805,3 +805,30 @@ def test_flat_loop_paren_glued_field_and_boost():
     assert "title" not in pq.terms
     assert pq.fielded == {"spark": "title"}
     assert pq.boosts == {"flink": 2.0}
+
+
+# ---------------------------------------------------------------------------
+# '*' match-all — Whoosh EveryPlugin (round 5)
+
+
+def test_every_star_alone():
+    pq = parse_query("*", S, fields=FG)
+    assert pq.every and not pq.empty and pq.terms == []
+
+
+def test_every_with_not_terms():
+    pq = parse_query("* NOT spark -scan", S, fields=FG)
+    assert pq.every and pq.excluded == ["spark", "scan"]
+
+
+def test_every_with_positive_drops_star():
+    # And(Every, t) ranks identically to t — the star is dropped
+    pq = parse_query("* spark", S, fields=FG)
+    assert not pq.every and pq.terms == ["spark"]
+
+
+def test_every_with_negated_phrase_degrades():
+    # phrase negation beside '*' stays out of the subset: today's
+    # no-positive-content empty parse is preserved
+    pq = parse_query('* NOT "big data"', S, fields=FG)
+    assert not pq.every and pq.empty
