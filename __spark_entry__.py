@@ -596,14 +596,15 @@ _DRIVER_WINDOW = [
     "dedup_exact", "minhash_signatures", "simhash64",
     "near_dup_clusters", "near_dup_survivors",
     # training-data curation family
-    "decontaminate_ngrams", "repetition_stats", "pii_redact",
+    "decontaminate_ngrams", "repetition_stats", "duplicate_span_stats",
+    "pii_redact",
     "token_budget_select", "curation_pipeline", "deterministic_shuffle",
     "pack_sequences", "mixture_sample",
     # text analysis
     "text_quality", "heuristic_label", "lang_id", "doc_fingerprint",
     "top_per_lang", "filter_project",
     # scalar-function batteries + set ops
-    "scalar_funcs", "subword_stats", "set_ops",
+    "scalar_funcs", "set_ops",
     # ML label pipeline
     "weak_to_strong_labels", "weak_label_split",
     # streaming / crawler / multimodal
@@ -1195,6 +1196,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["curation_pipeline"] = _curate
+
+    # corpus-wide duplicated n-token substrings (ExactSubstr, Lee et al.
+    # 2022, MapReduce shape): window-hash stream -> ONE exchange (count
+    # over the hash partition) -> per-doc span-union fold
+    q["duplicate_span_stats"] = lambda s, d: curation.duplicate_span_stats(
+        _docs(s, d), n=6
+    )
 
     # reproducible global training shuffle, emitted as shard assignment
     # (bucket = output file, pos = rank within shard — windows per
@@ -2399,6 +2407,42 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN fl ON d.doc_id = fl.doc_id
       )
       SELECT doc_id, n_tokens, cum_tokens FROM sel WHERE cum_tokens <= 5000
+    """
+
+    # duplicated-substring coverage: same window construction, same _h64
+    # key (bit-identical md5 idiom, so hash collisions — if any — affect
+    # both sides equally); coverage via distinct covered token indices,
+    # which equals the engine's merged-span fold by definition
+    _dss_n = 6
+    o["duplicate_span_stats"] = f"""
+      WITH tl AS ({_TOKLIST}),
+      p AS (
+        SELECT doc_id, len(l) AS m, l,
+               unnest(range(1, len(l) - {_dss_n} + 2)) AS pos
+        FROM tl WHERE len(l) >= {_dss_n}
+      ),
+      wins AS (
+        SELECT doc_id, m, pos,
+               ('0x' || substr(md5(array_to_string(l[pos:pos+{_dss_n - 1}], ' ') || '#0'), 1, 8))::bigint AS h
+        FROM p
+      ),
+      hits AS (
+        SELECT doc_id, m, pos
+        FROM (SELECT *, count(*) OVER (PARTITION BY h) AS c FROM wins)
+        WHERE c >= 2
+      ),
+      cover AS (
+        SELECT doc_id, count(DISTINCT pos + off)::bigint AS dup_tokens
+        FROM (SELECT doc_id, pos, unnest(range(0, {_dss_n})) AS off FROM hits)
+        GROUP BY doc_id
+      ),
+      agg AS (
+        SELECT doc_id, max(m)::bigint AS n_tokens, count(*)::bigint AS n_dup_windows
+        FROM hits GROUP BY doc_id
+      )
+      SELECT a.doc_id, n_tokens, n_dup_windows, dup_tokens,
+             round(dup_tokens / n_tokens, 6) AS dup_fraction
+      FROM agg a JOIN cover USING (doc_id)
     """
 
     o["curation_pipeline"] = f"""

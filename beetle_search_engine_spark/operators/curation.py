@@ -300,3 +300,86 @@ def mixture_sample(
         thresh = F.when(F.col(source_col) == src, F.lit(int(frac * 10000))).otherwise(thresh)
     keep = (_h64(F.col(id_col).cast("string"), seed) % 10000) < thresh
     return df.filter(keep).select(F.col(id_col), F.col(source_col))
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    n: int = 6,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc coverage of corpus-wide duplicated n-token substrings —
+    the ExactSubstr dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), in its MapReduce shape
+    rather than the paper's single-node suffix array: every n-token
+    window of every doc emits a 64-bit-range rolling key; any window
+    text occurring >= min_count times anywhere in the corpus (other docs
+    OR a repeat within the same doc) marks its n token positions as
+    duplicated.  Returns one row per affected doc:
+
+        (doc_id, n_tokens, n_dup_windows, dup_tokens, dup_fraction)
+
+    where dup_tokens is the size of the union of the hit windows' token
+    ranges (overlapping windows counted once — a run of r consecutive
+    duplicated windows covers r+n-1 tokens, not r*n).
+
+    Scale shape: the window stream is O(corpus tokens) rows of (id, pos,
+    hash) — exactly the distributed formulation's cost, and the reason
+    suffix arrays don't survive 100 TB.  The full stream crosses the
+    wire ONCE: a hash-partition on the window key for the
+    count-over-window (no groupBy + self-join, which would shuffle the
+    same stream twice); the only other exchange is the per-doc
+    aggregation over HIT rows — a small fraction, with map-side partial
+    aggregation in front of it — and the span
+    union is a per-doc fold over sorted positions (O(doc windows), no
+    re-explosion — the naive distinct-token-index expansion would
+    inflate hits n x).  _h64 keys are 32-bit-range for bit-parity with
+    the DuckDB oracle; at real corpus sizes widen to F.xxhash64 (full 64
+    bits) to keep accidental-collision overcounts negligible.
+    """
+    toks = token_array(F.col(text_col))
+    base = (
+        spread_small_input(df)
+        .select(F.col(id_col), toks.alias("_t"))
+        .withColumn("_m", F.size("_t"))
+        .where(F.col("_m") >= n)
+    )
+    wins = base.select(
+        id_col,
+        "_m",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_m") - (n - 1)),
+                lambda i: _h64(F.concat_ws(" ", F.slice(F.col("_t"), i, n)), 0),
+            )
+        ).alias("_p0", "_h"),
+    )
+    hits = wins.withColumn(
+        "_c", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    ).where(F.col("_c") >= min_count)
+    # fold sorted 1-based window starts into union coverage: each window
+    # [i, i+n-1] contributes (i+n) - max(prev_end, i) new tokens, where
+    # prev_end is one past the last covered index (starts at 0).
+    start = F.col("_p0") + 1
+    covered = F.aggregate(
+        F.sort_array(F.collect_list(start)),
+        F.struct(F.lit(0).cast("long").alias("cov"), F.lit(0).cast("long").alias("end")),
+        lambda st, i: F.struct(
+            (st.cov + (i + n) - F.greatest(st.end, i.cast("long"))).alias("cov"),
+            (i + n).cast("long").alias("end"),
+        ),
+        lambda st: st.cov,
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.first("_m").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            covered.alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6),
+        )
+    )

@@ -14,6 +14,7 @@ from beetle_search_engine_spark.operators.curation import (
     mixture_sample,
     ngram_decontaminate,
     pack_sequences,
+    duplicate_span_stats,
     pii_redact,
     repetition_stats,
     token_budget_select,
@@ -396,3 +397,63 @@ def test_cc_star_checkpoint_dir(spark, tmp_path):
     staged = {r.doc_id: r.component
               for r in connected_components(df, algorithm="star", checkpoint_dir=ck).collect()}
     assert staged == {**{i: 0 for i in range(11)}, 50: 50, 51: 50}
+
+
+# ---------------------------------------------------------------------------
+# duplicate_span_stats (ExactSubstr, Lee et al. 2022)
+
+
+def test_duplicate_span_cross_doc_full_overlap(spark):
+    # two identical 5-token docs at n=3: every window (3 of them) is
+    # duplicated; span union covers all 5 tokens
+    t = "alpha beta gamma delta epsilon"
+    out = {r.doc_id: r for r in duplicate_span_stats(
+        _docs(spark, [(1, t), (2, t)]), n=3).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert (r.n_tokens, r.n_dup_windows, r.dup_tokens) == (5, 3, 5)
+        assert r.dup_fraction == 1.0
+
+
+def test_duplicate_span_partial_overlap_union_not_sum(spark):
+    # doc 2 shares only the prefix "alpha beta gamma delta" with doc 1:
+    # at n=3 that's 2 duplicated windows each, overlapping in 2 tokens —
+    # union covers 4 tokens (not 2*3=6)
+    d1 = "alpha beta gamma delta zeta eta theta"
+    d2 = "alpha beta gamma delta iota kappa mu"
+    out = {r.doc_id: r for r in duplicate_span_stats(
+        _docs(spark, [(1, d1), (2, d2)]), n=3).collect()}
+    for r in out.values():
+        assert (r.n_dup_windows, r.dup_tokens) == (2, 4)
+        assert r.dup_fraction == round(4 / 7, 6)
+
+
+def test_duplicate_span_within_doc_repeat_counts(spark):
+    # a repeat WITHIN one doc is a duplicate too (Lee et al. dedups
+    # self-repeats): "alpha beta gamma ... alpha beta gamma" at n=3
+    df = _docs(spark, [(1, "alpha beta gamma delta2 epsilon2 alpha beta gamma")])
+    r = duplicate_span_stats(df, n=3).collect()[0]
+    assert r.n_dup_windows == 2          # positions 1 and 6
+    assert r.dup_tokens == 6             # [1,3] + [6,8], disjoint
+    assert r.n_tokens == 8
+
+
+def test_duplicate_span_no_dups_empty_result(spark):
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    assert duplicate_span_stats(df, n=2).count() == 0
+
+
+def test_duplicate_span_min_count_threshold(spark):
+    # the shared window appears twice; min_count=3 filters it out
+    t = "alpha beta gamma"
+    df = _docs(spark, [(1, t), (2, t)])
+    assert duplicate_span_stats(df, n=3, min_count=3).count() == 0
+    assert duplicate_span_stats(df, n=3, min_count=2).count() == 2
+
+
+def test_duplicate_span_short_docs_skipped(spark):
+    # docs shorter than n emit no windows (and never NULL-poison the agg)
+    t = "alpha beta gamma delta"
+    df = _docs(spark, [(1, t), (2, t), (3, "alpha beta")])
+    out = {r.doc_id for r in duplicate_span_stats(df, n=4).collect()}
+    assert out == {1, 2}
