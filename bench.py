@@ -76,6 +76,8 @@ HEADLINE = [
     # kernel, packing windows, composed keep-set, CC survivors
     "decontaminate_ngrams",
     "repetition_stats",
+    # round 5: ExactSubstr duplicated-substring coverage
+    "duplicate_span_stats",
     "pack_sequences",
     "curation_pipeline",
     "near_dup_survivors",
@@ -98,6 +100,7 @@ AB_QUERIES = [
     "minhash_signatures", "simhash16", "simhash64", "knn_cosine_topk",
     "ann_lsh_cosine", "ivf_ann_cosine", "near_dup_pairs",
     "near_dup_survivors", "search_rerank_pipeline", "decontaminate_ngrams",
+    "duplicate_span_stats",
 ]
 
 
