@@ -176,6 +176,15 @@ syntax (fuzzy ``term~`` — Whoosh's FuzzyTermPlugin is NOT in the default
 plugin set, so the reference never exposes it) is treated as plain text —
 the analyzer strips the punctuation — which matches how a stripped-down
 parser degrades rather than erroring on user input.
+
+Single quotes (Whoosh's SingleQuotePlugin, in the default set) are a
+deliberate divergence: Whoosh turns ``'a b'`` into the verbatim term
+``Term("a b")``, which on an ANALYZED text field (the only field kind
+this engine indexes — the reference schema is all TEXT, build_bm25.py)
+can never match a posting and silently returns nothing.  Here the
+analyzer strips the quotes and the content parses as plain terms —
+strictly more useful on analyzed fields, and identical to Whoosh
+whenever the quoted text is a single word.
 """
 
 from __future__ import annotations

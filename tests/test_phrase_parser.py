@@ -832,3 +832,16 @@ def test_every_with_negated_phrase_degrades():
     # no-positive-content empty parse is preserved
     pq = parse_query('* NOT "big data"', S, fields=FG)
     assert not pq.every and pq.empty
+
+
+def test_parse_single_quoted_text_degrades_to_terms():
+    # SingleQuotePlugin divergence (documented in the module docstring):
+    # Whoosh would emit the verbatim Term("spark table"), unmatchable on
+    # an analyzed text field; here the quotes strip and the content
+    # parses as plain required terms.  Single-word quotes are identical
+    # to Whoosh either way.
+    pq = parse_query("'spark table' scan", S)
+    assert set(pq.terms) == {"spark", "table", "scan"}
+    assert pq.phrases == []
+    pq1 = parse_query("'spark' scan", S)
+    assert set(pq1.terms) == {"spark", "scan"}
