@@ -457,3 +457,50 @@ def test_duplicate_span_short_docs_skipped(spark):
     df = _docs(spark, [(1, t), (2, t), (3, "alpha beta")])
     out = {r.doc_id for r in duplicate_span_stats(df, n=4).collect()}
     assert out == {1, 2}
+
+
+# property: the Spark span-union fold == a naive Python reference on
+# random corpora drawn from a tiny alphabet (tokenization is identity
+# for these words, so the property isolates the window/count/union math)
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+
+
+def _naive_span_stats(texts: list[str], n: int, min_count: int):
+    docs = [t.split() for t in texts]
+    counts = Counter()
+    for toks in docs:
+        for i in range(len(toks) - n + 1):
+            counts[tuple(toks[i : i + n])] += 1
+    out = {}
+    for doc_id, toks in enumerate(docs):
+        hit = [i for i in range(len(toks) - n + 1)
+               if counts[tuple(toks[i : i + n])] >= min_count]
+        if not hit:
+            continue
+        covered = set()
+        for i in hit:
+            covered.update(range(i, i + n))
+        out[doc_id] = (len(toks), len(hit), len(covered))
+    return out
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    n=st.integers(2, 4),
+)
+@settings(max_examples=12, deadline=None)
+def test_duplicate_span_matches_naive_reference(spark, corpus, n):
+    df = _docs(spark, list(enumerate(corpus)))
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_windows, r.dup_tokens)
+        for r in duplicate_span_stats(df, n=n).collect()
+    }
+    assert got == _naive_span_stats(corpus, n, 2)
