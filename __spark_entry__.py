@@ -1345,6 +1345,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["engine_every"] = _every
 
+    # Gopher quality rules (round 5, Rae et al. 2021 Appendix A1.1):
+    # the published heuristic battery — word count / mean word length /
+    # symbol ratio / bullet + ellipsis line fractions / alphabetic-word
+    # fraction / stop-word presence — as ONE zero-exchange row of
+    # column expressions per doc (complements repetition_stats, the
+    # other half of A1.1).  min_stop_hits=1 because this synthetic
+    # vocabulary contains only one member of the 8-word stop list; the
+    # word-count gate splits the corpus 277/223 at sf0.01 so `keep`
+    # discriminates.  Outside the 50-row driver window; same pytest
+    # oracle gate.
+    q["gopher_quality_filter"] = lambda s, d: curation.gopher_rules(
+        _docs(s, d), min_stop_hits=1
+    ).withColumn("keep", F.col("keep").cast("int"))
+
     # reorder: driver window first (see _DRIVER_WINDOW above), demoted
     # family twins after — same entry set either way
     assert set(_DRIVER_WINDOW) <= set(q), sorted(set(_DRIVER_WINDOW) - set(q))
@@ -2577,6 +2591,53 @@ def oracle_sql() -> dict[str, str]:
     o["engine_batch_search"] = " UNION ALL ".join(
         _tagged(o[name], qid) for qid, name in _batch_members
     )
+
+    # Gopher rules: every signal restated over DuckDB's list lambdas;
+    # thresholds mirror the entry (min_stop_hits=1, others published)
+    o["gopher_quality_filter"] = r"""
+      WITH w AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+                           x -> x <> '') AS words
+        FROM documents
+      ),
+      s AS (
+        SELECT doc_id, t, words,
+               len(words) AS n_words,
+               greatest(len(words), 1) AS nd,
+               coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS sum_wl,
+               length(t) - length(replace(t, '#', '')) AS n_hash,
+               (length(t) - length(replace(t, '...', ''))) // 3 AS n_ell,
+               list_filter(regexp_split_to_array(t, '\n'), x -> trim(x) <> '') AS lines,
+               len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+               len(list_intersect(list_transform(words, x -> lower(x)),
+                   ['the','be','to','of','and','that','have','with'])) AS stop_hits
+        FROM w
+      ),
+      r AS (
+        SELECT doc_id,
+               n_words::bigint AS n_words,
+               round(sum_wl * 1.0 / nd, 6) AS mean_word_len,
+               round((n_hash + n_ell) * 1.0 / nd, 6) AS symbol_ratio,
+               round(len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]'))) * 1.0
+                     / greatest(len(lines), 1), 6) AS bullet_line_frac,
+               round(len(list_filter(lines, x -> regexp_matches(trim(x), '\.\.\.$'))) * 1.0
+                     / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+               round(n_alpha * 1.0 / nd, 6) AS alpha_word_frac,
+               stop_hits::bigint AS stop_hits
+        FROM s
+      )
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+             ellipsis_line_frac, alpha_word_frac, stop_hits,
+             (n_words BETWEEN 50 AND 100000
+              AND mean_word_len BETWEEN 3 AND 10
+              AND symbol_ratio <= 0.1
+              AND bullet_line_frac <= 0.9
+              AND ellipsis_line_frac <= 0.3
+              AND alpha_word_frac >= 0.8
+              AND stop_hits >= 1)::int AS keep
+      FROM r
+    """
 
     # engine_bm25_and / engine_bm25_or: rows-only (Porter stemming is not
     # ANSI-SQL expressible; exactness is gated by tests/oracle.py

@@ -383,3 +383,95 @@ def duplicate_span_stats(
             F.round(F.col("dup_tokens") / F.col("n_tokens"), 6),
         )
     )
+
+
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training Gopher",
+    Appendix A1.1) as ONE row of pure column expressions per doc — the
+    published heuristic battery that MassiveText (and most corpora
+    since) applied before any model-based filtering:
+
+      1. word count in [min_words, max_words]
+      2. mean word length in [min_mean_word_len, max_mean_word_len]
+      3. symbol-to-word ratio ('#' or '...') <= max_symbol_ratio
+      4. fraction of lines starting with a bullet <= max_bullet_line_frac
+      5. fraction of lines ending with '...' <= max_ellipsis_line_frac
+      6. fraction of words with >= 1 alphabetic char >= min_alpha_word_frac
+      7. >= min_stop_hits DISTINCT members of the 8-word stop list
+         {the, be, to, of, and, that, have, with}
+
+    Returns (id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, stop_hits, keep) — per-signal
+    values so callers can re-threshold without recomputing, plus the
+    conjunctive keep flag.
+
+    Scale shape: zero exchange — every signal is an expression over the
+    row's own text (split / filter / aggregate higher-order functions,
+    all JVM-side), so the op is a narrow map fused into whatever scan
+    feeds it, with nothing to tune at 100 TB.  Complements
+    ``repetition_stats`` (the other half of Gopher A1.1) which needs
+    its own pass only because n-gram repetition is not expressible as a
+    per-row HOF chain over *words*.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(txt), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    n_div = F.greatest(n_words, F.lit(1))
+    sum_wl = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_wl = sum_wl / n_div
+    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
+    n_ellipsis = F.floor(
+        (F.length(txt) - F.length(F.regexp_replace(txt, r"\.\.\.", ""))) / F.lit(3)
+    )
+    symbol_ratio = (n_hash + n_ellipsis) / n_div
+    lines = F.filter(F.split(txt, "\n"), lambda x: F.trim(x) != F.lit(""))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]"))) / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"\.\.\.$"))) / n_lines
+    )
+    alpha_frac = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) / n_div
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower), F.array(*[F.lit(s) for s in GOPHER_STOPS])
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("keep", keep)

@@ -435,6 +435,20 @@ def _cc_star(
     labels = edges.select(F.col("b").alias("node"), F.col("a").alias("lab")).unionByName(
         edges.select(F.col("a").alias("node"), F.col("a").alias("lab")).distinct()
     )
+    # the a != b canonicalization drops self-pairs entirely, but the
+    # contract is "every node appearing in pairs" (the label path keeps
+    # such nodes and labels them with themselves) — re-add any node the
+    # contraction never saw as its own singleton component
+    nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .unionByName(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
+    labels = labels.unionByName(
+        nodes.join(labels, "node", "left_anti").select(
+            F.col("node"), F.col("node").alias("lab")
+        )
+    )
     labels = _stage(labels.distinct(), "star_labels")
     if checkpoint_dir is not None and staged_paths:
         import os

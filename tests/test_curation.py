@@ -504,3 +504,55 @@ def test_duplicate_span_matches_naive_reference(spark, corpus, n):
         for r in duplicate_span_stats(df, n=n).collect()
     }
     assert got == _naive_span_stats(corpus, n, 2)
+
+
+def test_cc_star_keeps_self_loop_only_nodes(spark):
+    """A node appearing only as a self-pair is still 'a node appearing
+    in pairs': the label path keeps it (labelled with itself); the star
+    path's a != b canonicalization must not silently drop it."""
+    from beetle_search_engine_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 2)], "id_a long, id_b long"
+    )
+    star = {r.doc_id: r.component
+            for r in connected_components(df, algorithm="star").collect()}
+    label = {r.doc_id: r.component for r in connected_components(df).collect()}
+    assert star == label == {7: 7, 1: 1, 2: 1}
+
+
+def test_gopher_rules_signals_and_keep(spark):
+    """Each Gopher A1.1 rule trips on a crafted doc and the good doc
+    passes; signals are per-row expressions (no exchange in the plan)."""
+    from beetle_search_engine_spark.operators.curation import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and that " * 5
+    rows = [
+        (0, good),                                       # passes everything
+        (1, "too short but the and that"),               # word count < min
+        (2, ("aa " * 60) + "the and"),                   # mean word len < 3
+        (3, good + " " + "#" * 40),                      # symbol ratio
+        (4, "\n".join("- bullet the and item %d x" % i for i in range(10)) * 6),
+        (5, ("the and word trails off..." + "\n") * 60), # ellipsis lines
+        (6, ("123 456 789 " * 20) + "the and"),          # alpha frac < 0.8
+        (7, "zebra quilt " * 30),                        # no stop words
+        (8, None),                                       # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(df, min_words=50).collect()}
+    assert got[0].keep is True
+    assert got[0].stop_hits == 3  # the, and, that
+    for bad in range(1, 9):
+        assert got[bad].keep is False, bad
+    # per-signal attribution: the failing rule is the intended one
+    assert got[1].n_words < 50
+    assert got[2].mean_word_len < 3
+    assert got[3].symbol_ratio > 0.1
+    assert got[4].bullet_line_frac > 0.9
+    assert got[5].ellipsis_line_frac > 0.3
+    assert got[6].alpha_word_frac < 0.8
+    assert got[7].stop_hits < 2 and got[7].n_words >= 50
+    assert got[8].n_words == 0
+    # zero-exchange plan: a narrow map over the scan
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
