@@ -589,8 +589,10 @@ _DRIVER_WINDOW = [
     "engine_rrf_hybrid", "search_rerank_pipeline",
     # tokenization / corpus stats / SQL-chain scoring
     "token_tf", "term_df", "bm25_topk_or", "splade_weighted_topk",
-    # vector search
-    "knn_cosine_topk", "ann_lsh_cosine", "ivf_ann_cosine",
+    # vector search (knn_cosine_topk demoted round 5 for pq_ann_cosine:
+    # the exact-cosine kernel it proves is the refine stage of BOTH ivf
+    # and pq entries, and its dot/l2 twins are long pytest-green)
+    "pq_ann_cosine", "ann_lsh_cosine", "ivf_ann_cosine",
     "embedding_near_dups", "text_embed_knn",
     # dedup -> clusters -> survivors
     "dedup_exact", "minhash_signatures", "simhash64",
@@ -1121,6 +1123,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ivf_ann_cosine"] = _ivf
+
+    # PQ ANN (FAISS IndexPQ analog; the reference stores raw IndexFlatL2
+    # vectors, build_faiss.py:30 — PQ is the compressed 100 TB path):
+    # deterministic per-subspace codebooks (fit_pq_codebooks_np) -> JVM
+    # code assignment + ADC scan -> shortlist (TakeOrderedAndProject) ->
+    # exact cosine refine.  The oracle re-fits bit-identical codebook +
+    # LUT literals and replays the WHOLE pipeline in SQL, so the hash
+    # check does not ride on recall.
+    def _pq(s, d):
+        from beetle_search_engine_spark.operators.ml import pq_search_deterministic
+
+        return pq_search_deterministic(
+            s, f"{d}/embeddings.parquet", query_id=0, top_k=10,
+            m=8, ksub=16, shortlist=100,
+        )
+
+    q["pq_ann_cosine"] = _pq
 
     # full §3.1 lifecycle (parse -> retrieve -> fetch -> rerank ->
     # rerank_k) on the stem-free index: the overlap reranker is pure
@@ -2296,6 +2315,76 @@ def oracle_sql() -> dict[str, str]:
       z AS (
         SELECT vec_id, unnest(embedding)::double AS a, unnest(qv.qvec)::double AS b
         FROM cand, qv
+      )
+      SELECT vec_id, round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4) AS score
+      FROM z GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10
+    """
+
+    # --- PQ ANN: codebooks + the query's ADC lookup table are re-fit
+    # HERE (same functions, data, seed as the Spark entry) and inlined
+    # as literals; the SQL then replays the full pipeline — subspace
+    # slices -> per-subspace argmin code -> ADC sum -> shortlist 100 ->
+    # exact cosine refine — so the hash check is recall-independent.
+    from beetle_search_engine_spark.operators.ml import (
+        _pq_luts_np,
+        fit_pq_codebooks_np,
+    )
+
+    _pqcbs = fit_pq_codebooks_np(_X[:1024], 8, 16, 42, 20)
+    _pqluts = _pq_luts_np(_qv, _pqcbs)
+
+    def _ll(rows):  # list-of-lists SQL literal
+        return "[" + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in r) + "]" for r in rows
+        ) + "]"
+
+    _cb_branches = "\n        UNION ALL ".join(
+        f"SELECT {j} AS j, unnest(range(16))::int AS cid, unnest({_ll(cb)}) AS cvec"
+        for j, cb in enumerate(_pqcbs)
+    )
+    _lut_branches = "\n        UNION ALL ".join(
+        f"SELECT {j} AS j, unnest(range(16))::int AS cid, "
+        f"unnest([{', '.join(repr(float(x)) for x in lut)}])::double AS ld"
+        for j, lut in enumerate(_pqluts)
+    )
+    o["pq_ann_cosine"] = f"""
+      WITH cb AS (
+        {_cb_branches}
+      ),
+      lut AS (
+        {_lut_branches}
+      ),
+      sub AS (
+        SELECT e.vec_id, js.j,
+               list_slice(e.embedding, js.j * 8 + 1, (js.j + 1) * 8) AS svec
+        FROM embeddings e CROSS JOIN (SELECT unnest(range(8))::int AS j) js
+      ),
+      d AS (
+        SELECT vec_id, j, cid, sum((a - b) * (a - b)) AS dist FROM (
+          SELECT s.vec_id, s.j, c.cid,
+                 unnest(s.svec)::double AS a, unnest(c.cvec)::double AS b
+          FROM sub s JOIN cb c ON c.j = s.j
+        ) GROUP BY vec_id, j, cid
+      ),
+      code AS (
+        SELECT vec_id, j, cid FROM (
+          SELECT vec_id, j, cid,
+                 row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+          FROM d
+        ) WHERE rn = 1
+      ),
+      adc AS (
+        SELECT code.vec_id, sum(l.ld) AS adc
+        FROM code JOIN lut l USING (j, cid) GROUP BY code.vec_id
+      ),
+      short AS (
+        SELECT vec_id FROM adc WHERE vec_id <> 0
+        ORDER BY adc, vec_id LIMIT 100
+      ),
+      qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      z AS (
+        SELECT e.vec_id, unnest(e.embedding)::double AS a, unnest(qv.qvec)::double AS b
+        FROM embeddings e JOIN short USING (vec_id), qv
       )
       SELECT vec_id, round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4) AS score
       FROM z GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10

@@ -397,3 +397,206 @@ def ivf_search(
     probe = _nearest_clusters(q, list(enumerate(km.clusterCenters())), nprobe)
     vecs = assigned.filter(F.col("cluster").isin(probe) & (F.col(id_col) != query_id))
     return _cosine_topk(vecs, q, top_k, id_col, vec_col)
+
+
+# --- Product quantization (the FAISS IndexPQ analog) ------------------
+#
+# The reference stores raw float32 vectors (IndexFlatL2,
+# build_faiss.py:30) — exact but 4*d bytes per vector.  PQ (Jegou,
+# Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+# Search") is the standard compressed scale path: split each vector
+# into m subspaces, k-means each subspace to ksub centroids, store only
+# the m centroid ids (m bytes at ksub<=256 — a 32x compression of a
+# 64-dim float table), and answer queries with an asymmetric-distance
+# scan (ADC): per query, precompute an m x ksub lookup table of
+# query-slice-to-centroid distances, then each stored code costs m
+# table lookups + adds — no float vector is ever read at scan time.
+# Exactness is recovered by re-ranking a shortlist against the raw
+# vectors (pushed-down id fetch), the FAISS refine pattern.
+
+
+def fit_pq_codebooks_np(X, m: int = 8, ksub: int = 16, seed: int = 42, iters: int = 20):
+    """Per-subspace deterministic k-means (fit_centroids_np, seed+j per
+    subspace j) — pure function of (data, m, ksub, seed), so the fitted
+    codebooks can be inlined as SQL literals and the whole ADC pipeline
+    DuckDB-proved, the same contract as the IVF quantizer above."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [
+        fit_centroids_np(X[:, j * dsub : (j + 1) * dsub], ksub, seed + j, iters)
+        for j in range(m)
+    ]
+
+
+def pq_code_cols(vec_col, codebooks) -> list[F.Column]:
+    """One 1-BASED code column per subspace: JVM-side argmin over the
+    ksub squared-L2 expressions between the vector's subspace slice and
+    each codebook row (array_position of the min -> first occurrence ->
+    lowest centroid id on exact ties, matching numpy argmin and the SQL
+    oracle's row_number tiebreak).  No Python in the scan."""
+    cols = []
+    off = 1
+    for cb in codebooks:
+        ksub, dsub = len(cb), len(cb[0])
+        sl = F.slice(vec_col, off, dsub)
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    sl,
+                    F.lit([float(x) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cb
+        ]
+        darr = F.array(*dists)
+        cols.append((F.array_position(darr, F.array_min(darr))).cast("int"))
+        off += dsub
+    return cols
+
+
+def pq_encode(
+    emb: DataFrame, codebooks, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Compress the embedding table to (id, codes array<smallint>) —
+    0-based centroid ids, m bytes of payload per vector at ksub<=256.
+    This is the table an ADC scan reads INSTEAD of the float vectors."""
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.array(*[(c - 1).cast("smallint") for c in pq_code_cols(v, codebooks)])
+    return emb.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_col(codes_col, luts) -> F.Column:
+    """Asymmetric distance from stored codes: sum_j lut[j][code_j].
+    luts is the per-query m x ksub table of squared-L2 distances between
+    the query's subspace slices and the codebook rows — m element_at
+    lookups + adds per row, zero float-vector reads."""
+    acc = None
+    for j, lut in enumerate(luts):
+        term = F.element_at(
+            F.lit([float(x) for x in lut]),
+            (F.element_at(codes_col, j + 1) + F.lit(1)).cast("int"),
+        )
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _pq_luts_np(q, codebooks):
+    """The query's ADC lookup table: luts[j][c] = ||q_j - C_j[c]||^2."""
+    import numpy as np
+
+    q = np.asarray(q, dtype=np.float64)
+    luts, off = [], 0
+    for cb in codebooks:
+        dsub = cb.shape[1]
+        qj = q[off : off + dsub]
+        luts.append([float(((c - qj) ** 2).sum()) for c in cb])
+        off += dsub
+    return luts
+
+
+def pq_search_deterministic(
+    spark,
+    emb_path: str,
+    query_id: int = 0,
+    top_k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    iters: int = 20,
+    train_sample: int = 1024,
+    shortlist: int = 100,
+) -> DataFrame:
+    """PQ-ADC search with exact re-rank, sharing ivf_search_deterministic's
+    provability contract: codebooks train on the train_sample LOWEST
+    vec_ids (pushed-down bounded driver read, _read_embeddings_np) via
+    fit_pq_codebooks_np — a pure function of (data, params) — so the
+    DuckDB oracle re-fits bit-identical codebook literals.  The scan
+    encodes + ADC-scores each row JVM-side (one pass, no Python), takes
+    the `shortlist` smallest approximate distances as a
+    TakeOrderedAndProject (never a global sort), and re-ranks ONLY the
+    shortlist with exact cosine — the FAISS IndexPQ + refine shape.  At
+    100 TB the scan half runs over the pq_encode'd codes table (m bytes
+    a row) with the raw vectors fetched by pushed-down id for the
+    shortlist only; here the inline variant keeps vectors in-row because
+    the entry reads the un-encoded test parquet."""
+    _ids, X = _read_embeddings_np(emb_path, limit=train_sample)
+    cbs = fit_pq_codebooks_np(X, m, ksub, seed, iters)
+    q = _read_query_vec_np(emb_path, query_id)
+    luts = _pq_luts_np(q, cbs)
+
+    emb = spark.read.parquet(emb_path)
+    v = F.col("embedding").cast("array<double>")
+    codes1 = pq_code_cols(v, cbs)  # 1-based
+    adc = None
+    for j, lut in enumerate(luts):
+        term = F.element_at(F.lit([float(x) for x in lut]), codes1[j])
+        adc = term if adc is None else adc + term
+    short = (
+        emb.withColumn("adc", adc)
+        .filter(F.col("vec_id") != query_id)
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    return _cosine_topk(short, [float(x) for x in q], top_k, "vec_id", "embedding")
+
+
+def write_pq_index(emb: DataFrame, codebooks, path: str, id_col="vec_id", vec_col="embedding") -> None:
+    """Persist the PQ layout the way write_ivf_index persists IVF's:
+    the compressed codes table (the ADC scan target) plus the codebooks
+    as a tiny (j, cid, cvec) dimension parquet (the stored quantizer)."""
+    pq_encode(emb, codebooks, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    rows = [
+        (j, c, [float(x) for x in cb[c]])
+        for j, cb in enumerate(codebooks)
+        for c in range(len(cb))
+    ]
+    emb.sparkSession.createDataFrame(
+        rows, "j int, cid int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def pq_search_stored(
+    spark,
+    pq_path: str,
+    emb_path: str,
+    query_id: int = 0,
+    top_k: int = 10,
+    shortlist: int = 100,
+) -> DataFrame:
+    """The scale-path query: ADC over the STORED codes table — the scan
+    reads (vec_id, codes) only, never a float vector — then exact
+    re-rank of the shortlist by fetching its raw vectors with the id set
+    pushed into the embeddings scan (isin -> parquet row-group skipping,
+    the docid-fetch pattern).  The codebooks come from the tiny stored
+    dimension table (driver read of m*ksub rows)."""
+    cb_rows = spark.read.parquet(f"{pq_path}/codebooks").collect()
+    m = 1 + max(r.j for r in cb_rows)
+    cbs = []
+    for j in range(m):
+        import numpy as np
+
+        rows = sorted((r for r in cb_rows if r.j == j), key=lambda r: r.cid)
+        cbs.append(np.asarray([r.cvec for r in rows], dtype=np.float64))
+    q = _read_query_vec_np(emb_path, query_id)
+    luts = _pq_luts_np(q, cbs)
+
+    codes = spark.read.parquet(f"{pq_path}/codes")
+    short = (
+        codes.withColumn("adc", pq_adc_col(F.col("codes"), luts))
+        .filter(F.col("vec_id") != query_id)
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    ids = [r.vec_id for r in short.select("vec_id").collect()]
+    vecs = spark.read.parquet(emb_path).filter(F.col("vec_id").isin(ids))
+    return _cosine_topk(vecs, [float(x) for x in q], top_k, "vec_id", "embedding")
