@@ -433,33 +433,20 @@ def fit_pq_codebooks_np(X, m: int = 8, ksub: int = 16, seed: int = 42, iters: in
     ]
 
 
-def pq_code_cols(vec_col, codebooks) -> list[F.Column]:
-    """One 1-BASED code column per subspace: JVM-side argmin over the
-    ksub squared-L2 expressions between the vector's subspace slice and
-    each codebook row (array_position of the min -> first occurrence ->
-    lowest centroid id on exact ties, matching numpy argmin and the SQL
-    oracle's row_number tiebreak).  No Python in the scan."""
-    cols = []
-    off = 1
-    for cb in codebooks:
-        ksub, dsub = len(cb), len(cb[0])
-        sl = F.slice(vec_col, off, dsub)
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    sl,
-                    F.lit([float(x) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in cb
-        ]
-        darr = F.array(*dists)
-        cols.append((F.array_position(darr, F.array_min(darr))).cast("int"))
+def _np_assign_codes(Xb, cbs_np):
+    """Vectorized per-subspace argmin over true squared-L2 distances —
+    ties break to the lowest centroid id (np.argmin first-occurrence),
+    the same tiebreak as the SQL oracle's row_number."""
+    import numpy as np
+
+    codes = np.empty((Xb.shape[0], len(cbs_np)), dtype=np.int64)
+    off = 0
+    for j, cb in enumerate(cbs_np):
+        dsub = cb.shape[1]
+        D = ((Xb[:, None, off : off + dsub] - cb[None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = D.argmin(axis=1)
         off += dsub
-    return cols
+    return codes
 
 
 def pq_encode(
@@ -467,10 +454,34 @@ def pq_encode(
 ) -> DataFrame:
     """Compress the embedding table to (id, codes array<smallint>) —
     0-based centroid ids, m bytes of payload per vector at ksub<=256.
-    This is the table an ADC scan reads INSTEAD of the float vectors."""
-    v = F.col(vec_col).cast("array<double>")
-    codes = F.array(*[(c - 1).cast("smallint") for c in pq_code_cols(v, codebooks)])
-    return emb.select(F.col(id_col), codes.alias("codes"))
+    This is the table an ADC scan reads INSTEAD of the float vectors.
+
+    The assignment is an Arrow-batched numpy kernel (one blocked
+    (batch, ksub, dsub) broadcast-subtract per subspace), projected to
+    (id, vec) BEFORE the kernel since mapInPandas is opaque to column
+    pruning.  Two pure-expression alternatives were measured at sf0.1
+    (40k x 64-dim, m=8 ksub=16) and rejected: the per-centroid
+    zip_with+aggregate HOF form runs interpreted (7.4 s warm) and even
+    the expanded ||c||^2 - 2c.x multiply-add form (128 expressions/row)
+    exceeds the codegen threshold — 0 WholeStageCodegen spans in the
+    executed plan, 6.5 s warm — while the numpy kernel scans in 0.5 s."""
+    import numpy as np
+    import pandas as pd
+
+    cbs_np = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+    def kern(it):
+        for pdf in it:
+            Xb = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            codes = _np_assign_codes(Xb, cbs_np)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": [list(map(int, r)) for r in codes]}
+            )
+
+    id_type = dict(emb.dtypes)[id_col]
+    return emb.select(id_col, vec_col).mapInPandas(
+        kern, f"{id_col} {id_type}, codes array<smallint>"
+    )
 
 
 def pq_adc_col(codes_col, luts) -> F.Column:
@@ -527,25 +538,43 @@ def pq_search_deterministic(
     a row) with the raw vectors fetched by pushed-down id for the
     shortlist only; here the inline variant keeps vectors in-row because
     the entry reads the un-encoded test parquet."""
+    import numpy as np
+    import pandas as pd
+
     _ids, X = _read_embeddings_np(emb_path, limit=train_sample)
     cbs = fit_pq_codebooks_np(X, m, ksub, seed, iters)
     q = _read_query_vec_np(emb_path, query_id)
     luts = _pq_luts_np(q, cbs)
 
+    # fused encode+ADC Arrow kernel: assign codes and sum the LUT rows
+    # in one numpy pass per batch (see pq_encode's docstring for the
+    # measured rejection of the pure-expression forms); the lut sum is
+    # accumulated in codebook order, matching pq_adc_col's j-order so
+    # stored and inline paths agree bit-for-bit.
+    cbs_np = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+    luts_np = [np.asarray(lut, dtype=np.float64) for lut in luts]
+
+    def kern(it):
+        for pdf in it:
+            Xb = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+            codes = _np_assign_codes(Xb, cbs_np)
+            adc = np.zeros(len(Xb))
+            for j, lut in enumerate(luts_np):
+                adc += lut[codes[:, j]]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "adc": adc})
+
     emb = spark.read.parquet(emb_path)
-    v = F.col("embedding").cast("array<double>")
-    codes1 = pq_code_cols(v, cbs)  # 1-based
-    adc = None
-    for j, lut in enumerate(luts):
-        term = F.element_at(F.lit([float(x) for x in lut]), codes1[j])
-        adc = term if adc is None else adc + term
     short = (
-        emb.withColumn("adc", adc)
+        emb.select("vec_id", "embedding")
+        .mapInPandas(kern, "vec_id long, adc double")
         .filter(F.col("vec_id") != query_id)
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(shortlist)
     )
-    return _cosine_topk(short, [float(x) for x in q], top_k, "vec_id", "embedding")
+    # refine fetch as a broadcast semi-join so the whole search stays
+    # one lazy plan (shortlist ids are tiny by construction)
+    vecs = emb.join(F.broadcast(short.select("vec_id")), "vec_id")
+    return _cosine_topk(vecs, [float(x) for x in q], top_k, "vec_id", "embedding")
 
 
 def write_pq_index(emb: DataFrame, codebooks, path: str, id_col="vec_id", vec_col="embedding") -> None:

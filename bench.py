@@ -72,6 +72,8 @@ HEADLINE = [
     "search_rerank_pipeline",
     "ann_lsh_cosine",
     "ivf_ann_cosine",
+    # round 5: PQ-ADC scan + exact refine (FAISS IndexPQ analog)
+    "pq_ann_cosine",
     # curation family (round 4): overlap decon, per-row repetition
     # kernel, packing windows, composed keep-set, CC survivors
     "decontaminate_ngrams",
@@ -100,7 +102,7 @@ AB_QUERIES = [
     "minhash_signatures", "simhash16", "simhash64", "knn_cosine_topk",
     "ann_lsh_cosine", "ivf_ann_cosine", "near_dup_pairs",
     "near_dup_survivors", "search_rerank_pipeline", "decontaminate_ngrams",
-    "duplicate_span_stats",
+    "duplicate_span_stats", "pq_ann_cosine",
 ]
 
 
