@@ -1,7 +1,8 @@
 """End-to-end search pipeline — the reference's ``search_and_rerank``
 lifecycle (reference: main.py:30-93) rebuilt on the engine:
 
-    method dispatch ("bm25" | "knn" | "hybrid")
+    method dispatch ("bm25" | "knn"/"faiss" | "splade" | "hybrid" —
+      the reference's available_methods set, app.py:96)
       -> candidate retrieval (top_k)
       -> doc fetch (broadcast semi join — replaces the reference's
          early-exit JSON scan, main.py:13-28 / SURVEY S17)
@@ -85,15 +86,35 @@ def search_and_rerank(
         if not rows:
             return spark.createDataFrame([], "doc_id string, score double, rank int")
         cands = spark.createDataFrame(rows)
-    elif method == "knn":
+    elif method in ("knn", "faiss"):  # "faiss" is the reference's name
         if embeddings is None or query_vec_id is None:
-            raise ValueError("knn method needs embeddings + query_vec_id")
+            raise ValueError(f"{method} method needs embeddings + query_vec_id")
         cands = (
             knn_cosine(embeddings, query_vec_id, top_k)
             .select(F.col("vec_id").cast("string").alias("doc_id"), "score")
             .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))))
         )
+    elif method == "splade":
+        # the reference routes "splade" to its weighted-posting index
+        # (hybrid_search.py dispatch); query terms come from the reduced
+        # SQL-parity analyzer — the same chain splade_like_topk applies
+        # to documents, so query and doc land in one term space
+        from ..functions.analyzer import sql_tokenize
+        from .sqlbm25 import splade_like_topk
+
+        qterms = sql_tokenize(query)
+        if not qterms:
+            return spark.createDataFrame([], "doc_id string, score double, rank int")
+        cands = with_rank(
+            splade_like_topk(documents, qterms, top_k).select(
+                "doc_id", F.col("score").cast("double").alias("score")
+            ),
+            "score",
+            "doc_id",
+        )
     elif method == "hybrid":
+        if embeddings is None or query_vec_id is None:
+            raise ValueError("hybrid method needs embeddings + query_vec_id")
         b = with_rank(index.search(query, top_k * 2, mode="or").select("doc_id", "score"), "score", "doc_id")
         k = with_rank(
             knn_cosine(embeddings, query_vec_id, top_k * 2).select(

@@ -78,3 +78,27 @@ def test_http_round_trip(svc):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_handle_splade_method(svc):
+    resp = svc.handle(
+        {"query": "transformer models", "search_method": "splade", "rerank_k": 5}
+    )
+    assert resp["status"] == 200
+    assert resp["method"] == "splade"
+    assert resp["total_results"] == 5
+    ranks = [r["rank"] for r in resp["results"]]
+    assert ranks == sorted(ranks)
+
+
+def test_handle_faiss_without_embeddings_is_400(svc):
+    # "faiss" is a valid reference method but this service instance holds
+    # no embedding table -> the pipeline's ValueError surfaces as a 400
+    resp = svc.handle({"query": "q", "search_method": "faiss"})
+    assert resp["status"] == 400
+
+
+def test_handle_hybrid_without_embeddings_is_400(svc):
+    resp = svc.handle({"query": "q", "search_method": "hybrid"})
+    assert resp["status"] == 400
+    assert "embeddings" in resp["error"]
