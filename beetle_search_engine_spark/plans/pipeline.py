@@ -64,8 +64,17 @@ def search_and_rerank(
     query_vec_id: int | None = None,
     reranker_factory: Callable | None = None,
     or_fallback: bool = False,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """documents: (doc_id string, text string [, ...display cols]).
+
+    Vector methods (knn/faiss, hybrid) accept the query vector two ways,
+    matching the reference's two entry points: ``query_vec_id`` looks it
+    up inside ``embeddings`` (the benchmark shape — query is a corpus
+    row), ``query_vec`` passes an encoded literal (the service shape —
+    the reference re-encodes the query text at search time,
+    search_faiss.py:37-43).  ``embeddings`` may be keyed by ``vec_id``
+    or directly by ``doc_id``.
 
     ``or_fallback=False`` (default) keeps reference parity: the
     reference's MultifieldParser is AND-only (search_bm25.py:32-33), so a
@@ -73,6 +82,16 @@ def search_and_rerank(
     to ``or_fallback=True`` to retry disjunctively on zero hits — a
     deliberate, documented deviation that costs a second search on every
     zero-hit AND query."""
+
+    def _vec_cands(k: int) -> DataFrame:
+        id_col = "vec_id" if "vec_id" in embeddings.columns else "doc_id"
+        if query_vec is not None:
+            from ..operators.ml import _cosine_topk
+
+            hits = _cosine_topk(embeddings, query_vec, k, id_col, "embedding")
+        else:
+            hits = knn_cosine(embeddings, query_vec_id, k, id_col=id_col)
+        return hits.select(F.col(id_col).cast("string").alias("doc_id"), "score")
     if method == "bm25":
         # the reference hands the RAW user string to Whoosh's
         # MultifieldParser (search_bm25.py:32-33) — mode='parse' is our
@@ -87,13 +106,9 @@ def search_and_rerank(
             return spark.createDataFrame([], "doc_id string, score double, rank int")
         cands = spark.createDataFrame(rows)
     elif method in ("knn", "faiss"):  # "faiss" is the reference's name
-        if embeddings is None or query_vec_id is None:
-            raise ValueError(f"{method} method needs embeddings + query_vec_id")
-        cands = (
-            knn_cosine(embeddings, query_vec_id, top_k)
-            .select(F.col("vec_id").cast("string").alias("doc_id"), "score")
-            .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))))
-        )
+        if embeddings is None or (query_vec_id is None and query_vec is None):
+            raise ValueError(f"{method} method needs embeddings + a query vector")
+        cands = with_rank(_vec_cands(top_k), "score", "doc_id")
     elif method == "splade":
         # the reference routes "splade" to its weighted-posting index
         # (hybrid_search.py dispatch); query terms come from the reduced
@@ -113,16 +128,10 @@ def search_and_rerank(
             "doc_id",
         )
     elif method == "hybrid":
-        if embeddings is None or query_vec_id is None:
-            raise ValueError("hybrid method needs embeddings + query_vec_id")
+        if embeddings is None or (query_vec_id is None and query_vec is None):
+            raise ValueError("hybrid method needs embeddings + a query vector")
         b = with_rank(index.search(query, top_k * 2, mode="or").select("doc_id", "score"), "score", "doc_id")
-        k = with_rank(
-            knn_cosine(embeddings, query_vec_id, top_k * 2).select(
-                F.col("vec_id").cast("string").alias("doc_id"), "score"
-            ),
-            "score",
-            "doc_id",
-        )
+        k = with_rank(_vec_cands(top_k * 2), "score", "doc_id")
         fused = rrf_fuse({"bm25": b, "knn": k}, "doc_id", 60, top_k)
         cands = with_rank(fused.select("doc_id", F.col("rrf_score").alias("score")), "score", "doc_id")
     else:

@@ -23,13 +23,38 @@ from .query import BM25Index
 class SearchService:
     """Request semantics mirror the reference's SearchRequest defaults
     (app.py:28-33): top_k=20, rerank_k=5, method='bm25' here (the
-    reference defaults to hybrid, which needs an embedding column —
-    pass embeddings/query_vec_id through extra fields to use it)."""
+    reference defaults to hybrid; pass ``embeddings`` — a
+    (doc_id, embedding) frame, e.g. ``embed_texts(documents)`` — to
+    serve hybrid/faiss, and request them via ``search_method``).
 
-    def __init__(self, spark: SparkSession, index: BM25Index, documents: DataFrame):
+    ``query_embedder`` encodes the raw query text at request time, the
+    reference's search-time re-encode (search_faiss.py:37-43).  The
+    default runs the SAME embed_texts operator on a one-row frame, so
+    query and documents land in one vector space whichever path built
+    the doc embeddings (dim is read from the stored table once)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index: BM25Index,
+        documents: DataFrame,
+        embeddings: DataFrame | None = None,
+        query_embedder=None,
+    ):
         self.spark = spark
         self.index = index
         self.documents = documents
+        self.embeddings = embeddings
+        if embeddings is not None and query_embedder is None:
+            dim = len(embeddings.select("embedding").first()[0])
+
+            def query_embedder(q: str, _dim=dim):
+                from ..operators.embed import embed_texts
+
+                one = self.spark.createDataFrame([("q", q)], "doc_id string, text string")
+                return [float(x) for x in embed_texts(one, dim=_dim).first()["embedding"]]
+
+        self.query_embedder = query_embedder
 
     def handle(self, request: dict) -> dict:
         query = (request.get("query") or "").strip()
@@ -40,9 +65,13 @@ class SearchService:
         method = request.get("search_method", "bm25")
         rerank = bool(request.get("reranker_enabled", False))
         try:
+            qvec = None
+            if method in ("hybrid", "faiss", "knn") and self.embeddings is not None:
+                qvec = self.query_embedder(query)
             rows = search_and_rerank(
                 self.spark, self.index, self.documents, query,
                 method=method, top_k=top_k, rerank_k=rerank_k, rerank=rerank,
+                embeddings=self.embeddings, query_vec=qvec,
             ).collect()
         except ValueError as e:
             return {"error": str(e), "status": 400}

@@ -102,3 +102,40 @@ def test_handle_hybrid_without_embeddings_is_400(svc):
     resp = svc.handle({"query": "q", "search_method": "hybrid"})
     assert resp["status"] == 400
     assert "embeddings" in resp["error"]
+
+
+@pytest.fixture(scope="module")
+def svc_vec(spark, svc):
+    # same index/docs, plus the deterministic doc embeddings -> the full
+    # reference surface (hybrid is its default method, app.py:32)
+    from beetle_search_engine_spark.operators.embed import embed_texts
+
+    emb = embed_texts(svc.documents, dim=8)
+    return SearchService(spark, svc.index, svc.documents, embeddings=emb)
+
+
+def test_handle_hybrid_with_embeddings(svc_vec):
+    resp = svc_vec.handle(
+        {"query": "transformer models", "search_method": "hybrid", "rerank_k": 5}
+    )
+    assert resp["status"] == 200
+    assert resp["total_results"] == 5
+    ranks = [r["rank"] for r in resp["results"]]
+    assert ranks == sorted(ranks)
+
+
+def test_handle_faiss_with_embeddings_matches_direct_cosine(svc_vec):
+    resp = svc_vec.handle(
+        {"query": "transformer models", "search_method": "faiss", "top_k": 10, "rerank_k": 5}
+    )
+    assert resp["status"] == 200
+    got = [(r["id"], r["score"]) for r in resp["results"]]
+    # replay: embed the query with the same operator, exact cosine top-k
+    from beetle_search_engine_spark.operators.ml import _cosine_topk
+
+    qv = svc_vec.query_embedder("transformer models")
+    want = [
+        (r.doc_id, r.score)
+        for r in _cosine_topk(svc_vec.embeddings, qv, 5, "doc_id", "embedding").collect()
+    ]
+    assert got == want
