@@ -577,21 +577,43 @@ def pq_search_deterministic(
     return _cosine_topk(vecs, [float(x) for x in q], top_k, "vec_id", "embedding")
 
 
-def write_pq_index(emb: DataFrame, codebooks, path: str, id_col="vec_id", vec_col="embedding") -> None:
-    """Persist the PQ layout the way write_ivf_index persists IVF's:
-    the compressed codes table (the ADC scan target) plus the codebooks
-    as a tiny (j, cid, cvec) dimension parquet (the stored quantizer)."""
-    pq_encode(emb, codebooks, id_col, vec_col).write.mode("overwrite").parquet(
-        f"{path}/codes"
-    )
+def _write_codebooks(spark, codebooks, path: str) -> None:
+    """Persist PQ codebooks as the tiny (j, cid, cvec) dimension parquet
+    (the stored quantizer) — shared by the PQ and IVF-PQ layouts."""
     rows = [
         (j, c, [float(x) for x in cb[c]])
         for j, cb in enumerate(codebooks)
         for c in range(len(cb))
     ]
-    emb.sparkSession.createDataFrame(
+    spark.createDataFrame(
         rows, "j int, cid int, cvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def _read_codebooks(spark, path: str):
+    """Driver read of the m*ksub-row codebook dimension back into the
+    list-of-(ksub, dsub)-arrays shape the fit/LUT helpers use."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r.j for r in rows)
+    return [
+        np.asarray(
+            [r.cvec for r in sorted((r for r in rows if r.j == j), key=lambda r: r.cid)],
+            dtype=np.float64,
+        )
+        for j in range(m)
+    ]
+
+
+def write_pq_index(emb: DataFrame, codebooks, path: str, id_col="vec_id", vec_col="embedding") -> None:
+    """Persist the PQ layout the way write_ivf_index persists IVF's:
+    the compressed codes table (the ADC scan target) plus the codebooks
+    dimension (_write_codebooks)."""
+    pq_encode(emb, codebooks, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    _write_codebooks(emb.sparkSession, codebooks, path)
 
 
 def pq_search_stored(
@@ -608,14 +630,7 @@ def pq_search_stored(
     pushed into the embeddings scan (isin -> parquet row-group skipping,
     the docid-fetch pattern).  The codebooks come from the tiny stored
     dimension table (driver read of m*ksub rows)."""
-    cb_rows = spark.read.parquet(f"{pq_path}/codebooks").collect()
-    m = 1 + max(r.j for r in cb_rows)
-    cbs = []
-    for j in range(m):
-        import numpy as np
-
-        rows = sorted((r for r in cb_rows if r.j == j), key=lambda r: r.cid)
-        cbs.append(np.asarray([r.cvec for r in rows], dtype=np.float64))
+    cbs = _read_codebooks(spark, pq_path)
     q = _read_query_vec_np(emb_path, query_id)
     luts = _pq_luts_np(q, cbs)
 
@@ -722,14 +737,7 @@ def write_ivfpq_index(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(C)],
         "cluster int, center array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
-        [
-            (j, c, [float(x) for x in cb[c]])
-            for j, cb in enumerate(cbs)
-            for c in range(len(cb))
-        ],
-        "j int, cid int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_codebooks(spark, cbs, path)
 
 
 def ivfpq_search_stored(
@@ -754,15 +762,7 @@ def ivfpq_search_stored(
 
     crows = spark.read.parquet(f"{path}/centroids").collect()
     C = {int(r.cluster): np.asarray(r.center, dtype=np.float64) for r in crows}
-    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
-    mm = 1 + max(r.j for r in cb_rows)
-    cbs = [
-        np.asarray(
-            [r.cvec for r in sorted((r for r in cb_rows if r.j == j), key=lambda r: r.cid)],
-            dtype=np.float64,
-        )
-        for j in range(mm)
-    ]
+    cbs = _read_codebooks(spark, path)
     q = np.asarray(_read_query_vec_np(emb_path, query_id), dtype=np.float64)
     probe = _nearest_clusters(q, [(c, list(v)) for c, v in C.items()], nprobe)
     luts = {c: np.asarray(_pq_luts_np(q - C[c], cbs), dtype=np.float64) for c in probe}

@@ -391,17 +391,9 @@ def make_wand_kernel(
     # groups=None -> all-singleton == classic AND).  Tree leaves are
     # covered by the tree itself — a singleton for them would wrongly
     # REQUIRE every Or-branch member.
-    def _tree_leaves(n, out):
-        if n[0] == "term":
-            out.append(n[1])
-        else:
-            for c in n[1]:
-                _tree_leaves(c, out)
+    from ..plans.parser import tree_terms  # the one tree-leaf walker
 
-    tleaves: list[str] = []
-    if tree is not None:
-        _tree_leaves(tree, tleaves)
-    tree_set = set(tleaves)
+    tree_set = set(tree_terms(tree))
     clauses = [list(dict.fromkeys(c)) for c in (groups or [])]
     _covered = {t for c in clauses for t in c} | tree_set
     clauses += [[t] for t in qterms if t not in _covered]

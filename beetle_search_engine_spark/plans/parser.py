@@ -295,10 +295,18 @@ class ParsedQuery:
     # '*' as the whole positive query (Whoosh EveryPlugin, in the
     # default plugin set): match EVERY live document at constant score
     # 1.0 (Every's matcher weight).  Excluded terms compose ("* NOT x"
-    # == AndNot(Every, x)); any other positive content drops the star
-    # instead (And(Every, t) matches exactly t's docs and shifts every
-    # score by the same +1.0 constant — ranking-identical, documented).
+    # == AndNot(Every, x)).  A pure top-level OR chain containing a
+    # standalone star ("* OR x", "x OR * OR y") sets ``every_or``: the
+    # query is Or(Every, rest) — every live doc matches, and docs
+    # matching ``every_rest`` add its score to Every's 1.0 (Whoosh union
+    # scoring sums matching children).  Any other star company — AND
+    # adjacency, quotes, parens, modifiers in the chain — drops the star
+    # (for adjacency And(Every, t) is ranking-identical to t, the
+    # +1.0 shift cancels; for the mixed shapes this is a DOCUMENTED
+    # DIVERGENCE: Whoosh would keep the star inside the boolean tree).
     every: bool = False
+    every_or: bool = False            # query is Or(Every, every_rest)
+    every_rest: str = ""              # raw remainder to search and +1.0
 
     @property
     def empty(self) -> bool:
@@ -418,6 +426,7 @@ def _build_tree(
         nonlocal pos
         units: list[tuple] = []
         or_pending = False
+        closed = False
         while pos < len(toks):
             w = toks[pos]
             node = None
@@ -430,6 +439,7 @@ def _build_tree(
                 if depth == 0:
                     return _TREE_ABORT  # unbalanced
                 pos += 1
+                closed = True
                 break
             elif w == "OR":
                 pos += 1
@@ -496,6 +506,9 @@ def _build_tree(
                 or_pending = False
             else:
                 units.append(node)
+        if depth > 0 and not closed:
+            return _TREE_ABORT  # unclosed group at EOF: unbalanced,
+            # keep the documented flat reading
         if not units:
             return None
         return units[0] if len(units) == 1 else ("and", tuple(units))
@@ -549,6 +562,27 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     # expansions — drops the star and parses the remainder as before
     # (And(Every, t) is ranking-identical to t; see ParsedQuery.every).
     stripped = query.strip()
+    # pure top-level OR chain with a standalone star: unit (OR unit)*
+    # where one unit is '*' -> Or(Every, chain-of-the-others).  Quotes,
+    # parens and modifier units leave the chain shape and fall through.
+    toks = stripped.split()
+    if (
+        "*" in toks
+        and '"' not in stripped and "(" not in stripped and "'" not in stripped
+        and len(toks) >= 3 and len(toks) % 2 == 1
+        and all(t == "OR" for t in toks[1::2])
+        and all(
+            t != "OR" and not t.startswith("-")
+            and t not in ("NOT", "AND", "ANDNOT", "ANDMAYBE", "REQUIRE")
+            for t in toks[0::2]
+        )
+    ):
+        units = [t for t in toks[0::2] if t != "*"]
+        rest = " OR ".join(units)
+        sub = parse_query(rest, analyzer, fields) if rest else ParsedQuery(terms=[], mode="and")
+        if sub.empty:  # '* OR *' / '* OR <stopword>': still match-all
+            return replace(sub, every=True)
+        return replace(sub, every_or=True, every_rest=rest)
     if stripped == "*" or stripped.startswith("* "):
         rest = stripped[1:].strip()
         sub = parse_query(rest, analyzer, fields) if rest else ParsedQuery(terms=[], mode="and")
@@ -558,7 +592,9 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
             or sub.excluded_prefixes or sub.excluded_ranges or sub.excluded_wildcards
         ):
             return replace(sub, every=True)
-        query = stripped[1:]
+        return sub  # star dropped (And(Every, sub) ranking-identity);
+        # `rest` is the same text — re-parsing it inline would double
+        # the work for an identical result
     phrases: list[list[tuple[str, int]]] = []
     ex_phrases: list[list[tuple[str, int]]] = []
     sl_phrases: list[tuple[list[tuple[str, int]], int]] = []

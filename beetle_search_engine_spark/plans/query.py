@@ -196,6 +196,38 @@ class BM25Index:
             "doc_id", F.lit(1.0).alias("score"), F.row_number().over(w).alias("rank")
         )
 
+    def _search_every_or(
+        self, pq: ParsedQuery, top_k: int, prefer_local: bool | None = None
+    ) -> DataFrame:
+        """Or(Every, rest) — a pure top-level OR chain containing '*':
+        every live document matches, and docs matching ``every_rest``
+        add its BM25F score to Every's constant 1.0 (Whoosh's union
+        matcher sums matching children).  A sub match always outranks
+        the 1.0 floor, so the sub's own top-k fills the result; only
+        when the sub matches fewer than k docs does the remainder pad at
+        1.0 by lowest display id (the same determinism rule as
+        ``_search_every``).  Driver-side assembly of <= 2k tiny rows."""
+        sub = self.search(pq.every_rest, top_k, mode="parse", prefer_local=prefer_local).collect()
+        out = [(r["doc_id"], 1.0 + r["score"]) for r in sub]
+        if len(sub) < top_k:
+            matched = {r["doc_id"] for r in sub}
+            pads = self._search_every(
+                ParsedQuery(terms=[], mode="and", every=True), top_k + len(sub)
+            ).collect()
+            out += [
+                (r["doc_id"], 1.0)
+                for r in pads
+                if r["doc_id"] not in matched
+            ][: top_k - len(sub)]
+        # +1.0 is monotone, so the sub's own rank order (incl. its
+        # docnum tiebreak) is preserved verbatim; the 1.0-floor padding
+        # sorts strictly below every match and is ordered by lowest
+        # display id (the _search_every determinism rule) — no re-sort
+        return self.spark.createDataFrame(
+            [(d, s, i + 1) for i, (d, s) in enumerate(out)],
+            "doc_id string, score double, rank int",
+        )
+
     def search(
         self, query: str, top_k: int = 10, mode: str = "and", prefer_local: bool | None = None
     ) -> DataFrame:
@@ -216,6 +248,8 @@ class BM25Index:
             pq = ParsedQuery(terms=self.analyzer.analyze_query(query), mode=mode)
         if pq.every:
             return self._search_every(pq, top_k)
+        if pq.every_or:
+            return self._search_every_or(pq, top_k, prefer_local)
         if pq.empty:
             return self.empty_result()
         if (
@@ -331,9 +365,10 @@ class BM25Index:
                 pq = parse_query(qs, self.analyzer, fields=fields)
             else:
                 pq = ParsedQuery(terms=self.analyzer.analyze_query(qs), mode=mode)
-            if pq.every:
-                # match-all has no cursors for the batch kernel — answered
-                # by its own docids-dim plan and unioned into the result
+            if pq.every or pq.every_or:
+                # match-all (and its OR-chain form) has no cursors for
+                # the batch kernel — answered by its own docids-dim plan
+                # and unioned into the result
                 every_pqs[qid] = pq
                 continue
             if (
@@ -350,11 +385,17 @@ class BM25Index:
 
         def _with_every(df: DataFrame) -> DataFrame:
             for eqid, epq in every_pqs.items():
-                er = self._search_every(epq, top_k).select(
-                    F.lit(eqid).alias("query_id"), "doc_id", "score", "rank"
+                one = (
+                    self._search_every_or(epq, top_k)
+                    if epq.every_or
+                    else self._search_every(epq, top_k)
                 )
-                df = df.unionByName(er)
-            return df
+                df = df.unionByName(one.select(
+                    F.lit(eqid).alias("query_id"), "doc_id", "score", "rank"
+                ))
+            # re-assert the output contract after the unions: rows
+            # grouped by query_id, rank ascending within each
+            return df.orderBy("query_id", "rank") if every_pqs else df
 
         if not parsed:
             return _with_every(self.spark.createDataFrame(

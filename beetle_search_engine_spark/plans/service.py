@@ -46,13 +46,21 @@ class SearchService:
         self.documents = documents
         self.embeddings = embeddings
         if embeddings is not None and query_embedder is None:
-            dim = len(embeddings.select("embedding").first()[0])
+            # dim probe deferred to the first vector request (and cached):
+            # the constructor must not run a Spark job, and an empty
+            # embeddings frame should 400 at request time, not crash here
+            self._dim = None
 
-            def query_embedder(q: str, _dim=dim):
+            def query_embedder(q: str):
+                if self._dim is None:
+                    row = self.embeddings.select("embedding").first()
+                    if row is None:
+                        raise ValueError("embeddings frame is empty")
+                    self._dim = len(row[0])
                 from ..operators.embed import embed_texts
 
                 one = self.spark.createDataFrame([("q", q)], "doc_id string, text string")
-                return [float(x) for x in embed_texts(one, dim=_dim).first()["embedding"]]
+                return [float(x) for x in embed_texts(one, dim=self._dim).first()["embedding"]]
 
         self.query_embedder = query_embedder
 

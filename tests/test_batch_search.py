@@ -82,3 +82,18 @@ def test_batch_respects_deletions(idx):
 
         shutil.rmtree(f"{idx.index_dir}/tombstones", ignore_errors=True)
         idx._load_tombstones()
+
+
+def test_batch_with_star_keeps_global_ordering(idx):
+    """A '*' (or '* OR x') member must not break the output contract:
+    rows grouped by query_id with rank ascending inside each group."""
+    res = idx.search_many({"a": "*", "b": "alpha beta", "c": "* OR alpha"}, 5, "parse").collect()
+    keys = [(r.query_id, r.rank) for r in res]
+    assert keys == sorted(keys), keys
+    # the every_or member matches every doc and boosts alpha's
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert len(per_q["a"]) == 5 and all(r.score == 1.0 for r in per_q["a"])
+    want_c = [(r.doc_id, r.score) for r in idx.search("* OR alpha", 5, "parse").collect()]
+    assert [(r.doc_id, r.score) for r in per_q["c"]] == want_c

@@ -254,3 +254,30 @@ def test_every_star_matches_all(spark, built):
         for r in index.search("spark", 5, "parse").collect()
     ]
     assert got_a == want_a
+
+
+def test_every_or_chain(spark, built):
+    """'* OR x' (Whoosh Or(Every, x)): every live doc matches; x-docs add
+    their BM25F score to Every's 1.0, the rest pad at 1.0 by lowest id."""
+    idx, _, docs, _ = built
+    index = BM25Index(spark, idx)
+    res = index.search("* OR spark", N_DOCS + 10, "parse").collect()
+    assert len(res) == N_DOCS  # the whole corpus matches
+    sub = {r.doc_id: r.score for r in index.search("spark", N_DOCS, "parse").collect()}
+    for r in res:
+        want = 1.0 + sub.get(r.doc_id, 0.0)
+        assert abs(r.score - want) < 1e-9, (r.doc_id, r.score, want)
+    # matching docs outrank the 1.0 floor, floor ties break by doc_id
+    scores = [r.score for r in res]
+    assert scores == sorted(scores, reverse=True)
+    floor = [r.doc_id for r in res if r.score == 1.0]
+    assert floor == sorted(floor)
+    # top-k cut: k smaller than the match count -> exactly sub's own
+    # top-k (the engine's score-desc/docnum-asc order) shifted by +1
+    k = 3
+    top = [(r.doc_id, r.score) for r in index.search("* OR spark", k, "parse").collect()]
+    want_top = [
+        (r.doc_id, 1.0 + r.score)
+        for r in index.search("spark", k, "parse").collect()
+    ]
+    assert top == want_top

@@ -845,3 +845,38 @@ def test_parse_single_quoted_text_degrades_to_terms():
     assert pq.phrases == []
     pq1 = parse_query("'spark' scan", S)
     assert set(pq1.terms) == {"spark", "scan"}
+
+
+def test_every_or_chain_sets_every_or():
+    # '* OR x' is Or(Every, x): every live doc matches, x adds its score
+    pq = parse_query("* OR spark", S, fields=FG)
+    assert pq.every_or and not pq.every
+    assert pq.every_rest == "spark" and pq.terms == ["spark"]
+    # trailing star and longer chains too
+    pq = parse_query("spark OR *", S, fields=FG)
+    assert pq.every_or and pq.every_rest == "spark"
+    pq = parse_query("spark OR * OR scan", S, fields=FG)
+    assert pq.every_or and pq.every_rest == "spark OR scan"
+    assert pq.mode == "or" or pq.groups  # the rest is a disjunction
+
+
+def test_every_or_star_with_stopwords_is_every():
+    pq = parse_query("* OR the", S, fields=FG)
+    assert pq.every and not pq.every_or
+
+
+def test_every_or_chain_guards():
+    # adjacency / modifiers / quotes break the chain: star drops (the
+    # documented divergence), never a bogus every_or
+    assert not parse_query("* OR spark scan", S, fields=FG).every_or
+    assert not parse_query("* OR NOT spark", S, fields=FG).every_or
+    assert not parse_query('* OR "big data"', S, fields=FG).every_or
+
+
+def test_unbalanced_open_paren_degrades_to_flat():
+    # unclosed group at end-of-query keeps the flat reading, matching
+    # the documented _build_tree contract (stray ')' already did)
+    pq = parse_query("(alpha beta) OR (gamma delta", S)
+    assert pq.tree is None
+    pq2 = parse_query("(alpha beta) OR (gamma delta)", S)
+    assert pq2.tree is not None
