@@ -1364,6 +1364,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["engine_every"] = _every
 
+    # Or(Every, x) — '* OR spark' (round 5): every live doc matches and
+    # spark-docs add their BM25F score to Every's constant 1.0 (Whoosh
+    # union scoring sums matching children).  'spark' matches >= 10 docs
+    # at sf0.01, so the top-10 is exactly the bm25 top-10 shifted by +1
+    # — SQL-expressible on the stem-free index.  Outside the 50-row
+    # driver window; same pytest oracle gate.
+    def _every_or(s, d):
+        res = _engine_index_nostem(s, d).search("* OR spark", 10, "parse")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["engine_every_or"] = _every_or
+
     # Gopher quality rules (round 5, Rae et al. 2021 Appendix A1.1):
     # the published heuristic battery — word count / mean word length /
     # symbol ratio / bullet + ellipsis line fractions / alphabetic-word
@@ -2649,6 +2661,14 @@ def oracle_sql() -> dict[str, str]:
       )
       ORDER BY doc_id::varchar LIMIT 10
     """
+
+    # Or(Every, spark): with >= 10 spark matches the top-10 is the bm25
+    # top-10 shifted by Every's +1.0 (the 1.0 floor never surfaces)
+    o["engine_every_or"] = (
+        _bm25_ctes(["spark"])
+        + "SELECT doc_id::varchar AS doc_id, round(1.0 + s, 4) AS score FROM scores "
+        + "ORDER BY s DESC, doc_id LIMIT 10"
+    )
 
     # sloppy phrase: same CTE chain as engine_phrase but the adjacency
     # predicate widens to the Whoosh SpanNear2 window — b 1..3 positions
