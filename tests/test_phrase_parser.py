@@ -625,6 +625,7 @@ def test_nasty_queries_dont_crash_search(phrase_index):
         'NOT "', "--x", "title:*", "[z TO a]",  # inverted range: no terms
         "ANDMAYBE", "REQUIRE", "alpha REQUIRE", "ANDMAYBE alpha",
         "REQUIRE beta", "alpha ANDMAYBE -beta", "alpha^ beta", "^2",
+        "* OR", "OR *", "* OR *", "* OR the", "* OR alpha OR", "(a OR *",
     ]:
         df = phrase_index.search(q, 5, mode="parse")
         assert df.count() >= 0  # parses + executes (possibly empty)
