@@ -1390,6 +1390,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), min_stop_hits=1
     ).withColumn("keep", F.col("keep").cast("int"))
 
+    # C4 cleaning battery (round 5, Raffel et al. 2020 §2.2).  The
+    # synthetic docs are one punctuation-free line, so the entry derives
+    # a structured text deterministically — ' table ' becomes a
+    # sentence+line break, and doc_id % 17 / % 23 inject the lorem-ipsum
+    # and curly-brace pages — making every signal discriminate; the
+    # oracle applies the identical derivation.  Outside the 50-row
+    # driver window; same pytest oracle gate.
+    def _c4(s, d):
+        docs = _docs(s, d)
+        t = F.regexp_replace(F.col("text"), " table ", ".\n")
+        t = F.when(F.col("doc_id") % 17 == 0, F.concat(t, F.lit("\nlorem ipsum here."))).otherwise(t)
+        t = F.when(F.col("doc_id") % 23 == 0, F.concat(t, F.lit("\nvar x = {1};"))).otherwise(t)
+        return curation.c4_rules(
+            docs.select("doc_id", t.alias("text")),
+            min_sentences=3,
+            bad_words=["dup"],  # df=25 at sf0.01 — rare enough that the
+            # blocklist gate doesn't flatten the keep distribution
+        )
+
+    q["c4_quality_filter"] = _c4
+
     # reorder: driver window first (see _DRIVER_WINDOW above), demoted
     # family twins after — same entry set either way
     assert set(_DRIVER_WINDOW) <= set(q), sorted(set(_DRIVER_WINDOW) - set(q))
@@ -2745,6 +2766,64 @@ def oracle_sql() -> dict[str, str]:
               AND ellipsis_line_frac <= 0.3
               AND alpha_word_frac >= 0.8
               AND stop_hits >= 1)::int AS keep
+      FROM r
+    """
+
+    # C4 battery: the entry's deterministic text derivation (sentence/
+    # line breaks at ' table ', lorem/brace pages by doc_id modulus) is
+    # applied HERE identically, then every signal restated over DuckDB
+    # list lambdas; thresholds mirror the entry (min_sentences=3,
+    # bad_words = [dup], min_line_words=3)
+    o["c4_quality_filter"] = r"""
+      WITH base AS (
+        SELECT doc_id,
+               regexp_replace(coalesce(text, ''), ' table ', '.' || chr(10), 'g') AS t0
+        FROM documents
+      ),
+      drv AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0 THEN t0 || chr(10) || 'lorem ipsum here.' ELSE t0 END AS t1
+        FROM base
+      ),
+      drv2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 23 = 0 THEN t1 || chr(10) || 'var x = {1};' ELSE t1 END AS t
+        FROM drv
+      ),
+      s AS (
+        SELECT doc_id, t,
+               list_filter(regexp_split_to_array(t, '\n'), x -> trim(x) <> '') AS lines
+        FROM drv2
+      ),
+      k AS (
+        SELECT doc_id, t, lines,
+               list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$')
+                 AND len(list_filter(regexp_split_to_array(trim(x), '\s+'), w -> w <> '')) >= 3
+                 AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS kept
+        FROM s
+      ),
+      r AS (
+        SELECT doc_id,
+               len(lines)::bigint AS n_lines,
+               len(kept)::bigint AS n_retained_lines,
+               round(len(kept) * 1.0 / greatest(len(lines), 1), 6) AS retained_line_frac,
+               coalesce(list_sum(list_transform(kept,
+                 x -> length(x) - length(regexp_replace(x, '[.!?]', '', 'g')))), 0)::bigint
+                 AS n_sentences,
+               contains(lower(t), 'lorem ipsum')::int AS has_lorem_ipsum,
+               contains(t, '{')::int AS has_brace,
+               len(list_intersect(
+                 list_transform(
+                   list_filter(regexp_split_to_array(trim(lower(t)), '\s+'), w -> w <> ''),
+                   w -> regexp_replace(w, '[^a-z0-9]', '', 'g')),
+                 ['dup']))::bigint AS bad_word_hits
+        FROM k
+      )
+      SELECT doc_id, n_lines, n_retained_lines, retained_line_frac, n_sentences,
+             has_lorem_ipsum, has_brace, bad_word_hits,
+             (n_retained_lines >= 1 AND n_sentences >= 3
+              AND has_lorem_ipsum = 0 AND has_brace = 0
+              AND bad_word_hits = 0)::int AS keep
       FROM r
     """
 

@@ -475,3 +475,90 @@ def gopher_rules(
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return out.withColumn("keep", keep)
+
+
+C4_BAD_WORDS = ["badword1", "badword2"]  # placeholder for the published
+# blocklist ("List of Dirty, Naughty, Obscene...") — the list itself is
+# a data artifact, not an algorithm; callers pass their own
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+    bad_words: list[str] | None = None,
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning...", §2.2) as ONE row of pure column
+    expressions per doc — the other canonical published battery next to
+    :func:`gopher_rules`:
+
+      1. only lines ending in a terminal punctuation mark ('.', '!',
+         '?', '"') count as retained
+      2. retained lines must have >= min_line_words words; lines
+         containing the word 'javascript' are dropped
+      3. pages need >= min_sentences sentences (counted as terminal
+         marks across retained lines — a documented stand-in for the
+         paper's sentence tokenizer, which is a model artifact)
+      4. pages containing 'lorem ipsum' (case-insensitive) are dropped
+      5. pages containing a curly brace '{' are dropped (code leakage)
+      6. pages with any blocklist word are dropped (``bad_words``; the
+         published list is a data artifact — parameterized, tiny
+         placeholder default)
+
+    Returns (id, n_lines, n_retained_lines, retained_line_frac,
+    n_sentences, has_lorem_ipsum, has_brace, bad_word_hits, keep) —
+    per-signal values so callers can re-threshold without recomputing.
+    The paper's three-sentence-span dedup step lives in
+    :func:`duplicate_span_stats` / the near-dup family, and language
+    filtering in ``textops.lang_id`` — composition, not omission.
+
+    Scale shape: zero exchange, same as gopher_rules — every signal is
+    a JVM-side expression over the row's own text, a narrow map fused
+    into the feeding scan."""
+    bw = [w.lower() for w in (bad_words if bad_words is not None else C4_BAD_WORDS)]
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(txt)
+    lines = F.filter(F.split(txt, "\n"), lambda x: F.trim(x) != F.lit(""))
+    n_lines = F.size(lines)
+    n_div = F.greatest(n_lines, F.lit(1))
+    kept = F.filter(
+        lines,
+        lambda x: F.trim(x).rlike(r'[.!?"]$')
+        & (
+            F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != F.lit("")))
+            >= F.lit(min_line_words)
+        )
+        & ~F.lower(x).rlike(r"\bjavascript\b"),
+    )
+    n_kept = F.size(kept)
+    # sentences ~ terminal marks across retained lines
+    joined = F.array_join(kept, "\n")
+    n_sent = F.length(joined) - F.length(F.regexp_replace(joined, r"[.!?]", ""))
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = txt.contains("{")
+    words_low = F.transform(
+        F.filter(F.split(F.trim(low), r"\s+"), lambda w: w != F.lit("")),
+        lambda w: F.regexp_replace(w, r"[^a-z0-9]", ""),
+    )
+    bad_hits = F.size(F.array_intersect(words_low, F.array(*[F.lit(w) for w in bw])))
+    out = df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_retained_lines"),
+        F.round(n_kept / n_div, 6).alias("retained_line_frac"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_lorem.cast("int").alias("has_lorem_ipsum"),
+        has_brace.cast("int").alias("has_brace"),
+        bad_hits.cast("long").alias("bad_word_hits"),
+    )
+    keep = (
+        (F.col("n_retained_lines") >= 1)
+        & (F.col("n_sentences") >= min_sentences)
+        & (F.col("has_lorem_ipsum") == 0)
+        & (F.col("has_brace") == 0)
+        & (F.col("bad_word_hits") == 0)
+    )
+    return out.withColumn("keep", keep.cast("int"))

@@ -556,3 +556,36 @@ def test_gopher_rules_signals_and_keep(spark):
     # zero-exchange plan: a narrow map over the scan
     plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_c4_rules_signals_and_keep(spark):
+    """Each C4 §2.2 rule trips on a crafted doc; the good doc passes.
+    Zero-exchange plan like gopher_rules."""
+    from beetle_search_engine_spark.operators.curation import c4_rules
+
+    good = "this is a fine sentence.\nanother proper sentence here.\nand one more to finish."
+    rows = [
+        (0, good),                                        # passes everything
+        (1, "no terminal punctuation at all\nstill none"),  # 0 retained lines
+        (2, "one line only ends right."),                 # < min_sentences
+        (3, good + "\nsome lorem ipsum filler."),         # lorem ipsum page
+        (4, good + "\nvar x = {1};"),                     # curly brace page
+        (5, good.replace("another", "blocked")),          # blocklist word
+        (6, "use javascript here.\n" + good),             # js line dropped, still enough
+        (7, "ok.\nno.\nhm."),                             # lines under 3 words
+        (8, None),                                        # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = c4_rules(df, min_sentences=3, bad_words=["blocked"])
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[0].keep == 1 and got[0].n_retained_lines == 3 and got[0].n_sentences == 3
+    assert got[1].keep == 0 and got[1].n_retained_lines == 0
+    assert got[2].keep == 0 and got[2].n_sentences == 1
+    assert got[3].keep == 0 and got[3].has_lorem_ipsum == 1
+    assert got[4].keep == 0 and got[4].has_brace == 1
+    assert got[5].keep == 0 and got[5].bad_word_hits == 1
+    assert got[6].keep == 1  # the javascript line is dropped, 3 good remain
+    assert got[7].keep == 0 and got[7].n_retained_lines == 0
+    assert got[8].keep == 0 and got[8].n_lines == 0
+    plan = c4_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
