@@ -412,8 +412,15 @@ def build_index(
             prior.get("fingerprint") != fp
             or prior.get("layout_version") != INDEX_LAYOUT_VERSION
             or prior.get("layout_hash") != cfg_hash
+            # an epoch-appended index can fingerprint-equal a fresh
+            # full-corpus build (the xor is order-independent), but its
+            # docids and postings are numbered per-epoch — resuming over
+            # it would re-encode groups under full-corpus docnums while
+            # keeping the per-epoch docids dimension: silent mismatches.
+            # Epoch-carrying stats always force the full rebuild path.
+            or set(prior.get("epochs", {"0": None})) != {"0"}
         ):
-            prior = None  # corpus, layout or config changed -> full rebuild
+            prior = None  # corpus, layout, config or epochs changed -> full rebuild
 
     # Remove stale posting groups: anything without a manifest matching
     # this corpus fingerprint (leftover epoch groups from an older corpus,
@@ -441,11 +448,8 @@ def build_index(
                 )
             if not keep:
                 _sh.rmtree(f"{post_root}/{d}", ignore_errors=True)
-                if g >= 1000 or g >= cfg.index.bucket_groups:
-                    # stale epoch/foreign manifest too
-                    for p in (man_path, f"{index_dir}/_manifest/group_{g}.json"):
-                        if os.path.exists(p):
-                            os.remove(p)
+                if (g >= 1000 or g >= cfg.index.bucket_groups) and os.path.exists(man_path):
+                    os.remove(man_path)  # stale epoch/foreign manifest too
 
     if prior is None:
         # full rebuild: clear the WHOLE docids dir first — write_docids
@@ -459,6 +463,44 @@ def build_index(
         # pruned numbering pass: only (doc_id [+meta]) ride through Arrow
         write_docids(numbered(staged, offsets, ["doc_id", *meta_cols]), f"{index_dir}/docids", meta_cols)
         _mark('write_docids')
+
+    # No-op resume fast path: a fully-complete index (valid prior stats
+    # + every group manifest matching this fingerprint/layout) needs no
+    # tokenize pass and no df aggregation — the heaviest stages of the
+    # build — so a clean re-run costs only the staging fingerprint scan.
+    if prior is not None:
+        complete = []
+        for g in range(cfg.index.bucket_groups):
+            mp = f"{index_dir}/_manifest/group_{g}.json"
+            if not os.path.exists(mp):
+                break
+            with open(mp) as mf:
+                man = json.load(mf)
+            if (
+                man.get("fingerprint") != fp
+                or man.get("layout_version") != INDEX_LAYOUT_VERSION
+                or man.get("layout_hash") != cfg_hash
+            ):
+                break
+            complete.append({**man, "skipped": True})
+        if len(complete) == cfg.index.bucket_groups:
+            import shutil as _sh
+
+            _sh.rmtree(f"{index_dir}/_stage", ignore_errors=True)
+            wall = time.time() - t0
+            _mark('no-op resume (all manifests match)')
+            return {
+                "wall_s": round(wall, 3),
+                "n_docs": n_docs,
+                "docs_per_sec": round(n_docs / max(wall, 1e-9), 1),
+                "postings": sum(m["postings"] for m in complete),
+                "compressed_bytes": sum(m["compressed_bytes"] for m in complete),
+                "vocab_size": prior.get("vocab_size", 0),
+                "n_hot_terms": prior.get("n_hot_terms", 0),
+                "groups_built": 0,
+                "groups_skipped": cfg.index.bucket_groups,
+                "groups": complete,
+            }
 
     # Stage tokens to parquet once (columnar, splittable) rather than
     # JVM-cache them: the in-memory columnar store serializes/compresses
@@ -497,11 +539,17 @@ def build_index(
         ).collect()
         _mark('df/avgdl (tokens materialize)')
         avgdl = {r["field"]: float(r["s"]) / n_docs for r in avg_rows}
+        # exact per-field token totals ride along so epoch appends can
+        # merge avgdl without mistaking the 1.0 empty-field placeholder
+        # below for real mass
+        dl_totals = {r["field"]: float(r["s"]) for r in avg_rows}
         for fname in fields:
             avgdl.setdefault(fname, 1.0)
+            dl_totals.setdefault(fname, 0.0)
         vocab_size = sum(int(r["v"]) for r in avg_rows)
     else:
         avgdl = prior["avgdl"]
+        dl_totals = prior.get("dl_totals", {})
         vocab_size = prior.get("vocab_size", 0)
 
     # ---- hot-term detection (Zipf head -> salted encode)
@@ -512,6 +560,11 @@ def build_index(
 
     stats = {
         "n_docs": n_docs,
+        # the next free docnum for epoch appends: n_docs at build time,
+        # PRESERVED by optimize (docnums stay sparse after a merge — an
+        # append offsetting from the post-merge n_docs would collide)
+        "next_docnum": n_docs,
+        "dl_totals": dl_totals,
         "avgdl": avgdl,
         "fields": sorted(fields),
         "field_boosts": dict(cfg.bm25.field_boosts),
@@ -778,6 +831,30 @@ def optimize_index(spark: SparkSession, index_dir: str, cfg: EngineConfig | None
         stats = json.load(f)
     if cfg is None:
         cfg = config_from_stats(index_dir, stats)
+    else:
+        # a caller-supplied cfg must agree with the stored layout: the
+        # merge would otherwise re-bucket postings under the new params
+        # while stats.json keeps the old ones — queries then prune with
+        # the stale n_buckets and silently miss postings.  Loud beats
+        # silent: validate every layout-affecting field.
+        mismatched = {
+            k: (got, want)
+            for k, got, want in (
+                ("n_buckets", cfg.index.n_buckets, stats["n_buckets"]),
+                ("chunk_docs", cfg.index.chunk_docs, stats["chunk_docs"]),
+                ("block_size", cfg.index.block_size, stats["block_size"]),
+                ("blocks_per_row", cfg.index.blocks_per_row,
+                 stats.get("blocks_per_row", cfg.index.blocks_per_row)),
+                ("store_positions", cfg.index.store_positions,
+                 bool(stats.get("store_positions", False))),
+            )
+            if got != want
+        }
+        if mismatched:
+            raise ValueError(
+                "optimize_index cfg disagrees with the index's stored layout "
+                f"({mismatched}); pass cfg=None to derive it from stats.json"
+            )
     store_pos = bool(stats.get("store_positions", False))
 
     tomb_dir = f"{index_dir}/tombstones"
@@ -830,8 +907,10 @@ def optimize_index(spark: SparkSession, index_dir: str, cfg: EngineConfig | None
         F.sum("tfsum").alias("s"), F.count(F.lit(1)).alias("v")
     ).collect()
     avgdl = {r["field"]: float(r["s"]) / n_docs for r in avg_rows}
+    dl_totals = {r["field"]: float(r["s"]) for r in avg_rows}
     for fname in stats["fields"]:
         avgdl.setdefault(fname, 1.0)
+        dl_totals.setdefault(fname, 0.0)
     vocab_size = sum(int(r["v"]) for r in avg_rows)
     hot_rows = dfs.filter(F.col("df") > thr).select("field", "term", "df").collect()
     hot_df = {(r["field"], r["term"]): int(r["df"]) for r in hot_rows}
@@ -848,6 +927,11 @@ def optimize_index(spark: SparkSession, index_dir: str, cfg: EngineConfig | None
     new_stats = dict(stats)
     new_stats.update(
         n_docs=n_docs,
+        # docnums are KEPT by the merge (the space just goes sparse), so
+        # the next free docnum for appends is preserved, not reset to the
+        # post-merge n_docs — resetting would hand out colliding docnums
+        next_docnum=int(stats.get("next_docnum", stats["n_docs"])),
+        dl_totals=dl_totals,
         avgdl=avgdl,
         vocab_size=vocab_size,
         n_hot_terms=len(hot_df),

@@ -21,9 +21,19 @@ from pyspark.sql import types as T
 
 
 def _conf_bytes(spark, key: str, default: int) -> int:
-    raw = str(spark.conf.get(key, str(default)))
-    digits = "".join(c for c in raw if c.isdigit())
-    return int(digits or str(default))
+    """Parse a Spark byte-size conf value.  Spark reports these either
+    as plain digits + 'b' ('134217728b') or accepts human suffixes from
+    the user ('512m', '1g') — stripping non-digits would read '512m' as
+    512 BYTES and make the staging split-size enforcement fail on a
+    legitimate session config, so the suffix multiplies."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)\s*([kmgtp]?)b?", raw)
+    if not m:
+        return default
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    return int(m.group(1)) * mult[m.group(2)]
 
 
 def _file_stats(spark, path: str) -> tuple[int, int, int]:
@@ -80,7 +90,13 @@ def stage_corpus(
     parquet (one file per hash partition, tagged with its partition id);
     a column-pruned aggregation over the stage yields per-partition counts
     (which double as the corpus fingerprint — row count +
-    order-independent xor of id hashes).  No JVM caching: the in-memory
+    order-independent xor of id hashes + the partition modulus).  The
+    fingerprint is deliberately CONTENT-BLIND: resume semantics treat
+    the corpus as an immutable snapshot keyed by doc_id — editing a
+    document's text in place without changing its id or the row count is
+    invisible to resume and will keep serving the old postings (hash
+    content into the ids, or rebuild with resume=False, if your corpus
+    mutates in place).  No JVM caching: the in-memory
     columnar store anti-scales under high local concurrency and evicts
     under memory pressure, while parquet staging is linear and spill-free
     at any parallelism.
@@ -141,7 +157,16 @@ def stage_corpus(
     xor = 0
     for r in rows:
         xor ^= int(r["x"] or 0)
-    fingerprint = {"n_docs": int(sum(counts.values())), "id_hash_xor": xor}
+    # `parts` pins the hash-partition modulus: docnum assignment is a
+    # function of (doc ids, modulus), so a resume under a different
+    # parallelism must read as a DIFFERENT corpus (group manifests would
+    # otherwise short-circuit groups encoded under the old docnums while
+    # docids get rewritten under the new ones — silent wrong results)
+    fingerprint = {
+        "n_docs": int(sum(counts.values())),
+        "id_hash_xor": xor,
+        "parts": int(partitions),
+    }
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -218,7 +243,13 @@ def stage_corpus_prestaged(
         raise ValueError("file name failed to map to a pid — use stage_corpus")
     if int(row["c"]) != sum(counts.values()):
         raise ValueError("footer row counts disagree with scan — use stage_corpus")
-    fingerprint = {"n_docs": int(row["c"]), "id_hash_xor": int(row["x"] or 0)}
+    fingerprint = {
+        "n_docs": int(row["c"]),
+        "id_hash_xor": int(row["x"] or 0),
+        # prestaged layouts derive pids from the files themselves, so
+        # the file count is the partitioning identity
+        "parts": len(counts),
+    }
     offsets = {}
     acc = 0
     for pid in sorted(counts):

@@ -56,7 +56,11 @@ def append_epoch(
         stats = json.load(f)
     if batch_tag is not None and batch_tag in stats.get("applied_batches", []):
         return {"epoch": None, "skipped": True, "batch_tag": batch_tag}
-    offset = stats["n_docs"]
+    # the next free docnum, NOT n_docs: after an optimize the surviving
+    # docnums stay sparse (max docnum can exceed the live count), so an
+    # n_docs-based offset would hand new docs docnums that collide with
+    # live ones — two doc_ids per docnum, merged postings, wrong results
+    offset = int(stats.get("next_docnum", stats["n_docs"]))
     epoch = max(int(e) for e in stats["epochs"]) + 1
 
     staged, offsets, fp_new = stage_corpus(new_corpus, f"{index_dir}/_stage/epoch_corpus")
@@ -84,13 +88,25 @@ def append_epoch(
     ).write.mode("overwrite").parquet(stage_path)
     tokens = spark.read.parquet(stage_path)
 
-    # updated global stats (weighted avgdl over old + new)
-    n_total = offset + n_new
+    # updated global stats (weighted avgdl over old + new).  The exact
+    # per-field token totals come from stats["dl_totals"] when present:
+    # deriving old mass as avgdl*n would count the build's 1.0
+    # empty-field placeholder as real tokens and diverge from a clean
+    # rebuild (the fallback for pre-dl_totals indexes keeps that old
+    # approximation).  n_total counts DOCUMENTS (live n_docs + new), not
+    # the docnum offset, which can be sparse after an optimize.
+    n_total = int(stats["n_docs"]) + n_new
     sums = {r["field"]: float(r["s"]) for r in tokens.groupBy("field").agg(F.sum("tf").alias("s")).collect()}
+    dl_totals = dict(stats.get("dl_totals", {}))
     avgdl_new = {}
     for fname in set(stats["avgdl"]) | set(fields):
-        old_total = stats["avgdl"].get(fname, 0.0) * offset
-        avgdl_new[fname] = (old_total + sums.get(fname, 0.0)) / n_total
+        if fname in dl_totals:
+            old_total = dl_totals[fname]
+        else:
+            old_total = stats["avgdl"].get(fname, 0.0) * stats["n_docs"]
+        total = old_total + sums.get(fname, 0.0)
+        dl_totals[fname] = total
+        avgdl_new[fname] = total / n_total if total > 0 else 1.0
 
     thr = cfg.index.hot_df_threshold or max(5000, n_total // 50)
     dfs = tokens.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
@@ -132,9 +148,12 @@ def append_epoch(
     enc.write.mode("overwrite").partitionBy("bucket").parquet(f"{index_dir}/postings/group={1000 + epoch}")
 
     stats["n_docs"] = n_total
+    stats["next_docnum"] = offset + n_new
+    stats["dl_totals"] = dl_totals
     stats["avgdl"] = avgdl_new
     stats["epochs"][str(epoch)] = {"n_docs": n_total, "avgdl": avgdl_new}
     stats["fingerprint"] = {
+        **stats["fingerprint"],
         "n_docs": n_total,
         "id_hash_xor": stats["fingerprint"]["id_hash_xor"] ^ fp_new["id_hash_xor"],
     }

@@ -88,10 +88,17 @@ def _fold_sessions(
             out["n_events"].append(n)
             out["start_epoch"].append(start)
             out["session_value"].append(vs)
-            sid, start, n, vs = sid + 1, t, 0, 0.0
+            sid, start, last, n, vs = sid + 1, t, None, 0, 0.0
         n += 1
         vs += float(v)
-        last = t
+        # a later micro-batch may deliver an event OLDER than the open
+        # session's last (out-of-order across batches, within watermark):
+        # it extends the session backwards — last must not regress (a
+        # regressed last would measure the next gap from the wrong edge
+        # and split spuriously) and start absorbs the earlier timestamp,
+        # matching the batch window scan over the same global event set
+        start = min(start, t)
+        last = t if last is None else max(last, t)
     state.update((sid, start, last, n, vs))
     # event-time timeout: when the watermark passes last + gap, the open
     # session can never be extended — flush it then

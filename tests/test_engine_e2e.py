@@ -164,12 +164,18 @@ def test_prestaged_build_matches_staged(spark, built, tmp_path):
     # docnums dense 0..N-1
     dn = sorted(r["docnum"] for r in spark.read.parquet(f"{idx2}/docids").collect())
     assert dn == list(range(N_DOCS))
-    # resume honors the same fingerprint across staging modes
+    # the corpus identity (count + id xor) agrees across staging modes,
+    # but the fingerprint's `parts` key pins the docnum ASSIGNMENT — the
+    # two modes number docs differently, so a resume that switches modes
+    # must read as a different corpus and rebuild (group manifests would
+    # otherwise keep postings numbered under the other mode's docnums)
     with open(f"{idx2}/stats.json") as f:
         fp2 = _json.load(f)["fingerprint"]
     with open(f"{idx}/stats.json") as f:
         fp1 = _json.load(f)["fingerprint"]
-    assert fp1 == fp2
+    assert fp1["n_docs"] == fp2["n_docs"]
+    assert fp1["id_hash_xor"] == fp2["id_hash_xor"]
+    assert "parts" in fp1 and "parts" in fp2
 
 
 def test_prestaged_handles_uri_encoded_filenames(spark, built, tmp_path):

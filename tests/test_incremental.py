@@ -74,3 +74,54 @@ def test_stream_refresh_foreachbatch(spark, indexes, tmp_path):
     assert len(idx.stats["epochs"]) == 3
     res = idx.search("transformer models", 5, "or")
     assert res.count() == 5
+
+
+def test_epoch_avgdl_ignores_empty_field_placeholder(spark, tmp_path):
+    """A field empty in the base corpus stores the 1.0 avgdl placeholder;
+    the epoch merge must not count placeholder*offset as real token mass
+    — merged avgdl must equal a from-scratch rebuild's (dl_totals path)."""
+    import json
+
+    base = spark.createDataFrame(
+        [(f"d{i}", "alpha beta gamma", "") for i in range(8)],
+        "doc_id string, content string, title string",
+    )
+    extra = spark.createDataFrame(
+        [(f"n{i}", "alpha new", "real title words") for i in range(4)],
+        "doc_id string, content string, title string",
+    )
+    fields = {"body": "content", "head": "title"}
+    cfg = EngineConfig(
+        analyzer="sql",
+        index=IndexConfig(n_buckets=4, bucket_groups=1, chunk_docs=8, encode_partitions=4),
+    )
+    inc = str(tmp_path / "inc")
+    build_index(spark, base, inc, fields=fields, cfg=cfg)
+    with open(f"{inc}/stats.json") as f:
+        st0 = json.load(f)
+    assert st0["avgdl"]["head"] == 1.0 and st0["dl_totals"]["head"] == 0.0
+    append_epoch(spark, inc, extra, fields=fields, cfg=cfg)
+    full = str(tmp_path / "full")
+    build_index(spark, base.unionByName(extra), full, fields=fields, cfg=cfg)
+    with open(f"{inc}/stats.json") as f:
+        got = json.load(f)["avgdl"]
+    with open(f"{full}/stats.json") as f:
+        want = json.load(f)["avgdl"]
+    for fname in want:
+        assert abs(got[fname] - want[fname]) < 1e-12, (fname, got, want)
+
+
+def test_conf_bytes_parses_unit_suffixes(spark):
+    from beetle_search_engine_spark.operators.docnums import _conf_bytes
+
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        for raw, want in [
+            ("512m", 512 << 20), ("1g", 1 << 30), ("128k", 128 << 10),
+            ("134217728b", 134217728), ("134217728", 134217728), ("2G", 2 << 30),
+        ]:
+            spark.conf.set(key, raw)
+            assert _conf_bytes(spark, key, 0) == want, raw
+    finally:
+        spark.conf.set(key, old)

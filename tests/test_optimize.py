@@ -243,3 +243,103 @@ def test_lifecycle_delete_append_optimize_equals_clean_rebuild(spark, tmp_path):
         got = sorted(_res(idx, q, mode, k=40))
         want = sorted(_res(ref, q, mode, k=40))
         assert got == want, (q, mode)
+
+
+def test_optimize_then_append_does_not_collide_docnums(spark, tmp_path):
+    """After a merge the surviving docnums stay sparse (max docnum can
+    exceed the live count); a later epoch append must offset from the
+    preserved next_docnum, never from n_docs — an n_docs offset would
+    assign docnums that collide with live docs (two doc_ids per docnum,
+    merged postings)."""
+    from beetle_search_engine_spark.streaming.incremental import append_epoch
+
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 24), idx_dir, fields={"body": "content"}, cfg=CFG)
+    idx = BM25Index(spark, idx_dir)
+    idx.delete_docs([f"d{i}" for i in range(0, 24, 2)])  # 12 deleted
+    optimize_index(spark, idx_dir)
+    with open(f"{idx_dir}/stats.json") as f:
+        st = json.load(f)
+    assert st["n_docs"] == 12 and st["next_docnum"] == 24  # sparse survivors
+    new = spark.createDataFrame(
+        [(f"n{i}", "alpha omega new document") for i in range(4)],
+        "doc_id string, content string",
+    )
+    append_epoch(spark, idx_dir, new, fields={"body": "content"}, cfg=CFG)
+    docids = spark.read.parquet(f"{idx_dir}/docids").collect()
+    assert len(docids) == 16
+    by_num = {}
+    for r in docids:
+        by_num.setdefault(r.docnum, []).append(r.doc_id)
+    dupes = {k: v for k, v in by_num.items() if len(v) > 1}
+    assert dupes == {}, dupes  # the collision the fix prevents
+    # and the combined index answers like a clean build of the net corpus
+    clean_dir = str(tmp_path / "clean")
+    survivors = _corpus(spark, 24).filter(~F.col("doc_id").isin([f"d{i}" for i in range(0, 24, 2)]))
+    build_index(spark, survivors.unionByName(new), clean_dir, fields={"body": "content"}, cfg=CFG)
+    got = _res(BM25Index(spark, idx_dir), "alpha")
+    want = _res(BM25Index(spark, clean_dir), "alpha")
+    assert got == want
+
+
+def test_rebuild_over_epoch_appended_index_is_full_rebuild(spark, tmp_path):
+    """A full-corpus build_index(resume=True) over an index that has
+    epoch appends must NOT reuse prior stats/manifests: the combined
+    fingerprint xor can equal the fresh full-corpus one while docids
+    and groups are numbered per-epoch — reuse would silently mismatch
+    postings docnums against the retained docids dimension."""
+    from beetle_search_engine_spark.streaming.incremental import append_epoch
+
+    base = _corpus(spark, 16)
+    extra = spark.createDataFrame(
+        [(f"x{i}", "alpha extra words here") for i in range(4)],
+        "doc_id string, content string",
+    )
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, base, idx_dir, fields={"body": "content"}, cfg=CFG)
+    append_epoch(spark, idx_dir, extra, fields={"body": "content"}, cfg=CFG)
+    m = build_index(
+        spark, base.unionByName(extra), idx_dir, fields={"body": "content"}, cfg=CFG
+    )
+    assert m["groups_built"] == CFG.index.bucket_groups  # nothing skipped
+    clean = str(tmp_path / "clean")
+    build_index(spark, base.unionByName(extra), clean, fields={"body": "content"}, cfg=CFG)
+    assert _res(BM25Index(spark, idx_dir), "alpha") == _res(BM25Index(spark, clean), "alpha")
+
+
+def test_noop_resume_skips_heavy_stages(spark, tmp_path):
+    """Re-running build_index over a complete index short-circuits after
+    the staging fingerprint: all groups skipped, no docids rewrite, and
+    queries unchanged."""
+    import os
+    import time as _time
+
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 24), idx_dir, fields={"body": "content"}, cfg=CFG)
+    before = _res(BM25Index(spark, idx_dir), "alpha")
+    docids_mtime = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(f"{idx_dir}/docids") for f in fs
+    )
+    _time.sleep(0.05)
+    m = build_index(spark, _corpus(spark, 24), idx_dir, fields={"body": "content"}, cfg=CFG)
+    assert m["groups_built"] == 0
+    assert m["groups_skipped"] == CFG.index.bucket_groups
+    assert m["postings"] > 0  # metrics survive from the manifests
+    after = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(f"{idx_dir}/docids") for f in fs
+    )
+    assert after == docids_mtime  # docids untouched
+    assert _res(BM25Index(spark, idx_dir), "alpha") == before
+
+
+def test_optimize_rejects_mismatched_layout_cfg(spark, tmp_path):
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 16), idx_dir, fields={"body": "content"}, cfg=CFG)
+    bad = EngineConfig(
+        analyzer="sql",
+        index=IndexConfig(n_buckets=16, bucket_groups=2, chunk_docs=8),
+    )
+    with pytest.raises(ValueError, match="stored layout"):
+        optimize_index(spark, idx_dir, cfg=bad)

@@ -151,3 +151,44 @@ def test_streaming_sessionize_matches_batch_twin(spark, tmp_path):
         for r in sess.collect()
     }
     assert got == want  # all sessions closed (the z-file watermark flushed every tail)
+
+
+def test_streaming_sessionize_late_event_across_batches(spark, tmp_path):
+    """An out-of-order event in a LATER micro-batch (older than the open
+    session's last, within watermark) extends the session backwards —
+    it must not regress `last` (spurious split) and must pull `start`
+    earlier, matching the batch scan over the same global event set."""
+    from beetle_search_engine_spark.streaming.stateful import streaming_sessionize
+
+    src = tmp_path / "stream_late"
+    src.mkdir()
+    now = time.time()
+    _write_batch(spark, str(src / "a.parquet"), [(1, _t(1000), 1.0)], now - 30)
+    # t=900 is late (older than state's last=1000) but within the 1h
+    # watermark; t=2750 is 1750s after the TRUE last (1000) — inside the
+    # 1800s gap, but 1850s after the late event, so a regressed `last`
+    # would split here
+    _write_batch(
+        spark, str(src / "b.parquet"), [(1, _t(900), 2.0), (1, _t(2750), 4.0)], now - 20
+    )
+    _write_batch(spark, str(src / "c.parquet"), [(99, _t(10_000_000), 0.0)], now - 10)
+    _write_batch(spark, str(src / "d.parquet"), [(98, _t(20_000_000), 0.0)], now - 5)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_sessionize(stream, gap_s=1800, watermark="1 hour")
+        .writeStream.format("memory").queryName("sess_late")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["start_epoch"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sess_late WHERE user_id = 1").collect()
+    }
+    base = int(_t(0).timestamp())
+    # ONE session covering all three events — the batch scan's answer
+    assert got == {(1, 0): (3, base + 900, 7.0)}
