@@ -1663,7 +1663,7 @@ def oracle_sql() -> dict[str, str]:
       ),
       bands AS (
         SELECT doc_id, (seed // 2)::int AS band,
-               md5(string_agg(minhash::varchar, ',' ORDER BY minhash::varchar)) AS band_key
+               md5(string_agg(minhash::varchar, ',' ORDER BY seed)) AS band_key
         FROM sig GROUP BY doc_id, (seed // 2)::int
       ),
       bsz AS (SELECT band, band_key, count(*) AS c FROM bands GROUP BY band, band_key),

@@ -125,10 +125,19 @@ def lsh_candidate_pairs(
     payload, and exact/fingerprint dedup catches the true-identical ones.
     """
     agg = _minhash_agg(df, num_perm, shingle_n, text_col, id_col)
+    if num_perm % band_size:
+        # a silent floor would compute-and-discard the remainder minhash
+        # columns and quietly lower candidate recall vs the requested
+        # permutation count — loud beats silent
+        raise ValueError(f"band_size={band_size} must divide num_perm={num_perm}")
     n_bands = num_perm // band_size
-    # band keys computed in the projection right after the signature agg
-    # (md5 of the band's string-sorted minhashes — identical to the
-    # former groupBy(id, band) + collect_list agg, minus its shuffle)
+    # band keys computed in the projection right after the signature agg,
+    # concatenated in SEED ORDER: proper LSH banding requires per-seed
+    # agreement across the whole band — sorting the band's minhashes
+    # first would collide signatures that are mere permutations of each
+    # other (A=(X,Y) vs B=(Y,X) share no seed yet got equal keys),
+    # admitting unrelated docs as candidates and, through connected
+    # components, merging them into one dedup cluster
     band_structs = F.array(
         *[
             F.struct(
@@ -136,14 +145,10 @@ def lsh_candidate_pairs(
                 F.md5(
                     F.concat_ws(
                         ",",
-                        F.sort_array(
-                            F.array(
-                                *[
-                                    F.col(f"m{s}").cast("string")
-                                    for s in range(b * band_size, (b + 1) * band_size)
-                                ]
-                            )
-                        ),
+                        *[
+                            F.col(f"m{s}").cast("string")
+                            for s in range(b * band_size, (b + 1) * band_size)
+                        ],
                     )
                 ).alias("band_key"),
             )
@@ -179,7 +184,11 @@ def ngram_jaccard_pairs(
     id_col="doc_id",
 ) -> DataFrame:
     """(id_a, id_b, jaccard): exact distinct-token Jaccard for candidate
-    pairs (from LSH, or any (id_a, id_b) frame)."""
+    pairs (from LSH, or any (id_a, id_b) frame).  Every candidate pair
+    gets a row: zero-overlap pairs (and pairs whose doc tokenizes to
+    nothing) score jaccard=0.0 rather than silently vanishing —
+    downstream logic that counts or thresholds verified pairs must see
+    a scored rejection, not a missing row."""
     toks = sql_tokens(df, text_col, id_col).distinct()
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if candidates is None:
@@ -194,14 +203,14 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
+    inter_n = F.coalesce(F.col("inter"), F.lit(0))
+    denom = F.coalesce(F.col("sz_a"), F.lit(0)) + F.coalesce(F.col("sz_b"), F.lit(0)) - inter_n
+    jac = F.when(denom > 0, F.round(inter_n / denom, 6)).otherwise(F.lit(0.0))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6).alias("jaccard"),
-        )
+        candidates.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
 

@@ -674,7 +674,15 @@ def make_wand_kernel(
         ex = _excluded_docs(all_cursors) if excluded_set else None
         if deleted is not None:
             ex = deleted if ex is None else np.union1d(ex, deleted)
-        total_postings = int(pdf["n"].sum())
+        # density over the SCORING cursors only: a whole-pdf n-sum also
+        # counts excluded/off-field terms' rows, whose posting mass
+        # would inflate the estimate and flip a sparse query to TAAT
+        # (exact but pruning-free) whenever a NOT term is dense
+        score_keys = {(c.field, c.term) for c in cursors}
+        _mask = [
+            (f, t) in score_keys for f, t in zip(pdf["field"], pdf["term"])
+        ]
+        total_postings = int(pdf.loc[_mask, "n"].sum())
         span = max(r.doc_hi for c in cursors for r in c.rows) - min(
             r.doc_lo for c in cursors for r in c.rows
         ) + 1

@@ -210,9 +210,16 @@ _FIELD_PREFIX = re.compile(r"^(\w+):(.+)$")
 # [a TO b] / {a TO b] / title:[a TO b] / NOT [a TO b] / -[a TO b];
 # either bound may be omitted (open range) — extracted before the word
 # loop because the body contains a space
-_BOOST = re.compile(r"^(.+?)\^([\d.]+)$")  # term^2.5 -> (term, 2.5)
+# only VALID float literals match ('2', '2.5', '.5', '5.') — a permissive
+# [\d.]+ would hand '.' or '1.2.3' to float() and crash parse_query on
+# raw user input, violating the degrade-never-error contract; unmatched
+# suffixes fall through to the analyzer and degrade like any other junk
+_BOOST = re.compile(r"^(.+?)\^(\d+\.?\d*|\.\d+)$")  # term^2.5 -> (term, 2.5)
 _RANGE = re.compile(
-    r"(?:(NOT)\s+|(?<!\S)(-))?(?:(\w+):)?([\[\{])\s*(\w+)?\s+TO(?:\s+(\w+))?\s*([\]\}])"
+    # (?<!\S) on NOT: without the boundary, any word ENDING in 'NOT'
+    # (CANNOT) would negate a following range and leak its stem ('CAN')
+    # as a required term
+    r"(?:(?<!\S)(NOT)\s+|(?<!\S)(-))?(?:(\w+):)?([\[\{])\s*(\w+)?\s+TO(?:\s+(\w+))?\s*([\]\}])"
 )
 
 
@@ -634,6 +641,24 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     def grab(m: re.Match) -> str:
         _analyzed_phrase(m.group(1), phrases, singles, _slop_of(m.group(2)), sl_phrases)
         return " "
+
+    # ANDMAYBE / REQUIRE whose operand is a quoted phrase or a term
+    # range: the operand is extracted by the phrase/range passes below,
+    # which would leave the keyword dangling — binding it to an
+    # unrelated later word, or (dangling at end) silently making the
+    # operand a required scored constraint.  Set-correct degradations on
+    # the raw text instead:
+    #   * ANDMAYBE <phrase|range>: Whoosh's AndMaybe operand never
+    #     affects the match set, so keyword + operand drop together
+    #     (documented divergence: the operand's score bonus is lost);
+    #   * REQUIRE <phrase|range>: the operand stays a required
+    #     phrase/group constraint, only the keyword drops (documented
+    #     divergence: Whoosh scores the left side only, here the
+    #     operand's members also score).
+    _phr = r'(?:\w+:)?"[^"]*"(?:~[\d.]+)?'
+    _rng = r"(?:\w+:)?[\[\{]\s*\w*\s+TO(?:\s+\w+)?\s*[\]\}]"
+    query = re.sub(rf"(?<!\S)ANDMAYBE\s+(?:{_phr}|{_rng})", " ", query)
+    query = re.sub(rf"(?<!\S)REQUIRE\s+(?=(?:{_phr}|{_rng}))", " ", query)
 
     rest = _QUOTED.sub(grab, _NEG_QUOTED.sub(grab_neg, query))
 

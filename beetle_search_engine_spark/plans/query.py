@@ -27,6 +27,7 @@ from ..operators.wand import make_wand_kernel
 from .parser import ParsedQuery, parse_query
 
 RESULT_SCHEMA = "doc_id string, score double, rank int"
+BATCH_RESULT_SCHEMA = "query_id string, " + RESULT_SCHEMA
 
 
 def read_index_metrics(index_dir: str) -> dict:
@@ -225,7 +226,7 @@ class BM25Index:
         # display id (the _search_every determinism rule) — no re-sort
         return self.spark.createDataFrame(
             [(d, s, i + 1) for i, (d, s) in enumerate(out)],
-            "doc_id string, score double, rank int",
+            RESULT_SCHEMA,
         )
 
     def search(
@@ -399,7 +400,7 @@ class BM25Index:
 
         if not parsed:
             return _with_every(self.spark.createDataFrame(
-                [], "query_id string, doc_id string, score double, rank int"
+                [], BATCH_RESULT_SCHEMA
             ))
 
         def _q_terms(pq: ParsedQuery) -> list[str]:
@@ -480,7 +481,7 @@ class BM25Index:
             )
             if len(res) == 0:
                 return _with_every(self.spark.createDataFrame(
-                    [], "query_id string, doc_id string, score double, rank int"
+                    [], BATCH_RESULT_SCHEMA
                 ))
             res = (
                 res.sort_values(["query_id", "score", "docnum"], ascending=[True, False, True])
@@ -502,7 +503,7 @@ class BM25Index:
                 for qid, d, s, rk in zip(res["query_id"], res["docnum"], res["score"], res["rank"])
             ]
             return _with_every(self.spark.createDataFrame(
-                out, "query_id string, doc_id string, score double, rank int"
+                out, BATCH_RESULT_SCHEMA
             ))
 
         from pyspark.sql import Window
@@ -518,7 +519,7 @@ class BM25Index:
         )
         if not top_rows:
             return _with_every(self.spark.createDataFrame(
-                [], "query_id string, doc_id string, score double, rank int"
+                [], BATCH_RESULT_SCHEMA
             ))
         ranked = self.spark.createDataFrame(
             [(r["query_id"], int(r["docnum"]), float(r["score"]), int(r["rank"])) for r in top_rows],
@@ -632,13 +633,22 @@ class BM25Index:
             return exp
 
         positive = [(_guard(e), f) for e, f in positive]
+        preexisting = set(pq.terms)
         for exp, fld in positive:
             if not exp:
                 return None  # a required clause with no matching term
             for t in exp:
                 if t not in terms:
                     terms.append(t)
-                if fld is not None and t not in fielded:
+                # the fielded map is PER TERM, not per occurrence: a
+                # fielded expansion whose member equals an existing bare
+                # required term must not write its field onto it — that
+                # would narrow the required term to one field and drop
+                # docs matching it elsewhere.  The group member widens
+                # to all fields instead (the safe direction; per-term
+                # fielding cannot express per-occurrence restrictions —
+                # documented divergence for the collision case)
+                if fld is not None and t not in fielded and t not in preexisting:
                     fielded[t] = fld
             groups.append(exp)
         negative = [self._expand_prefix(p) for p in pq.excluded_prefixes] + [
@@ -651,7 +661,13 @@ class BM25Index:
                 if t not in excluded:
                     excluded.append(t)
         has_group = any(len(c) > 1 for c in groups)
-        if not has_group:
+        if pq.maybe_terms or pq.filter_terms:
+            # ANDMAYBE/REQUIRE operands ride only the group kernel —
+            # kernel_or/and never read maybe_terms/filter_terms, so any
+            # other mode would silently drop the gate/optional scoring
+            # (the parser's own mode logic makes the same routing)
+            mode = "group"
+        elif not has_group:
             mode = "and"
         elif (len(groups) == 1 and not pq.phrases and not pq.excluded_phrases
                 and not pq.slop_phrases and not pq.excluded_slop_phrases):

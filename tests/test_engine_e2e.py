@@ -287,3 +287,50 @@ def test_every_or_chain(spark, built):
         for r in index.search("spark", k, "parse").collect()
     ]
     assert top == want_top
+
+
+def test_expansion_with_require_keeps_the_gate(spark, built):
+    """'sc* REQUIRE spark': _expand_prefixes must route to the group
+    kernel — kernel_or never reads filter_terms, so the old mode='or'
+    pick silently dropped the REQUIRE gate."""
+    idx, _, _, _ = built
+    index = BM25Index(spark, idx)
+    got = {r.doc_id: r.score for r in index.search("sc* REQUIRE spark", 50, "parse").collect()}
+    assert got, "expansion matched nothing — pick a different prefix"
+    spark_docs = {r.doc_id for r in index.search("spark", N_DOCS, "or").collect()}
+    assert set(got) <= spark_docs  # the gate held
+    # REQUIRE operands never score: scores equal the expansion-only query
+    base = {r.doc_id: r.score for r in index.search("sc*", N_DOCS, "parse").collect()}
+    for d, s in got.items():
+        assert abs(s - base[d]) < 1e-9
+
+
+def test_expansion_with_andmaybe_keeps_optional_scoring(spark, built):
+    """'sc* ANDMAYBE spark': matches sc* docs regardless of spark; docs
+    containing spark score higher (mode='or' dropped maybe_terms)."""
+    idx, _, _, _ = built
+    index = BM25Index(spark, idx)
+    got = {r.doc_id: r.score for r in index.search("sc* ANDMAYBE spark", N_DOCS, "parse").collect()}
+    base = {r.doc_id: r.score for r in index.search("sc*", N_DOCS, "parse").collect()}
+    assert set(got) == set(base)  # maybe operand never gates
+    spark_docs = {r.doc_id for r in index.search("spark", N_DOCS, "or").collect()}
+    bumped = [d for d in got if d in spark_docs]
+    assert bumped, "corpus has no sc*+spark doc — weak test"
+    for d in got:
+        if d in spark_docs:
+            assert got[d] > base[d] + 1e-12
+        else:
+            assert abs(got[d] - base[d]) < 1e-9
+
+
+def test_fielded_expansion_does_not_narrow_bare_term(spark, built):
+    """'spark title:spar*': the title-fielded expansion contains the
+    stored term 'spark', which also rides the query as a BARE required
+    term — writing the expansion's field onto the shared fielded map
+    narrowed the bare term to title-only and emptied the result."""
+    idx, _, _, _ = built
+    index = BM25Index(spark, idx)
+    base = [(r.doc_id, round(r.score, 9)) for r in index.search("spark", 20, "or").collect()]
+    got = [(r.doc_id, round(r.score, 9)) for r in index.search("spark title:spar*", 20, "parse").collect()]
+    assert got == base  # titles contain no spar* term; the group's one
+    # member is the bare term itself, scored once, any field

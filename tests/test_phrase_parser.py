@@ -881,3 +881,53 @@ def test_unbalanced_open_paren_degrades_to_flat():
     assert pq.tree is None
     pq2 = parse_query("(alpha beta) OR (gamma delta)", S)
     assert pq2.tree is not None
+
+
+def test_malformed_boost_degrades_not_crashes():
+    # '[\d.]+' used to hand '.' / '1.2.3' to float() -> ValueError on
+    # raw user input; invalid float suffixes now fall through to the
+    # analyzer like any other junk
+    for q in ["ab^.", "ab^1.2.3", "ab^", "(ab^. cd) OR ef"]:
+        pq = parse_query(q, S)  # must not raise
+        assert "ab" in pq.terms, q
+    pq = parse_query("ab^2.5", S)
+    assert pq.boosts.get("ab") == 2.5
+
+
+def test_cannot_is_not_a_negation():
+    # _RANGE's NOT alternative needs a word boundary: 'CANNOT [a TO b]'
+    # must not negate the range and leak 'CAN' as a term
+    pq = parse_query("cannot [aa TO ab]", S)
+    assert not pq.excluded_ranges and pq.ranges
+    pq2 = parse_query("CANNOT [aa TO ab]", S)
+    assert not pq2.excluded_ranges and pq2.ranges
+    # a real NOT still negates
+    pq3 = parse_query("x NOT [aa TO ab]", S)
+    assert pq3.excluded_ranges and not pq3.ranges
+
+
+def test_andmaybe_phrase_operand_is_set_correct():
+    # Whoosh AndMaybe(x, phrase) matches x's docs; the dangling-keyword
+    # path used to make the phrase REQUIRED.  Degradation: keyword +
+    # phrase drop together (documented score divergence).
+    pq = parse_query('spark ANDMAYBE "big data"', S)
+    assert pq.terms == ["spark"]
+    assert not pq.phrases and not pq.maybe_terms
+    # ...and the keyword must not bind to an unrelated LATER word
+    pq2 = parse_query('spark ANDMAYBE "big data" scan', S)
+    assert set(pq2.terms) == {"spark", "scan"}
+    assert not pq2.maybe_terms  # 'scan' stays required
+
+
+def test_require_phrase_operand_keeps_phrase_required():
+    # Whoosh Require(x, phrase): docs match both (scored by x only);
+    # here the phrase stays a required positional constraint (members
+    # also score — documented divergence), and no dangling keyword binds
+    pq = parse_query('spark REQUIRE "big data"', S)
+    assert pq.phrases == [[("big", 0), ("data", 1)]]
+    assert "spark" in pq.terms and not pq.filter_terms
+
+
+def test_andmaybe_range_operand_drops():
+    pq = parse_query("spark ANDMAYBE [aa TO ab]", S)
+    assert pq.terms == ["spark"] and not pq.ranges

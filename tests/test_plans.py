@@ -91,3 +91,31 @@ def test_distributed_search_single_shuffle_chunks(spark, mode):
     p = _plan(scored)
     # exactly one exchange: the chunk shuffle into the kernel
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_jaccard_zero_overlap_candidate_scores_zero(spark):
+    """An explicit candidate pair with no shared token must appear with
+    jaccard=0.0 (a scored rejection), not silently vanish — including
+    when one doc tokenizes to nothing."""
+    from beetle_search_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, candidates=cand, min_jaccard=0.0).collect()
+    }
+    assert got == {(1, 2): 0.0, (1, 3): 0.0}
+
+
+def test_lsh_band_size_must_divide_num_perm(spark):
+    from beetle_search_engine_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(docs, num_perm=8, band_size=3)
