@@ -2423,22 +2423,32 @@ def oracle_sql() -> dict[str, str]:
       FROM z GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10
     """
 
+    # OR-amplified LSH: 4 independent tables (seeds 42..45, matching
+    # cosine_near_dup_pairs' seed+t), candidates deduped across tables
+    _nd_tbls = "\n        UNION ALL ".join(
+        f"SELECT {t} AS t, unnest(range({_PLANES}))::int AS j, "
+        f"unnest({'[' + ', '.join('[' + ', '.join(repr(x) for x in row) + ']' for row in plane_matrix(EMB_DIM, _PLANES, 42 + t)) + ']'}) AS pvec"
+        for t in range(4)
+    )
     o["embedding_near_dups"] = f"""
-      WITH pl AS (SELECT unnest(range({_PLANES}))::int AS j, unnest({mat_sql}) AS pvec),
+      WITH pl AS (
+        {_nd_tbls}
+      ),
       bkt AS (
-        SELECT e.vec_id,
+        SELECT e.vec_id, pl.t,
                sum(CASE WHEN list_dot_product(e.embedding::double[], pl.pvec::double[]) >= 0
                         THEN (1::int << pl.j) ELSE 0 END)::int AS bucket
-        FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id
+        FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id, pl.t
       ),
-      bsz AS (SELECT bucket, count(*) AS c FROM bkt GROUP BY bucket),
+      bsz AS (SELECT t, bucket, count(*) AS c FROM bkt GROUP BY t, bucket),
       keepb AS (
-        SELECT bkt.vec_id, bkt.bucket FROM bkt JOIN bsz USING (bucket)
+        SELECT bkt.vec_id, bkt.t, bkt.bucket FROM bkt JOIN bsz USING (t, bucket)
         WHERE bsz.c BETWEEN 2 AND 2000
       ),
       pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM keepb a JOIN keepb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM keepb a JOIN keepb b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
       ),
       z AS (
         SELECT p.id_a, p.id_b,

@@ -95,6 +95,12 @@ def encode_docgap_rows(docnums: np.ndarray, row_starts: np.ndarray) -> list[byte
         gaps[0] = d[0]
         gaps[1:] = d[1:] - d[:-1] - 1
         gaps[row_starts] = d[row_starts]  # row-initial values absolute
+        if (gaps < 0).any():
+            # same silent-wrap hazard as encode_docgaps: a negative
+            # within-row gap means a duplicate/unsorted docnum run
+            raise ValueError(
+                "encode_docgap_rows needs strictly-increasing non-negative docnums per row"
+            )
     return varint_encode_rows(gaps.astype(np.uint64), row_starts)
 
 
@@ -147,8 +153,14 @@ def encode_docgaps(docnums: np.ndarray) -> bytes:
     d = np.ascontiguousarray(docnums, dtype=np.int64)
     gaps = np.empty(d.size, dtype=np.uint64)
     if d.size:
+        raw = d[1:] - d[:-1] - 1
+        if d[0] < 0 or (raw < 0).any():
+            # a negative gap (duplicate or unsorted docnum) would wrap
+            # through uint64 into a huge varint that decodes into garbage
+            # docnums — silent index corruption; loud beats silent
+            raise ValueError("encode_docgaps needs strictly-increasing non-negative docnums")
         gaps[0] = np.uint64(d[0])
-        gaps[1:] = (d[1:] - d[:-1] - 1).astype(np.uint64)
+        gaps[1:] = raw.astype(np.uint64)
     return varint_encode(gaps)
 
 

@@ -106,6 +106,14 @@ def train_weak_to_strong(
 
     df = docs_with_labels.withColumn("y", (F.col(label_col) == "keep").cast("double"))
     df = df.withColumn("toks", lemma_tokens(F.col(text_col)))
+    # the lemmatizer UDF is the expensive stage and EVERY downstream
+    # action re-derives from df (two CountVectorizer fits, IDF, LR,
+    # split counts, four evaluator passes, the final predict-all) —
+    # without this persist the Python lemmatizer re-tokenizes the corpus
+    # ~8x.  (This is the driver-bound ML sidecar, not a query hot path;
+    # the repo's parquet-staging-over-persist rule targets the
+    # high-concurrency kernels.)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     if shuffle:
         # K2: deterministic shuffle (reference: df.sample(frac=1,
         # random_state=42)), then K3: stratified 80/20 sampleBy split
@@ -149,8 +157,10 @@ def train_weak_to_strong(
     ]
     model = Pipeline(stages=stages).fit(weighted)
 
-    # held-out evaluation (reference prints classification_report)
-    test_pred = model.transform(test).select("y", "prediction")
+    # held-out evaluation (reference prints classification_report); the
+    # four evaluator passes each re-run model.transform(test) without
+    # this persist
+    test_pred = model.transform(test).select("y", "prediction").persist(StorageLevel.MEMORY_AND_DISK)
     metrics = {"n_train": train.count(), "n_test": test.count()}
     if metrics["n_test"]:
         ev = MulticlassClassificationEvaluator(labelCol="y", predictionCol="prediction")
@@ -161,6 +171,7 @@ def train_weak_to_strong(
             ("accuracy", "accuracy"),
         ):
             metrics[key] = round(ev.setMetricName(mname).evaluate(test_pred), 6)
+    test_pred.unpersist()
 
     if shuffle:
         train.unpersist()
@@ -170,6 +181,7 @@ def train_weak_to_strong(
         F.col("y").alias("weak_label"),
         F.col("prediction").alias("strong_label"),
     )
+    df.unpersist()  # lazy: preds' lineage re-derives if re-executed later
     return model, preds, metrics
 
 
@@ -189,7 +201,17 @@ def fit_centroids_np(X, k: int, seed: int = 42, iters: int = 20):
     idx = [int(rng.randint(n))]
     d2 = ((X - X[idx[0]]) ** 2).sum(axis=1)
     for _ in range(1, k):
-        p = d2 / d2.sum()
+        s = d2.sum()
+        if s <= 0.0:
+            # fewer DISTINCT points than k (tiny or duplicate-heavy
+            # sample): every point already coincides with a centroid, so
+            # d2/s would be 0/0 NaN and rng.choice would crash.  Pad the
+            # remaining centroids deterministically with the first pick
+            # — duplicate centroids are harmless (argmin ties break to
+            # the lowest id) and keep the fit a pure function of input.
+            idx.append(idx[0])
+            continue
+        p = d2 / s
         idx.append(int(rng.choice(n, p=p)))
         d2 = np.minimum(d2, ((X - X[idx[-1]]) ** 2).sum(axis=1))
     C = X[idx].copy()
@@ -229,7 +251,12 @@ def _read_embeddings_np(path: str, limit: int | None = None):
     flt = None
     if limit is not None:
         flt = ds.field("vec_id") < limit
-        if dset.count_rows(filter=flt) == 0:
+        # the fast-path predicate is the exact lowest-`limit` set ONLY
+        # when it matches exactly `limit` unique ids (0-based contiguous
+        # layouts).  A PARTIAL match (sparse or offset ids) would train
+        # the quantizer on far fewer vectors than asked, so any count
+        # other than `limit` takes the id-scan fallback.
+        if dset.count_rows(filter=flt) != min(limit, dset.count_rows()):
             all_ids = np.asarray(
                 dset.to_table(columns=["vec_id"]).column("vec_id").to_pylist(),
                 dtype=np.int64,
@@ -331,12 +358,12 @@ def _nearest_clusters(q, centers: list[tuple[int, list[float]]], nprobe: int) ->
 
 def _cosine_topk(vecs: DataFrame, q, top_k: int, id_col: str, vec_col: str) -> DataFrame:
     """Exact cosine top-k of a (pre-pruned) vector frame against a
-    literal query vector — shared by both IVF probe paths."""
-    from ..plans.knn import _dot
+    literal query vector — the refine stage shared by the IVF, PQ and
+    IVFPQ probe paths."""
+    from ..plans.knn import cosine_col
 
     qvec = F.lit([float(x) for x in q])
-    v = F.col(vec_col)
-    cos = _dot(v, qvec) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qvec, qvec)))
+    cos = cosine_col(F.col(vec_col), qvec)
     return (
         vecs.select(F.col(id_col), F.round(cos, 4).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -393,7 +420,10 @@ def ivf_search(
     """Probe the nprobe clusters nearest the query vector, exact cosine
     inside them only (cluster-pruned scan — at scale, cluster is a
     partition column and pruning skips whole files)."""
-    q = assigned.filter(F.col(id_col) == query_id).select(vec_col).collect()[0][0]
+    qrows = assigned.filter(F.col(id_col) == query_id).select(vec_col).take(1)
+    if not qrows:
+        raise KeyError(f"{id_col} {query_id} not found in the assigned frame")
+    q = qrows[0][0]
     probe = _nearest_clusters(q, list(enumerate(km.clusterCenters())), nprobe)
     vecs = assigned.filter(F.col("cluster").isin(probe) & (F.col(id_col) != query_id))
     return _cosine_topk(vecs, q, top_k, id_col, vec_col)
@@ -443,8 +473,9 @@ def _np_assign_codes(Xb, cbs_np):
     off = 0
     for j, cb in enumerate(cbs_np):
         dsub = cb.shape[1]
-        D = ((Xb[:, None, off : off + dsub] - cb[None, :, :]) ** 2).sum(axis=2)
-        codes[:, j] = D.argmin(axis=1)
+        for s in range(0, len(Xb), 4096):  # blocked: never (n, ksub, dsub)
+            xb = Xb[s : s + 4096, None, off : off + dsub]
+            codes[s : s + 4096, j] = ((xb - cb[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
         off += dsub
     return codes
 
@@ -662,6 +693,21 @@ def pq_search_stored(
 # is nprobe/n_clusters of an already 32x-compressed table.
 
 
+def _np_assign_clusters(Xb, C):
+    """Blocked nearest-centroid assignment — the same per-element
+    arithmetic as the full (n, k, d) broadcast, but peak memory is
+    (block, k, d); the n x k x d tensor never materializes (at
+    train_sample=200k, d=768, k=256 the full tensor would be ~314 GB)."""
+    import numpy as np
+
+    out = np.empty(len(Xb), dtype=np.int64)
+    for s in range(0, len(Xb), 4096):
+        xb = Xb[s : s + 4096]
+        D = ((xb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        out[s : s + 4096] = D.argmin(axis=1)  # ties -> lowest id
+    return out
+
+
 def fit_ivfpq_np(
     X, n_clusters: int = 8, m: int = 8, ksub: int = 16, seed: int = 42, iters: int = 20
 ):
@@ -673,8 +719,7 @@ def fit_ivfpq_np(
 
     X = np.asarray(X, dtype=np.float64)
     C = fit_centroids_np(X, n_clusters, seed, iters)
-    D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    R = X - C[D.argmin(axis=1)]
+    R = X - C[_np_assign_clusters(X, C)]
     return C, fit_pq_codebooks_np(R, m, ksub, seed, iters)
 
 
@@ -717,8 +762,7 @@ def write_ivfpq_index(
     def kern(it):
         for pdf in it:
             Xb = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
-            D = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            cl = D.argmin(axis=1)
+            cl = _np_assign_clusters(Xb, C)  # blocked — never (n, k, d)
             codes = _np_assign_codes(Xb - C[cl], cbs_np)
             yield pd.DataFrame(
                 {

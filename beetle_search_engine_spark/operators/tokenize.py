@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.analyzer import STOP_WORDS, get_analyzer
+from ..functions.analyzer import MIN_TOKEN_SIZE, STOP_WORDS, get_analyzer
 
 TOKENS_SCHEMA = "docnum long, field string, term string, tf int, dl int"
 TOKENS_SCHEMA_POS = TOKENS_SCHEMA + ", pos array<int>"
@@ -88,8 +88,9 @@ def _jvm_raw_tokens(col: str, analyzer) -> F.Column:
 
 
 def _keep(t) -> F.Column:
-    """T3 stop/minsize predicate on a lowered token."""
-    return (F.length(t) >= 2) & ~t.isin(*sorted(STOP_WORDS))
+    """T3 stop/minsize predicate on a lowered token — the threshold is
+    analyzer.MIN_TOKEN_SIZE, the single source of JVM/Python parity."""
+    return (F.length(t) >= MIN_TOKEN_SIZE) & ~t.isin(*sorted(STOP_WORDS))
 
 
 def _jvm_token_array(col: str, analyzer) -> F.Column:

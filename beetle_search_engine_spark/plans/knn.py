@@ -47,6 +47,15 @@ def _sq_l2(a, b) -> F.Column:
     )
 
 
+def cosine_col(a, b) -> F.Column:
+    """The one cosine-similarity expression every exact-verify path
+    shares (knn_cosine, near-dup verify, LSH/IVF/PQ refine stages).  The
+    norms are deliberately evaluated in-expression, NOT precomputed
+    driver-side: the DuckDB oracles restate sqrt(sum(x*x)) per row, and
+    a reordered float product could flip a round(,4) boundary."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
 def knn_l2(emb: DataFrame, query_id: int, top_k: int = 10, id_col="vec_id", vec_col="embedding") -> DataFrame:
     """Exact KNN by squared L2, ascending (FAISS IndexFlatL2 semantics),
     query vector taken from the table itself (self excluded)."""
@@ -73,12 +82,10 @@ def knn_dot(emb: DataFrame, query_id: int, top_k: int = 10, id_col="vec_id", vec
 
 def knn_cosine(emb: DataFrame, query_id: int, top_k: int = 10, id_col="vec_id", vec_col="embedding") -> DataFrame:
     q = F.broadcast(_query_vec(emb, query_id, id_col, vec_col))
-    v, qv = F.col(vec_col), F.col("qvec")
-    cos = _dot(v, qv) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qv, qv)))
     return (
         emb.crossJoin(q)
         .filter(F.col(id_col) != query_id)
-        .select(F.col(id_col), F.round(cos, 4).alias("score"))
+        .select(F.col(id_col), F.round(cosine_col(F.col(vec_col), F.col("qvec")), 4).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(top_k)
     )
@@ -106,6 +113,12 @@ def _sign_bits(vec_col, dim: int, planes: int, seed: int) -> F.Column:
     hyperplanes.  Plane components are driver-computed constants folded
     into the plan as literal arrays — the executors only do multiply-adds
     (no per-row hashing)."""
+    if planes > 30:
+        # the bucket key packs one bit per plane into a 32-bit int: more
+        # planes would overflow the cast and silently merge distinct
+        # sign patterns into one bucket (use multiple tables, not more
+        # planes — recall drops exponentially with planes anyway)
+        raise ValueError(f"planes={planes} exceeds the 30-bit bucket key")
     mat = plane_matrix(dim, planes, seed)
     bits = []
     for j in range(planes):
@@ -138,33 +151,51 @@ def cosine_near_dup_pairs(
     id_col="vec_id",
     vec_col="embedding",
     max_bucket: int = 2000,
+    n_tables: int = 4,
 ) -> DataFrame:
     """(id_a, id_b, cosine): embedding near-duplicate pairs via sign-LSH
-    bucketing — candidates are pairs sharing a bucket (same-key equi-join,
-    never all-pairs; vectors with cosine >= ~0.9 agree on most hyperplane
-    signs, so same-bucket recall is high at 6 planes), verified with the
-    exact cosine.  ``max_bucket`` drops degenerate buckets before the
-    quadratic self-join (same skew guard as MinHash-LSH banding)."""
-    idx = lsh_index(emb, dim, planes, seed, vec_col)
-    sizes = idx.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("_bsz"))
-    idx = idx.join(
-        sizes.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)), "lsh_bucket"
-    ).drop("_bsz")
-    a = idx.alias("a")
-    b = idx.alias("b")
-    va, vb = F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
-    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
-    return (
-        a.join(
+    bucketing with OR-amplification — candidates are pairs sharing a
+    bucket in ANY of ``n_tables`` independent hash tables (per-table
+    same-key equi-join, never all-pairs), then verified with the exact
+    cosine so precision is always exact.
+
+    Recall math (why one table is NOT enough): two vectors at cosine c
+    agree on one hyperplane sign with p = 1 - arccos(c)/pi, so one
+    6-plane table recovers p^6 of qualifying pairs — only ~39% at
+    c = 0.9.  T independent tables recover 1 - (1 - p^planes)^T: the
+    default 4 tables give ~86% at 0.9 and ~95% at 0.95.  More planes
+    per table SHARPEN buckets (fewer false candidates) but recall decays
+    exponentially — add tables, not planes, to raise recall.
+
+    ``max_bucket`` drops degenerate buckets before each quadratic
+    self-join (same skew guard as MinHash-LSH banding); candidate pairs
+    are deduped across tables before the one exact-verify pass."""
+    base = emb.select(id_col, vec_col)
+    cand = None
+    for t in range(n_tables):
+        idx = lsh_index(base, dim, planes, seed + t, vec_col).select(id_col, "lsh_bucket")
+        sizes = idx.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+        kept = idx.join(
+            sizes.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)),
+            "lsh_bucket",
+        ).drop("_bsz")
+        a = kept.alias("a")
+        b = kept.alias("b")
+        p = a.join(
             b,
             (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cos, 4).alias("cosine"),
-        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", F.round(cosine_col(F.col("_va"), F.col("_vb")), 4).alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
     )
 
@@ -195,8 +226,7 @@ def ann_lsh_cosine(
             F.col(vec_col).alias("qvec"), F.col("lsh_bucket").alias("qbucket")
         )
     )
-    v, qv = F.col(vec_col), F.col("qvec")
-    cos = _dot(v, qv) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(qv, qv)))
+    cos = cosine_col(F.col(vec_col), F.col("qvec"))
     ball = F.bit_count(idx.lsh_bucket.bitwiseXOR(F.col("qbucket"))) <= hamming_radius
     return (
         idx.join(qrow, ball)

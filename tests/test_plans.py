@@ -119,3 +119,40 @@ def test_lsh_band_size_must_divide_num_perm(spark):
 
     with _pytest.raises(ValueError, match="must divide"):
         lsh_candidate_pairs(docs, num_perm=8, band_size=3)
+
+
+def test_near_dup_multi_table_recall(spark):
+    """OR-amplified LSH recovers most true near-dup pairs where one
+    6-plane table misses the majority (p^6 ~ 0.39 at cosine 0.9)."""
+    import numpy as np
+
+    from beetle_search_engine_spark.plans.knn import cosine_near_dup_pairs
+
+    rng = np.random.RandomState(0)
+    dim, n = 16, 120
+    base = rng.randn(n, dim)
+    rows = []
+    truth = set()
+    for i in range(n):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        # a small perturbation keeps cosine well above 0.9
+        pert = base[i] + 0.15 * rng.randn(dim)
+        rows.append((2 * i + 1, [float(x) for x in pert]))
+        cos = float(base[i] @ pert / (np.linalg.norm(base[i]) * np.linalg.norm(pert)))
+        if cos >= 0.9:
+            truth.add((2 * i, 2 * i + 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert len(truth) >= 80  # the construction really makes near-dups
+
+    def recall(n_tables):
+        got = {
+            (r.id_a, r.id_b)
+            for r in cosine_near_dup_pairs(
+                emb, dim, min_cosine=0.9, n_tables=n_tables
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1  # OR-amplification really adds recall
+    assert r4 >= 0.75, (r1, r4)
