@@ -2525,16 +2525,22 @@ def oracle_sql() -> dict[str, str]:
                AS text
         FROM documents
       )
+      , st AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g') AS after_email
+        FROM p
+      ),
+      st2 AS (
+        SELECT doc_id, text, after_email,
+               regexp_replace(after_email, '@IPV4@', '<IP>', 'g') AS after_ip
+        FROM st
+      )
       SELECT doc_id,
              len(regexp_extract_all(text, '@EMAIL@'))::bigint AS n_emails,
-             len(regexp_extract_all(text, '@PHONE@'))::bigint AS n_phones,
-             len(regexp_extract_all(text, '@IPV4@'))::bigint AS n_ips,
-             md5(regexp_replace(
-                   regexp_replace(
-                     regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g'),
-                     '@IPV4@', '<IP>', 'g'),
-                   '@PHONE@', '<PHONE>', 'g')) AS redacted_md5
-      FROM p
+             len(regexp_extract_all(after_ip, '@PHONE@'))::bigint AS n_phones,
+             len(regexp_extract_all(after_email, '@IPV4@'))::bigint AS n_ips,
+             md5(regexp_replace(after_ip, '@PHONE@', '<PHONE>', 'g')) AS redacted_md5
+      FROM st2
     """
     o["pii_redact"] = (
         _pii_sql.replace("@EMAIL@", curation.EMAIL_RE)
@@ -2750,7 +2756,8 @@ def oracle_sql() -> dict[str, str]:
                (length(t) - length(replace(t, '...', ''))) // 3 AS n_ell,
                list_filter(regexp_split_to_array(t, '\n'), x -> trim(x) <> '') AS lines,
                len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
-               len(list_intersect(list_transform(words, x -> lower(x)),
+               len(list_intersect(
+                   list_transform(words, x -> regexp_replace(lower(x), '[^a-z0-9]', '', 'g')),
                    ['the','be','to','of','and','that','have','with'])) AS stop_hits
         FROM w
       ),

@@ -73,11 +73,14 @@ def url_pattern_score(url_col, patterns: list[tuple[str, int]]) -> F.Column:
     ported as a generic when-chain; callers supply their own pattern
     table).  Matching is case-insensitive (the reference lowercases the
     URL first, heuristic_label.py:23; patterns get the (?i) flag so
-    caller tables with uppercase letters still match).  Returns 0 when
-    nothing matches."""
+    caller tables with uppercase letters still match).  Patterns run
+    against the FULL lowered URL — the reference matches the whole
+    string, so host rules ('docs\\.example\\.com') and scheme anchors
+    ('^https://blog') work; a path-only reduction would silently
+    never match them.  Returns 0 when nothing matches."""
     expr = None
-    path = F.lower(F.parse_url(url_col, F.lit("PATH")))
+    target = F.lower(url_col)
     for pat, score in patterns:
-        cond = path.rlike(f"(?i){pat}")
+        cond = target.rlike(f"(?i){pat}")
         expr = F.when(cond, score) if expr is None else expr.when(cond, score)
     return (expr.otherwise(0) if expr is not None else F.lit(0)).alias("url_score")

@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _h64, _shingle_array, shingles
+from .dedup import _h64, shingles
 from .textops import spread_small_input, token_array
 
 
@@ -155,25 +155,27 @@ def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     returned as its md5 so the compare row stays small (the full
     redacted column is one `.withColumn` away for pipeline use).
 
-    Pure column expressions — counts via regexp_extract_all on the
-    original text, redaction as three chained regexp_replace (email
-    first: an email's host part would otherwise be visible to the IP
-    pattern after partial rewrites).  Embarrassingly parallel; no
-    shuffle, no UDF, whole-stage codegen end to end.
+    Pure column expressions — redaction as three chained regexp_replace
+    (email first: an email's host part would otherwise be visible to
+    the IP pattern after partial rewrites), and each COUNT runs on the
+    text as it exists when its replace pass runs (email counts on the
+    original, IP counts on the email-redacted text, phone counts after
+    both).  Counting every pattern on the original instead can
+    disagree with the redaction — a placeholder boundary ('<EMAIL>'
+    before digits) satisfies a \\b the original text lacked, so the IP
+    pass would redact an address n_ips reported as 0.  Staged counting
+    makes counts == redactions by construction.  Embarrassingly
+    parallel; no shuffle, no UDF, whole-stage codegen end to end.
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(txt, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-        ),
-        PHONE_RE,
-        "<PHONE>",
-    )
+    after_email = F.regexp_replace(txt, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    red = F.regexp_replace(after_ip, PHONE_RE, "<PHONE>")
     return df.select(
         F.col(id_col),
         F.size(F.regexp_extract_all(txt, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all(txt, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
-        F.size(F.regexp_extract_all(txt, F.lit(IPV4_RE), 0)).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(after_ip, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(after_email, F.lit(IPV4_RE), 0)).cast("long").alias("n_ips"),
         F.md5(red).alias("redacted_md5"),
     )
 
@@ -189,21 +191,50 @@ def token_budget_select(
     cumulative token count fits ``budget`` — data selection under a
     token budget (the 'take the best N tokens' step of corpus mixing).
 
-    One distributed sort by (score desc, id) + a running sum window.
-    At scale this is Spark's range-partitioned ORDER BY — a real
-    shuffle, but the canonical one: there is no budgeted-prefix
-    selection without a global order, and the window's running sum
-    needs no extra exchange once the sort has run.  Ties broken by id
-    so the selection is deterministic.
+    There is no budgeted-prefix selection without a global order, but
+    the running sum must NOT run as one global unpartitioned window
+    (Exchange SinglePartition — every row through one task, the classic
+    mistake ``deterministic_shuffle`` documents).  Two-pass
+    partition-prefix-sum instead: a range-partitioned sort by
+    (score desc, id), per-partition token totals collected to the
+    driver (one tiny row per partition), then a PER-PARTITION running
+    sum window plus the driver-computed prefix offset — both exchanges
+    are parallel, and partitions whose offset already exceeds the
+    budget are pruned before the window runs.  Ties broken by id so the
+    selection is deterministic; the range boundaries are deterministic
+    for identical input (Spark's RangePartitioner seeds its sampler by
+    partition index), so the offset pass and the window pass see the
+    same partitioning.
     """
+    spark = df.sparkSession
     toks = F.size(token_array(F.col(text_col))).cast("long")
+    scored = df.select(F.col(id_col), F.col(score_col), toks.alias("n_tokens"))
+    p = max(2, spark.sparkContext.defaultParallelism)
+    ranked = (
+        scored.repartitionByRange(p, F.col(score_col).desc(), F.col(id_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    totals = {
+        int(r["_pid"]): int(r["s"])
+        for r in ranked.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    live = [pid for pid, off in offsets.items() if off <= budget]
+    if not live:
+        id_type = dict(df.dtypes)[id_col]
+        return spark.createDataFrame([], f"{id_col} {id_type}, n_tokens long, cum_tokens long")
+    om = F.create_map(*[F.lit(x) for pid in live for x in (pid, offsets[pid])])
     w = (
-        Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        Window.partitionBy("_pid")
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    scored = df.select(F.col(id_col), F.col(score_col), toks.alias("n_tokens"))
     return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        ranked.filter(F.col("_pid").isin(live))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w) + om[F.col("_pid")])
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, "n_tokens", "cum_tokens")
     )
@@ -450,9 +481,15 @@ def gopher_rules(
         F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"\.\.\.$"))) / n_lines
     )
     alpha_frac = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) / n_div
+    # strip punctuation before the stop-list match (same normalization
+    # as c4_rules' blocklist): 'that.' / '(with' must still count as
+    # stop-word presence — the published rule is about the words, and an
+    # exact whitespace-token match would fail fluent docs whose stop
+    # words precede punctuation
     stop_hits = F.size(
         F.array_intersect(
-            F.transform(words, F.lower), F.array(*[F.lit(s) for s in GOPHER_STOPS])
+            F.transform(words, lambda w: F.regexp_replace(F.lower(w), "[^a-z0-9]", "")),
+            F.array(*[F.lit(s) for s in GOPHER_STOPS]),
         )
     )
     out = df.select(

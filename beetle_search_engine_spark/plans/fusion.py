@@ -33,6 +33,8 @@ def rrf_fuse(
 ) -> DataFrame:
     """ranked: system name -> DataFrame[id_col, rank].  Returns
     (doc_id, rrf_score, n_systems) top-k."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked system")
     tagged = None
     for name, df in ranked.items():
         t = df.select(F.col(id_col), F.col("rank")).withColumn("system", F.lit(name))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.textops import doc_lengths, term_frequencies
+from ..operators.textops import term_frequencies
 
 
 def sql_bm25_topk(
@@ -32,13 +32,22 @@ def sql_bm25_topk(
     round_to: int = 4,
 ) -> DataFrame:
     """(doc_id, score) top-k, score = sum over matching query terms of
-    idf*w(K1+1)/(w+K1*(1-B+B*dl/avgdl)), idf = ln(N/(df+1))+1."""
+    idf*w(K1+1)/(w+K1*(1-B+B*dl/avgdl)), idf = ln(N/(df+1))+1.
+
+    dl derives from tf (sum of a doc's term frequencies == its token
+    count) rather than a separate doc_lengths chain: every branch then
+    shares the one tokenize+groupBy exchange subtree, which Spark's
+    ReuseExchange rule evaluates once — the old independent dl chain
+    re-ran the regex tokenizer over the whole corpus a second time.
+    Zero-token docs (absent from tf) still count toward N and avgdl via
+    the cheap column-pruned docs.count(); they can match no query term,
+    so their missing dl rows never affect the join."""
     tf = term_frequencies(docs, text_col, id_col)
-    dl = doc_lengths(docs, text_col, id_col)
+    n_docs = docs.count()
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = F.broadcast(
-        dl.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
+        dl.agg((F.sum("dl") / F.lit(float(n_docs))).alias("avgdl")).withColumn(
+            "n_docs", F.lit(n_docs)
         )
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

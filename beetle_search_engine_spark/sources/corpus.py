@@ -90,10 +90,20 @@ def generate_corpus(
 
     # content: variable-length Zipf-weighted common words + a rare
     # identifier tail (unique-ish tokens -> realistic vocabulary size)
-    n_tok = (F.lit(avg_tokens - 90) + F.pmod(h(F.col("id"), F.lit(7)), F.lit(180))).cast("int")
+    # greatest(…, 0): at avg_tokens <= 90 the raw expression can go
+    # non-positive, and F.sequence(0, n_tok - 1) would then count DOWN
+    # ([0, -1, ...]) instead of yielding an empty token list — garbage
+    # content with negative hash indices, silently.  Unchanged for the
+    # default avg_tokens (the determinism contract holds bit-for-bit).
+    n_tok = F.greatest(
+        (F.lit(avg_tokens - 90) + F.pmod(h(F.col("id"), F.lit(7)), F.lit(180))).cast("int"),
+        F.lit(0),
+    )
     common_part = F.array_join(
         F.transform(
-            F.sequence(F.lit(0), n_tok - 1),
+            F.when(n_tok > 0, F.sequence(F.lit(0), n_tok - 1)).otherwise(
+                F.array().cast("array<int>")
+            ),
             lambda i: F.element_at(vocab, (F.pmod(F.xxhash64(F.col("id"), i, F.col("_s")), F.lit(v_n)) + 1).cast("int")),
         ),
         " ",

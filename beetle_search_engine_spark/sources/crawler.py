@@ -166,7 +166,9 @@ def crawl_frontier(
             eager=True
         )
     if crawled is None:
+        # same column ORDER as the populated path: callers that union
+        # positionally or index rows by position must see one schema
         return spark.createDataFrame(
-            [], "url string, status int, content_type string, body binary, seed string, depth int"
+            [], "seed string, url string, depth int, status int, content_type string, body binary"
         )
     return crawled.select("seed", "url", "depth", "status", "content_type", "body")

@@ -64,3 +64,20 @@ def test_url_pattern_score_first_match_only(spark):
             assert r["s"] == 8
         else:
             assert r["s"] == r["want"], r["url"]
+
+
+def test_url_pattern_score_matches_host_and_scheme(spark):
+    # the reference lowercases and matches the FULL URL — host rules and
+    # scheme anchors must work (a path-only reduction never matched them)
+    patterns = [(r"docs\.example\.com", 5), (r"^https://blog", 3)]
+    df = spark.createDataFrame(
+        [
+            ("https://docs.example.com/x", 5),
+            ("https://blog.example.com/post", 3),
+            ("https://example.com/docs", 0),
+        ],
+        "url string, want int",
+    )
+    got = df.select(url_pattern_score(F.col("url"), patterns).alias("s"), "want").collect()
+    for r in got:
+        assert r["s"] == r["want"]
