@@ -52,10 +52,14 @@ def main() -> None:
             args.top_k, args.rerank_k, rerank=args.rerank,
         ).collect()
     else:
+        if args.rerank:
+            # no --docs means no text to rerank against — say so rather
+            # than printing a '(Reranked)' header over plain BM25 scores
+            print("--rerank needs --docs (no document text to score); ignoring")
         rows = index.search(args.query, args.top_k, mode="parse").collect()
 
     print(f"\n--- Top {len(rows)} results for '{args.query}' ---")
-    if args.rerank:
+    if args.rerank and args.docs:
         print("(Reranked)")
     for r in rows:
         print(f"{r['rank']}. doc_id: {r['doc_id']}")

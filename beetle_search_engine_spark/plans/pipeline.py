@@ -90,7 +90,13 @@ def search_and_rerank(
 
             hits = _cosine_topk(embeddings, query_vec, k, id_col, "embedding")
         else:
-            hits = knn_cosine(embeddings, query_vec_id, k, id_col=id_col)
+            # match the id literal's type to the column: comparing a
+            # string id column to an int literal throws under Spark 4
+            # ANSI casts (and silently nulls under legacy mode)
+            qid = query_vec_id
+            if dict(embeddings.dtypes)[id_col] == "string":
+                qid = str(qid)
+            hits = knn_cosine(embeddings, qid, k, id_col=id_col)
         return hits.select(F.col(id_col).cast("string").alias("doc_id"), "score")
     if method == "bm25":
         # the reference hands the RAW user string to Whoosh's
@@ -151,9 +157,12 @@ def search_and_rerank(
         )
     scorer = reranker_factory(query)
     scored = hits.select("doc_id", "text").mapInPandas(scorer, "doc_id string, rerank_score double")
+    # no join back to hits: the final columns come entirely from the
+    # scorer's output, and a re-join would execute the whole
+    # retrieval+fetch lineage a second time (and duplicate rows if the
+    # documents frame carries duplicate doc_ids)
     return (
-        hits.select("doc_id", "score").join(scored, "doc_id")
-        .orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+        scored.orderBy(F.desc("rerank_score"), F.asc("doc_id"))
         .limit(rerank_k)
         .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("rerank_score"), F.asc("doc_id"))))
         .select("doc_id", F.col("rerank_score").alias("score"), "rank")

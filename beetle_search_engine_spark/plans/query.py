@@ -65,9 +65,28 @@ class BM25Index:
         with open(f"{index_dir}/stats.json") as f:
             self.stats = json.load(f)
         self.analyzer = get_analyzer(self.stats.get("analyzer", "whoosh"))
-        self.postings = spark.read.parquet(f"{index_dir}/postings")
-        self.docids = spark.read.parquet(f"{index_dir}/docids")
+        self.postings, self.docids = self._committed_scans()
         self._load_tombstones()
+
+    def _committed_scans(self) -> tuple[DataFrame, DataFrame]:
+        """Postings/docids scans filtered to the epochs COMMITTED in
+        stats.json — append_epoch's commit point is the stats write, so
+        a crash between its postings/docids writes and that commit
+        leaves orphan ``group=1000+e`` / ``epoch=e`` partitions on disk.
+        An unfiltered read would serve those half-committed documents
+        with pre-append stats; the partition-column isin filters prune
+        them for free (and a retried append overwrites them in place).
+        Base groups (< 1000) are guarded by the group-manifest cleanup
+        at build time."""
+        epochs = sorted(int(e) for e in self.stats.get("epochs", {"0": None}))
+        committed_groups = [1000 + e for e in epochs if e > 0]
+        postings = self.spark.read.parquet(f"{self.index_dir}/postings")
+        postings = postings.filter(
+            (F.col("group") < 1000) | F.col("group").isin(committed_groups)
+        )
+        docids = self.spark.read.parquet(f"{self.index_dir}/docids")
+        docids = docids.filter(F.col("epoch").isin(epochs))
+        return postings, docids
 
     def _buckets_for(self, terms: list[str]) -> dict[str, int]:
         # driver-local pure-Python XXH64, parity-tested vs Spark's
@@ -147,8 +166,7 @@ class BM25Index:
         """Re-read stats.json (after an incremental append_epoch)."""
         with open(f"{self.index_dir}/stats.json") as f:
             self.stats = json.load(f)
-        self.postings = self.spark.read.parquet(f"{self.index_dir}/postings")
-        self.docids = self.spark.read.parquet(f"{self.index_dir}/docids")
+        self.postings, self.docids = self._committed_scans()
         self._load_tombstones()
         # drop cached pyarrow file listings (the local fast path would
         # otherwise keep serving the pre-append snapshot)
@@ -692,6 +710,11 @@ class BM25Index:
                 f"{self.index_dir}/postings", format="parquet", partitioning="hive"
             )
         flt = ds.field("bucket").isin(sorted(set(buckets.values()))) & ds.field("term").isin(terms)
+        # same committed-epoch pruning as the Spark scan (_committed_scans)
+        epochs = sorted(int(e) for e in self.stats.get("epochs", {"0": None}))
+        flt &= (ds.field("group") < 1000) | ds.field("group").isin(
+            [1000 + e for e in epochs if e > 0]
+        )
         return self._arrow_postings.to_table(filter=flt).to_pandas()
 
     def _docids_arrow(self, docnums: list[int]) -> dict[int, str]:
@@ -701,8 +724,10 @@ class BM25Index:
             self._arrow_docids = ds.dataset(
                 f"{self.index_dir}/docids", format="parquet", partitioning="hive"
             )
+        epochs = sorted(int(e) for e in self.stats.get("epochs", {"0": None}))
         t = self._arrow_docids.to_table(
-            filter=ds.field("docnum").isin(docnums), columns=["docnum", "doc_id"]
+            filter=ds.field("docnum").isin(docnums) & ds.field("epoch").isin(epochs),
+            columns=["docnum", "doc_id"],
         )
         return dict(zip(t.column("docnum").to_pylist(), t.column("doc_id").to_pylist()))
 

@@ -65,13 +65,19 @@ class SearchService:
         self.query_embedder = query_embedder
 
     def handle(self, request: dict) -> dict:
-        query = (request.get("query") or "").strip()
+        # field coercion inside the 400 guard: a malformed value
+        # ({"top_k": "abc"}, a non-string query) must be a JSON 400,
+        # not an exception that kills the socket with no response
+        try:
+            query = str(request.get("query") or "").strip()
+            top_k = int(request.get("top_k") or 20)
+            rerank_k = int(request.get("rerank_k") or 5)
+            method = str(request.get("search_method", "bm25"))
+            rerank = bool(request.get("reranker_enabled", False))
+        except (TypeError, ValueError) as e:
+            return {"error": f"bad request field: {e}", "status": 400}
         if not query:
             return {"error": "query must not be empty", "status": 400}
-        top_k = int(request.get("top_k", 20))
-        rerank_k = int(request.get("rerank_k", 5))
-        method = request.get("search_method", "bm25")
-        rerank = bool(request.get("reranker_enabled", False))
         try:
             qvec = None
             if method in ("hybrid", "faiss", "knn") and self.embeddings is not None:
@@ -106,7 +112,7 @@ class SearchService:
                 "n_docs": s["n_docs"],
                 "vocab_size": s.get("vocab_size"),
                 "n_buckets": s["n_buckets"],
-                "epochs": sorted(s.get("epochs", {})),
+                "epochs": sorted(s.get("epochs", {}), key=int),
             },
         }
 

@@ -54,6 +54,15 @@ def append_epoch(
     stats_path = f"{index_dir}/stats.json"
     with open(stats_path) as f:
         stats = json.load(f)
+    if sorted(fields) != stats.get("fields", sorted(fields)):
+        # a mismatched field set would silently index the epoch under a
+        # different schema (e.g. the default {'body': 'content'} against
+        # a title+body index leaves the new docs' titles unsearchable) —
+        # exactly the divergence the layout_hash guards at build time
+        raise ValueError(
+            f"append_epoch fields {sorted(fields)} != index fields "
+            f"{stats.get('fields')}; pass the fields the index was built with"
+        )
     if batch_tag is not None and batch_tag in stats.get("applied_batches", []):
         return {"epoch": None, "skipped": True, "batch_tag": batch_tag}
     # the next free docnum, NOT n_docs: after an optimize the surviving
@@ -147,6 +156,10 @@ def append_epoch(
     )
     enc.write.mode("overwrite").partitionBy("bucket").parquet(f"{index_dir}/postings/group={1000 + epoch}")
 
+    # NOTE: vocab_size stays the base build's value (counting the union
+    # of distinct terms would need a full dictionary scan per epoch);
+    # optimize_index recomputes it fresh.  Documented staleness — the
+    # value is informational (GET /config), never used for scoring.
     stats["n_docs"] = n_total
     stats["next_docnum"] = offset + n_new
     stats["dl_totals"] = dl_totals
@@ -180,14 +193,32 @@ def stream_refresh(
     available_now: bool = False,
 ):
     """Structured Streaming sink: every micro-batch of documents becomes
-    one index epoch.  Returns the StreamingQuery handle."""
+    one index epoch.  Returns the StreamingQuery handle.
+
+    Exactly-once requires a ``checkpoint_dir``: the idempotency tag is
+    scoped to the checkpoint identity plus Spark's batch_id, which the
+    checkpoint keeps stable across restarts (a restart re-delivers only
+    the in-flight batch, and its tag matches so the replay no-ops).
+    Without a checkpoint, batch ids restart at 0 on every run — a tag
+    scoped only to batch_id would then silently DROP new data whose id
+    collides with an old batch — so each run gets a fresh random run
+    token instead: at-least-once per run, and a restart reprocesses the
+    whole source as new epochs (documented; pass a checkpoint_dir for
+    real deployments)."""
+    import hashlib as _hl
+    import os as _os
+
+    if checkpoint_dir:
+        scope = _hl.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    else:
+        scope = _os.urandom(4).hex()
 
     def handle(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
         append_epoch(
             batch_df.sparkSession, index_dir, batch_df, fields, cfg, meta_cols,
-            batch_tag=f"stream:{batch_id}",
+            batch_tag=f"stream:{scope}:{batch_id}",
         )
 
     w = stream_df.writeStream.foreachBatch(handle).outputMode("append")

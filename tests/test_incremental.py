@@ -125,3 +125,51 @@ def test_conf_bytes_parses_unit_suffixes(spark):
             assert _conf_bytes(spark, key, 0) == want, raw
     finally:
         spark.conf.set(key, old)
+
+
+def test_uncommitted_epoch_is_not_served(spark, tmp_path):
+    """A crash between append_epoch's postings/docids writes and its
+    stats.json commit leaves orphan epoch partitions; queries must not
+    serve them (the stats write IS the commit point)."""
+    import shutil
+
+    fields = {"body": "content"}
+    cfg = EngineConfig(index=IndexConfig(n_buckets=4, bucket_groups=1, chunk_docs=32))
+    idx_dir = str(tmp_path / "idx")
+    a = generate_corpus(spark, 120, seed=31)
+    build_index(spark, a, idx_dir, fields=fields, cfg=cfg)
+    before = [
+        (r.doc_id, r.score)
+        for r in BM25Index(spark, idx_dir).search("spark", 10, "or").collect()
+    ]
+    # simulate the crash: append a real epoch, then roll back ONLY the
+    # stats commit
+    with open(f"{idx_dir}/stats.json") as f:
+        stats_before = f.read()
+    b = generate_corpus(spark, 60, seed=32).withColumn(
+        "path", F.concat(F.lit("b/"), F.col("path"))
+    ).withColumn("doc_id", F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256))
+    append_epoch(spark, idx_dir, b, fields=fields, cfg=cfg)
+    with open(f"{idx_dir}/stats.json", "w") as f:
+        f.write(stats_before)  # the commit never happened
+    after = [
+        (r.doc_id, r.score)
+        for r in BM25Index(spark, idx_dir).search("spark", 10, "or").collect()
+    ]
+    assert after == before  # orphan group=1001/epoch=1 pruned
+    # ...and a local fast-path search agrees
+    local = [
+        (r.doc_id, r.score)
+        for r in BM25Index(spark, idx_dir).search("spark", 10, "or", prefer_local=True).collect()
+    ]
+    assert local == before
+
+
+def test_append_epoch_rejects_mismatched_fields(spark, tmp_path):
+    fields = {"title": "path", "body": "content"}
+    cfg = EngineConfig(index=IndexConfig(n_buckets=4, bucket_groups=1, chunk_docs=32))
+    idx_dir = str(tmp_path / "idx2")
+    build_index(spark, generate_corpus(spark, 60, seed=33), idx_dir, fields=fields, cfg=cfg)
+    extra = generate_corpus(spark, 10, seed=34)
+    with pytest.raises(ValueError, match="index fields"):
+        append_epoch(spark, idx_dir, extra, fields={"body": "content"}, cfg=cfg)

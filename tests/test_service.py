@@ -139,3 +139,16 @@ def test_handle_faiss_with_embeddings_matches_direct_cosine(svc_vec):
         for r in _cosine_topk(svc_vec.embeddings, qv, 5, "doc_id", "embedding").collect()
     ]
     assert got == want
+
+
+def test_handle_malformed_fields_are_400(svc):
+    for req in (
+        {"query": "x", "top_k": "abc"},
+        {"query": "x", "rerank_k": "um"},
+        {"query": 123, "top_k": 5},        # non-string query coerces fine
+    ):
+        resp = svc.handle(req)
+        assert resp["status"] in (200, 400)
+        assert "error" in resp or resp["total_results"] >= 0
+    resp = svc.handle({"query": "x", "top_k": "abc"})
+    assert resp["status"] == 400 and "top_k" not in resp.get("results", [])
