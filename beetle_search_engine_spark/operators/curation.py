@@ -599,3 +599,103 @@ def c4_rules(
         & (F.col("bad_word_hits") == 0)
     )
     return out.withColumn("keep", keep.cast("int"))
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 6,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr DEDUP — the cut step of Lee et al. 2022 (§3 "we
+    remove all but one of the duplicated substrings"), composing with
+    :func:`duplicate_span_stats` which only reports the signal: every
+    corpus-wide duplicated n-token window is removed from every
+    occurrence EXCEPT the canonical first one (minimum (doc_id,
+    position) — deterministic, no coordination beyond the one window
+    already shuffled).  Overlapping cut windows merge, so a run of r
+    consecutive duplicated windows removes r+n-1 tokens once.
+
+    Returns (doc_id, text, n_tokens, removed_tokens) for EVERY input
+    doc; ``text`` is the TOKEN-NORMALIZED document (the same analyzer
+    chain the stats op counts with) with cut spans removed — the paper
+    also operates on tokenized text; callers needing original bytes
+    should treat this as the training-surface text, not a byte patch.
+
+    Scale shape: identical to duplicate_span_stats — the window stream
+    crosses the wire once (count + first-occurrence rank over one hash
+    partition), cut rows are a small fraction, and the interval merge
+    is a per-doc fold over sorted starts.  The final pass re-derives
+    each doc's token array in the same projection that filters it (no
+    second corpus shuffle; docs without cuts pass through untouched via
+    the left join).
+    """
+    toks = token_array(F.col(text_col))
+    base = (
+        spread_small_input(df)
+        .select(F.col(id_col), toks.alias("_t"))
+        .withColumn("_m", F.size("_t"))
+    )
+    wins = base.where(F.col("_m") >= n).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_m") - (n - 1)),
+                lambda i: _h64(F.concat_ws(" ", F.slice(F.col("_t"), i, n)), 0),
+            )
+        ).alias("_p0", "_h"),
+    )
+    w = Window.partitionBy("_h")
+    ow = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_p0"))
+    cuts = (
+        wins.withColumn("_c", F.count(F.lit(1)).over(w))
+        .withColumn("_rn", F.row_number().over(ow))
+        .where((F.col("_c") >= min_count) & (F.col("_rn") > 1))
+    )
+    # merge sorted 1-based starts into disjoint [s, e) intervals: starts
+    # ascend, so any overlap is with the last interval in the accumulator
+    start = F.col("_p0") + 1
+    iv_t = "array<struct<s:bigint,e:bigint>>"
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    intervals = F.aggregate(
+        F.sort_array(F.collect_list(start)),
+        F.array().cast(iv_t),
+        lambda acc, i: F.when(
+            (F.size(acc) > 0) & (i.cast("long") <= last(acc)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["s"].alias("s"),
+                        F.greatest(last(acc)["e"], (i + n).cast("long")).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(i.cast("long").alias("s"), (i + n).cast("long").alias("e"))
+                ),
+            )
+        ),
+    )
+    per_doc = cuts.groupBy(id_col).agg(intervals.alias("_iv"))
+    joined = base.join(per_doc, id_col, "left")
+    kept = F.when(
+        F.col("_iv").isNull(), F.col("_t")
+    ).otherwise(
+        F.filter(
+            F.col("_t"),
+            lambda _tok, idx: ~F.exists(
+                F.col("_iv"), lambda iv: ((idx + 1) >= iv["s"]) & ((idx + 1) < iv["e"])
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text"),
+        F.col("_m").cast("long").alias("n_tokens"),
+        (F.col("_m") - F.size(kept)).cast("long").alias("removed_tokens"),
+    )

@@ -589,3 +589,72 @@ def test_c4_rules_signals_and_keep(spark):
     assert got[8].keep == 0 and got[8].n_lines == 0
     plan = c4_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _naive_remove_spans(docs, n=3, min_count=2):
+    """Pure-Python reference for remove_duplicate_spans: same window
+    hashing rule (text windows, not hashes — collisions are absent at
+    test scale), keeper = min (doc_id, pos), overlaps merged."""
+    from beetle_search_engine_spark.functions.analyzer import sql_tokenize
+
+    toks = {d: sql_tokenize(t or "") for d, t in docs}
+    occ = {}
+    for d, ts in sorted(toks.items()):
+        for p in range(len(ts) - n + 1):
+            occ.setdefault(" ".join(ts[p : p + n]), []).append((d, p))
+    cut = {d: set() for d in toks}
+    for _w, places in occ.items():
+        if len(places) >= min_count:
+            for d, p in sorted(places)[1:]:  # all but the first occurrence
+                cut[d].update(range(p, p + n))
+    out = {}
+    for d, ts in toks.items():
+        kept = [t for i, t in enumerate(ts) if i not in cut[d]]
+        out[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def test_remove_duplicate_spans_matches_naive(spark):
+    from beetle_search_engine_spark.operators.curation import remove_duplicate_spans
+
+    docs = [
+        ("a", "alpha beta gamma delta epsilon zeta"),          # source of the span
+        ("b", "intro words alpha beta gamma delta epsilon zeta tail"),  # copy -> cut
+        ("c", "alpha beta gamma delta epsilon zeta"),          # full copy -> all cut
+        ("d", "unique text with no duplicated windows here"),
+        ("e", "rep rep rep rep rep rep rep rep"),              # self-repeat run
+        ("f", "xx"),                                           # shorter than n
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.removed_tokens)
+        for r in remove_duplicate_spans(df, n=3, min_count=2).collect()
+    }
+    want = _naive_remove_spans(docs, n=3, min_count=2)
+    assert set(got) == set(want)  # every input doc present
+    for d in want:
+        assert got[d] == want[d], (d, got[d], want[d])
+    # the canonical first occurrence survives verbatim
+    assert got["a"][2] == 0
+    # and the full copy is entirely cut
+    assert got["c"][0] == "" and got["c"][2] == got["c"][1]
+
+
+def test_remove_duplicate_spans_consistent_with_stats(spark):
+    """removed_tokens for a NON-canonical doc equals the stats op's
+    dup_tokens whenever the doc holds no canonical occurrence (the
+    stats op counts coverage irrespective of keepers)."""
+    from beetle_search_engine_spark.operators.curation import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    docs = [
+        ("a", "one two three four five six seven"),
+        ("z", "pad pad one two three four five six seven end bit"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rem = {r.doc_id: r.removed_tokens for r in remove_duplicate_spans(df, n=4).collect()}
+    st = {r.doc_id: r.dup_tokens for r in duplicate_span_stats(df, n=4).collect()}
+    assert rem["z"] == st["z"] > 0  # z is never the keeper ('a' < 'z')
+    assert rem["a"] == 0  # canonical occurrences are kept
