@@ -227,3 +227,30 @@ def stream_refresh(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    key_cols: tuple[str, ...] = ("content_sha",),
+    ts_col: str | None = None,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """First-seen exact dedup on a STREAM — the streaming twin of the
+    batch ``dedup.exact_dups`` family, feeding ``stream_refresh`` so an
+    at-least-once source (crawler re-fetches, replayed queues) never
+    appends the same document as two epochs.
+
+    Spark-first: no custom state code — ``dropDuplicatesWithinWatermark``
+    keys the state store by ``key_cols`` and EXPIRES entries once the
+    event-time watermark passes them, which is the piece a naive
+    ``dropDuplicates`` on a stream is missing (its state grows without
+    bound for the lifetime of the query; at 100 TB/day of crawl that is
+    the difference between a working dedup and an OOM).  ``ts_col``
+    names the event-time column carrying the watermark; without one the
+    caller accepts unbounded state (documented — fine for bounded
+    replays, wrong for continuous crawls) and plain dropDuplicates runs.
+    """
+    keys = list(key_cols)
+    if ts_col is not None:
+        return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return stream_df.dropDuplicates(keys)

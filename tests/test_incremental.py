@@ -173,3 +173,53 @@ def test_append_epoch_rejects_mismatched_fields(spark, tmp_path):
     extra = generate_corpus(spark, 10, seed=34)
     with pytest.raises(ValueError, match="index fields"):
         append_epoch(spark, idx_dir, extra, fields={"body": "content"}, cfg=cfg)
+
+
+def test_stream_dedup_exact_first_seen_only(spark, tmp_path):
+    """A replayed document (same content_sha in a later micro-batch)
+    must survive exactly once; distinct docs all pass."""
+    import os
+    import time as _t
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beetle_search_engine_spark.streaming.incremental import stream_dedup_exact
+
+    src = tmp_path / "in"
+    src.mkdir()
+    now = _t.time()
+
+    def write(name, rows, mtime):
+        pq.write_table(
+            pa.table(
+                {
+                    "content_sha": pa.array([r[0] for r in rows]),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+                    "text": pa.array([r[2] for r in rows]),
+                }
+            ),
+            str(src / name),
+        )
+        os.utime(str(src / name), (mtime, mtime))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    write("a.parquet", [("s1", t0, "one"), ("s2", t0, "two")], now - 20)
+    # batch B replays s1 (same sha) and adds s3
+    write("b.parquet", [("s1", t0, "one"), ("s3", t0, "three")], now - 10)
+
+    stream = (
+        spark.readStream.schema("content_sha string, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_dedup_exact(stream, ("content_sha",), ts_col="ts", watermark="1 hour")
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [r.content_sha for r in spark.sql("SELECT content_sha FROM dedup_out").collect()]
+    assert sorted(got) == ["s1", "s2", "s3"]  # s1 exactly once
