@@ -1223,6 +1223,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), n=6
     )
 
+    # the ExactSubstr CUT step (Lee et al. 2022 remove-all-but-one):
+    # every duplicated 6-token window removed except its corpus-wide
+    # first occurrence (min (doc_id, position) keeper).  Outside the
+    # 50-row driver window; same pytest oracle gate.
+    q["remove_duplicate_spans"] = lambda s, d: curation.remove_duplicate_spans(
+        _docs(s, d), n=6
+    )
+
     # reproducible global training shuffle, emitted as shard assignment
     # (bucket = output file, pos = rank within shard — windows per
     # bucket, never a single global row_number)
@@ -2595,6 +2603,52 @@ def oracle_sql() -> dict[str, str]:
       SELECT a.doc_id, n_tokens, n_dup_windows, dup_tokens,
              round(dup_tokens / n_tokens, 6) AS dup_fraction
       FROM agg a JOIN cover USING (doc_id)
+    """
+
+    # the cut step: same window/hash CTEs, keeper = row_number 1 over
+    # (doc_id, pos) per hash; covered = the NON-keeper hits' token
+    # ranges; kept text rebuilt by ord-ordered string_agg.  Every input
+    # doc emits a row (left joins; all-cut and token-less docs -> '').
+    o["remove_duplicate_spans"] = f"""
+      WITH tl AS ({_TOKLIST}),
+      p AS (
+        SELECT doc_id, len(l) AS m, l,
+               unnest(range(1, len(l) - {_dss_n} + 2)) AS pos
+        FROM tl WHERE len(l) >= {_dss_n}
+      ),
+      wins AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(array_to_string(l[pos:pos+{_dss_n - 1}], ' ') || '#0'), 1, 8))::bigint AS h
+        FROM p
+      ),
+      marked AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY h) AS c,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM wins
+      ),
+      covered AS (
+        SELECT DISTINCT doc_id, pos + off AS idx
+        FROM (SELECT doc_id, pos, unnest(range(0, {_dss_n})) AS off
+              FROM marked WHERE c >= 2 AND rn > 1)
+      ),
+      tok AS (
+        SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l) + 1)) AS ord FROM tl
+      ),
+      kept AS (
+        SELECT t.doc_id, t.term, t.ord
+        FROM tok t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.idx = t.ord
+        WHERE c.idx IS NULL
+      ),
+      agg AS (
+        SELECT doc_id, string_agg(term, ' ' ORDER BY ord) AS text,
+               count(*)::bigint AS kept_n
+        FROM kept GROUP BY doc_id
+      )
+      SELECT tl.doc_id, coalesce(a.text, '') AS text,
+             len(tl.l)::bigint AS n_tokens,
+             (len(tl.l) - coalesce(a.kept_n, 0))::bigint AS removed_tokens
+      FROM tl LEFT JOIN agg a USING (doc_id)
     """
 
     o["curation_pipeline"] = f"""

@@ -74,7 +74,7 @@ def test_driver_window_composition(spark):
     missing = [k for k in keys[:50] if k not in oracles]
     assert missing == [], f"window entries without an oracle: {missing}"
     # demoted family twins remain registered (pytest-only coverage)
-    assert len(keys) == 79
+    assert len(keys) == 80
     for demoted in ("knn_dot_topk", "knn_cosine_topk", "simhash16",
                     "near_dup_pairs",
                     "engine_not_phrase", "engine_wildcard", "engine_range",
