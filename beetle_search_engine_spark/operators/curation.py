@@ -201,10 +201,18 @@ def token_budget_select(
     sum window plus the driver-computed prefix offset — both exchanges
     are parallel, and partitions whose offset already exceeds the
     budget are pruned before the window runs.  Ties broken by id so the
-    selection is deterministic; the range boundaries are deterministic
-    for identical input (Spark's RangePartitioner seeds its sampler by
-    partition index), so the offset pass and the window pass see the
-    same partitioning.
+    selection is deterministic.
+
+    The range partitioning is MATERIALIZED (localCheckpoint) before the
+    totals collect: Spark's RangePartitioner seeds its boundary sampler
+    with the RDD id (byteswap32(idx ^ (rdd.id << 16))), which differs
+    per query execution, so re-executing the repartitionByRange plan for
+    the window pass could pick DIFFERENT range boundaries once the input
+    outgrows the boundary sample — the driver-computed offsets would
+    then apply to the wrong partition contents.  Checkpointing pins one
+    physical partitioning that both passes read (the checkpointed blocks
+    are executor-local and reclaimed by the ContextCleaner when the
+    result frame is released).
     """
     spark = df.sparkSession
     toks = F.size(token_array(F.col(text_col))).cast("long")
@@ -213,6 +221,7 @@ def token_budget_select(
     ranked = (
         scored.repartitionByRange(p, F.col(score_col).desc(), F.col(id_col).asc())
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     totals = {
         int(r["_pid"]): int(r["s"])
@@ -357,14 +366,20 @@ def duplicate_span_stats(
 
     Scale shape: the window stream is O(corpus tokens) rows of (id, pos,
     hash) — exactly the distributed formulation's cost, and the reason
-    suffix arrays don't survive 100 TB.  The full stream crosses the
-    wire ONCE: a hash-partition on the window key for the
-    count-over-window (no groupBy + self-join, which would shuffle the
-    same stream twice); the only other exchange is the per-doc
-    aggregation over HIT rows — a small fraction, with map-side partial
-    aggregation in front of it — and the span
-    union is a per-doc fold over sorted positions (O(doc windows), no
-    re-explosion — the naive distinct-token-index expansion would
+    suffix arrays don't survive 100 TB.  Per-key counts come from a
+    TWO-PHASE count — ``groupBy("_h").count()`` (map-side partial
+    aggregation collapses a hot key to one row per input partition
+    BEFORE the exchange) joined back to the window stream — never a
+    count-over-``Window.partitionBy("_h")``: the window form funnels
+    every occurrence of a corpus-hot n-gram (license headers, code
+    boilerplate — easily 10^7+ occurrences at 100 TB) into ONE hash
+    partition and materializes the whole partition per row, while the
+    join form streams it (and AQE skew-join can split the hot key's
+    partition since the counts side is one row per key).  The only other
+    exchange is the per-doc aggregation over HIT rows — a small
+    fraction, with map-side partial aggregation in front of it — and the
+    span union is a per-doc fold over sorted positions (O(doc windows),
+    no re-explosion — the naive distinct-token-index expansion would
     inflate hits n x).  _h64 keys are 32-bit-range for bit-parity with
     the DuckDB oracle; at real corpus sizes widen to F.xxhash64 (full 64
     bits) to keep accidental-collision overcounts negligible.
@@ -386,9 +401,10 @@ def duplicate_span_stats(
             )
         ).alias("_p0", "_h"),
     )
-    hits = wins.withColumn(
-        "_c", F.count(F.lit(1)).over(Window.partitionBy("_h"))
-    ).where(F.col("_c") >= min_count)
+    counts = wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_c")).where(
+        F.col("_c") >= min_count
+    )
+    hits = wins.join(counts, "_h")
     # fold sorted 1-based window starts into union coverage: each window
     # [i, i+n-1] contributes (i+n) - max(prev_end, i) new tokens, where
     # prev_end is one past the last covered index (starts at 0).
@@ -623,13 +639,18 @@ def remove_duplicate_spans(
     also operates on tokenized text; callers needing original bytes
     should treat this as the training-surface text, not a byte patch.
 
-    Scale shape: identical to duplicate_span_stats — the window stream
-    crosses the wire once (count + first-occurrence rank over one hash
-    partition), cut rows are a small fraction, and the interval merge
-    is a per-doc fold over sorted starts.  The final pass re-derives
-    each doc's token array in the same projection that filters it (no
-    second corpus shuffle; docs without cuts pass through untouched via
-    the left join).
+    Scale shape: identical to duplicate_span_stats — a TWO-PHASE
+    per-key aggregation (``groupBy("_h")`` computing both the count and
+    the first-occurrence keeper as ``min(struct(doc_id, pos))``, with
+    map-side partial aggregation collapsing hot keys before the
+    exchange) joined back to the window stream, never a
+    count/row_number-over-``Window.partitionBy("_h")`` — the window form
+    funnels a corpus-hot n-gram's every occurrence into one partition
+    and materializes it whole (see duplicate_span_stats).  Cut rows are
+    a small fraction, and the interval merge is a per-doc fold over
+    sorted starts.  The final pass re-derives each doc's token array in
+    the same projection that filters it (no second corpus shuffle; docs
+    without cuts pass through untouched via the left join).
     """
     toks = token_array(F.col(text_col))
     base = (
@@ -646,12 +667,19 @@ def remove_duplicate_spans(
             )
         ).alias("_p0", "_h"),
     )
-    w = Window.partitionBy("_h")
-    ow = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_p0"))
-    cuts = (
-        wins.withColumn("_c", F.count(F.lit(1)).over(w))
-        .withColumn("_rn", F.row_number().over(ow))
-        .where((F.col("_c") >= min_count) & (F.col("_rn") > 1))
+    keyagg = (
+        wins.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct(F.col(id_col), F.col("_p0"))).alias("_keep"),
+        )
+        .where(F.col("_c") >= min_count)
+    )
+    cuts = wins.join(keyagg, "_h").where(
+        ~(
+            (F.col(id_col) == F.col("_keep").getField(id_col))
+            & (F.col("_p0") == F.col("_keep").getField("_p0"))
+        )
     )
     # merge sorted 1-based starts into disjoint [s, e) intervals: starts
     # ascend, so any overlap is with the last interval in the accumulator

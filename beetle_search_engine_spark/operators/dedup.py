@@ -297,9 +297,12 @@ def connected_components(
     near-dups).  Identical output; both honor ``checkpoint_dir``.
 
     Raises ``RuntimeError`` if the fixpoint is not reached within
-    ``max_iter`` rounds (truncated labels would be silently wrong —
-    a graph needing that many label rounds has diameter > max_iter;
-    raise ``max_iter`` or pass ``algorithm="star"``).
+    ``max_iter`` label-update rounds (truncated labels would be silently
+    wrong — a graph still changing after that many rounds has diameter
+    > max_iter; raise ``max_iter`` or pass ``algorithm="star"``).
+    Convergence needs one extra CONFIRMING round (a round that observes
+    no change), so the loop runs up to max_iter + 1 times — a graph of
+    diameter exactly max_iter converges rather than raising.
     """
     spark = pairs.sparkSession
     staged_paths: list[str] = []
@@ -329,7 +332,10 @@ def connected_components(
         "labels_0",
     )
     converged = False
-    for rnd in range(1, max_iter + 1):
+    # max_iter bounds label-UPDATE rounds; the fixpoint is only observable
+    # by a round that sees no change, so allow one extra confirming round
+    # (a diameter-== max_iter graph is converged, not an error).
+    for rnd in range(1, max_iter + 2):
         prop = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("lab")
         )
@@ -400,7 +406,9 @@ def _cc_star(
     )
     edges = _stage(edges, "star_0")
     converged = False
-    for rnd in range(1, max_iter + 1):
+    # same confirming-round allowance as the label path: max_iter bounds
+    # CONTRACTING alternations, +1 round observes the fixpoint.
+    for rnd in range(1, max_iter + 2):
         # ---- large-star: group by EVERY endpoint (bidirected view)
         bi = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
             edges.select(F.col("b").alias("u"), F.col("a").alias("v"))

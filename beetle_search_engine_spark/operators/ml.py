@@ -515,6 +515,43 @@ def pq_encode(
     )
 
 
+def _np_adc(codes, luts_np):
+    """Sum the per-subspace LUT rows selected by a codes matrix — the
+    shared inner kernel of every ADC scan (inline, stored, and IVFPQ
+    per-cluster).  Accumulates in codebook order j=0..m-1, matching
+    pq_adc_col's expression order so all paths agree bit-for-bit."""
+    import numpy as np
+
+    adc = np.zeros(len(codes))
+    for j, lut in enumerate(luts_np):
+        adc += lut[codes[:, j]]
+    return adc
+
+
+def adc_scan_stored(codes_df: DataFrame, luts, id_col: str = "vec_id") -> DataFrame:
+    """(id, adc) over a STORED codes table via the fused Arrow numpy
+    kernel — the scan shape the 100 TB layout runs (m bytes a row, no
+    float vectors).  The interpreted-expression alternative
+    (``pq_adc_col`` as a withColumn) was measured 13x slower at sf0.1
+    (BENCH/BASELINE.md "codegen cliff": 128 literal element_at
+    expressions per row get ZERO WholeStageCodegen spans); pq_adc_col is
+    kept for the DuckDB-oracle parity tests only."""
+    import numpy as np
+    import pandas as pd
+
+    luts_np = [np.asarray(lut, dtype=np.float64) for lut in luts]
+
+    def kern(it):
+        for pdf in it:
+            codes = np.asarray(pdf["codes"].to_list(), dtype=np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "adc": _np_adc(codes, luts_np)})
+
+    id_type = dict(codes_df.dtypes)[id_col]
+    return codes_df.select(id_col, "codes").mapInPandas(
+        kern, f"{id_col} {id_type}, adc double"
+    )
+
+
 def pq_adc_col(codes_col, luts) -> F.Column:
     """Asymmetric distance from stored codes: sum_j lut[j][code_j].
     luts is the per-query m x ksub table of squared-L2 distances between
@@ -589,10 +626,7 @@ def pq_search_deterministic(
         for pdf in it:
             Xb = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
             codes = _np_assign_codes(Xb, cbs_np)
-            adc = np.zeros(len(Xb))
-            for j, lut in enumerate(luts_np):
-                adc += lut[codes[:, j]]
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "adc": adc})
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "adc": _np_adc(codes, luts_np)})
 
     emb = spark.read.parquet(emb_path)
     short = (
@@ -657,23 +691,29 @@ def pq_search_stored(
 ) -> DataFrame:
     """The scale-path query: ADC over the STORED codes table — the scan
     reads (vec_id, codes) only, never a float vector — then exact
-    re-rank of the shortlist by fetching its raw vectors with the id set
-    pushed into the embeddings scan (isin -> parquet row-group skipping,
-    the docid-fetch pattern).  The codebooks come from the tiny stored
-    dimension table (driver read of m*ksub rows)."""
+    re-rank of the shortlist by fetching its raw vectors via a broadcast
+    semi-join on the shortlist frame (the whole search stays ONE lazy
+    plan, same shape as pq_search_deterministic; shortlist ids are tiny
+    by construction).  The codebooks come from the tiny stored dimension
+    table (driver read of m*ksub rows).  The scan runs the fused numpy
+    LUT kernel (adc_scan_stored) — the interpreted pq_adc_col expression
+    form it replaced was measured 13x slower (codegen cliff, see
+    adc_scan_stored's docstring); tests/test_pq.py pins stored-vs-inline
+    rank identity across the swap."""
     cbs = _read_codebooks(spark, pq_path)
     q = _read_query_vec_np(emb_path, query_id)
     luts = _pq_luts_np(q, cbs)
 
     codes = spark.read.parquet(f"{pq_path}/codes")
     short = (
-        codes.withColumn("adc", pq_adc_col(F.col("codes"), luts))
+        adc_scan_stored(codes, luts, "vec_id")
         .filter(F.col("vec_id") != query_id)
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(shortlist)
     )
-    ids = [r.vec_id for r in short.select("vec_id").collect()]
-    vecs = spark.read.parquet(emb_path).filter(F.col("vec_id").isin(ids))
+    vecs = spark.read.parquet(emb_path).join(
+        F.broadcast(short.select("vec_id")), "vec_id"
+    )
     return _cosine_topk(vecs, [float(x) for x in q], top_k, "vec_id", "embedding")
 
 
@@ -820,12 +860,7 @@ def ivfpq_search_stored(
             adc = np.zeros(len(pdf))
             for c in set(cl.tolist()):
                 mask = cl == c
-                lut = luts[int(c)]
-                sub = codes[mask]
-                acc = np.zeros(mask.sum())
-                for j in range(sub.shape[1]):
-                    acc += lut[j][sub[:, j]]
-                adc[mask] = acc
+                adc[mask] = _np_adc(codes[mask], luts[int(c)])
             yield pd.DataFrame({id_col: pdf[id_col], "adc": adc})
 
     codes = spark.read.parquet(f"{path}/codes").filter(F.col("cluster").isin(probe))

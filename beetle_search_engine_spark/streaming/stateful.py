@@ -25,6 +25,18 @@ batch window scan and this stream (every session CLOSED by the stream
 equals its batch twin; the batch run also reports still-open tails the
 stream is rightly still holding in state).
 
+Cross-batch out-of-order events (within watermark): an event within
+``gap_s`` of the open session's start extends it BACKWARDS (start
+absorbs the timestamp, last never regresses — batch parity).  An event
+MORE than ``gap_s`` older than the open session's start is folded into
+its own earlier session (emitted once gap-closed) rather than corrupting
+the open session's start; if a later event in the same batch bridges the
+chain back within ``gap_s``, the chain is merged into the open session
+as batch semantics require.  Full batch parity is still not guaranteed
+for such stragglers — the batch scan could have merged one with a
+session ALREADY emitted downstream, which append-mode streaming cannot
+retract.  That residual divergence is inherent and intentional.
+
 At scale: state lives in the state store partitioned by user key — the
 shuffle is one hash exchange per micro-batch, identical to the batch
 groupBy; skewed keys shard the same way.  No driver-side state.
@@ -81,24 +93,65 @@ def _fold_sessions(
     else:
         sid, start, last, n, vs = 0, int(ts[0]), None, 0, 0.0
     out = {k: [] for k in ("user_id", "session_id", "n_events", "start_epoch", "session_value")}
+
+    def _emit(e_sid, e_n, e_start, e_vs):
+        out["user_id"].append(user_id)
+        out["session_id"].append(e_sid)
+        out["n_events"].append(e_n)
+        out["start_epoch"].append(e_start)
+        out["session_value"].append(e_vs)
+
+    # late-beyond-gap chain: events from a later micro-batch that are
+    # MORE than gap_s older than the open session's start belong to a
+    # separate EARLIER session (the batch scan over the same global event
+    # set would never merge them) — fold them into their own gap-chained
+    # session(s) instead of corrupting the open session's start.  The
+    # open session's sid advances past each emitted early session, so
+    # sids stay start-ordered among not-yet-emitted sessions; full batch
+    # parity is still not guaranteed (the batch scan could have merged
+    # such an event with a session ALREADY flushed downstream — inherent
+    # to append-mode streaming and documented here).
+    early = None  # [start, last, n, vs]
     for t, v in zip(ts.tolist(), vals.tolist()):
+        if last is not None and t < start - gap_s:
+            if early is not None and t - early[1] > gap_s:
+                _emit(sid, early[2], early[0], early[3])
+                sid, early = sid + 1, None
+            if early is None:
+                early = [t, t, 0, 0.0]
+            early[1] = max(early[1], t)
+            early[2] += 1
+            early[3] += float(v)
+            continue
+        if early is not None:
+            if t - early[1] <= gap_s:
+                # the chain bridges to this event (which itself reaches
+                # the open session), so batch semantics merge everything:
+                # absorb the chain into the open session
+                start, n, vs = min(start, early[0]), n + early[2], vs + early[3]
+            else:
+                # gap-closed relative to this event: flush as its own
+                # earlier session
+                _emit(sid, early[2], early[0], early[3])
+                sid = sid + 1
+            early = None
         if last is not None and t - last > gap_s:
-            out["user_id"].append(user_id)
-            out["session_id"].append(sid)
-            out["n_events"].append(n)
-            out["start_epoch"].append(start)
-            out["session_value"].append(vs)
+            _emit(sid, n, start, vs)
             sid, start, last, n, vs = sid + 1, t, None, 0, 0.0
         n += 1
         vs += float(v)
         # a later micro-batch may deliver an event OLDER than the open
-        # session's last (out-of-order across batches, within watermark):
-        # it extends the session backwards — last must not regress (a
-        # regressed last would measure the next gap from the wrong edge
-        # and split spuriously) and start absorbs the earlier timestamp,
-        # matching the batch window scan over the same global event set
+        # session's last but within gap_s of its start (out-of-order
+        # across batches, within watermark): it extends the session
+        # backwards — last must not regress (a regressed last would
+        # measure the next gap from the wrong edge and split spuriously)
+        # and start absorbs the earlier timestamp, matching the batch
+        # window scan over the same global event set
         start = min(start, t)
         last = t if last is None else max(last, t)
+    if early is not None:
+        _emit(sid, early[2], early[0], early[3])
+        sid, early = sid + 1, None
     state.update((sid, start, last, n, vs))
     # event-time timeout: when the watermark passes last + gap, the open
     # session can never be extended — flush it then

@@ -658,3 +658,49 @@ def test_remove_duplicate_spans_consistent_with_stats(spark):
     st = {r.doc_id: r.dup_tokens for r in duplicate_span_stats(df, n=4).collect()}
     assert rem["z"] == st["z"] > 0  # z is never the keeper ('a' < 'z')
     assert rem["a"] == 0  # canonical occurrences are kept
+
+
+def test_duplicate_span_hot_key_identity(spark):
+    """De-skew regression pin: a corpus-hot n-gram (license-boilerplate
+    shape — ONE trigram family with ~10^4 occurrences corpus-wide) must
+    produce output identical to the naive reference under the two-phase
+    groupBy-count + join-back shape (the Window.partitionBy("_h") form
+    this replaced funnels every occurrence into one partition)."""
+    from beetle_search_engine_spark.operators.curation import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    hot = "lic hdr txt " * 8  # 8 self-repeats of the hot trigram per doc
+    docs = [(f"d{i:05d}", hot + f"u{i}a u{i}b u{i}c") for i in range(500)]
+    # ~500 * 22 = 11k occurrences of hot windows, all on a handful of keys
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.removed_tokens)
+        for r in remove_duplicate_spans(df, n=3, min_count=2).collect()
+    }
+    want = _naive_remove_spans(docs, n=3, min_count=2)
+    assert got == want
+    # the canonical doc (min doc_id) keeps its first trigram occurrence
+    assert got["d00000"][2] < got["d00000"][1]
+
+    st_rows = {
+        r.doc_id: (r.n_tokens, r.n_dup_windows, r.dup_tokens)
+        for r in duplicate_span_stats(df, n=3, min_count=2).collect()
+    }
+    naive_st = _naive_span_stats([t for _, t in docs], 3, 2)
+    assert st_rows == {f"d{i:05d}": v for i, v in naive_st.items()}
+
+
+def test_cc_diameter_exactly_max_iter_converges(spark):
+    """A graph whose labels stabilize in exactly max_iter update rounds
+    must CONVERGE (the fixpoint needs one extra confirming round — the
+    r05 off-by-one reported a diameter==max_iter graph as non-converged)."""
+    from beetle_search_engine_spark.operators.dedup import connected_components
+
+    # chain 0-1-2: min-label propagation needs exactly 2 update rounds
+    df = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    got = {r.doc_id: r.component
+           for r in connected_components(df, max_iter=2).collect()}
+    assert got == {0: 0, 1: 0, 2: 0}

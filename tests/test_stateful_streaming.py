@@ -192,3 +192,61 @@ def test_streaming_sessionize_late_event_across_batches(spark, tmp_path):
     base = int(_t(0).timestamp())
     # ONE session covering all three events — the batch scan's answer
     assert got == {(1, 0): (3, base + 900, 7.0)}
+
+
+def test_streaming_sessionize_late_beyond_gap_splits(spark, tmp_path):
+    """A cross-batch straggler MORE than gap_s older than the open
+    session's start must become its own earlier session (the batch scan
+    would never merge it), not extend the open session backwards; a
+    straggler that a later event BRIDGES back within gap_s merges into
+    the open session as batch semantics require."""
+    from beetle_search_engine_spark.streaming.stateful import streaming_sessionize
+
+    src = tmp_path / "stream_split"
+    src.mkdir()
+    now = time.time()
+    # user 1: open session starts at t=10000; batch b delivers t=1000 and
+    # t=1500 — both > 1800s older than start=10000, chained among
+    # themselves -> ONE separate early session (2 events, start 1000).
+    # user 2: open session at t=10000; batch b delivers t=7500 (beyond
+    # gap of start) THEN t=9000, which is within gap of start AND within
+    # gap of 7500 -> the chain bridges, everything merges into one
+    # session starting at 7500.
+    _write_batch(
+        spark, str(src / "a.parquet"),
+        [(1, _t(10_000), 1.0), (2, _t(10_000), 1.0)], now - 30,
+    )
+    _write_batch(
+        spark, str(src / "b.parquet"),
+        [(1, _t(1000), 2.0), (1, _t(1500), 3.0),
+         (2, _t(7500), 2.0), (2, _t(9000), 3.0)],
+        now - 20,
+    )
+    # watermark pushers: flush every open tail
+    _write_batch(spark, str(src / "c.parquet"), [(99, _t(10_000_000), 0.0)], now - 10)
+    _write_batch(spark, str(src / "d.parquet"), [(98, _t(20_000_000), 0.0)], now - 5)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_sessionize(stream, gap_s=1800, watermark="1 hour")
+        .writeStream.format("memory").queryName("sess_split")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["start_epoch"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sess_split WHERE user_id IN (1, 2)").collect()
+    }
+    base = int(_t(0).timestamp())
+    assert got == {
+        # user 1: the early chain is its own session; the open session
+        # (sid bumped past it) flushed by the watermark timeout
+        (1, 0): (2, base + 1000, 5.0),
+        (1, 1): (1, base + 10_000, 1.0),
+        # user 2: bridged -> one merged session
+        (2, 0): (3, base + 7500, 6.0),
+    }
