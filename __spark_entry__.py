@@ -589,10 +589,12 @@ _DRIVER_WINDOW = [
     "engine_rrf_hybrid", "search_rerank_pipeline",
     # tokenization / corpus stats / SQL-chain scoring
     "token_tf", "term_df", "bm25_topk_or", "splade_weighted_topk",
-    # vector search (knn_cosine_topk demoted round 5 for pq_ann_cosine:
-    # the exact-cosine kernel it proves is the refine stage of BOTH ivf
-    # and pq entries, and its dot/l2 twins are long pytest-green)
-    "pq_ann_cosine", "ann_lsh_cosine", "ivf_ann_cosine",
+    # vector search (knn_cosine_topk demoted round 5 for pq_ann_cosine;
+    # ann_lsh_cosine demoted round 6 for ivfpq_ann_cosine — sign-LSH is
+    # the weakest member of the proven ANN family, while IVFPQ is the
+    # billion-vector flagship, and the same hashed LSH machinery stays
+    # in-window via embedding_near_dups)
+    "pq_ann_cosine", "ivfpq_ann_cosine", "ivf_ann_cosine",
     "embedding_near_dups", "text_embed_knn",
     # dedup -> clusters -> survivors
     "dedup_exact", "minhash_signatures", "simhash64",
@@ -1140,6 +1142,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pq_ann_cosine"] = _pq
+
+    # IVFPQ ANN (FAISS IndexIVFPQ / IVFADC — the billion-vector index
+    # FAISS actually ships; Jegou et al. 2011 §IV): coarse quantizer +
+    # residual-PQ codebooks, both deterministic pure functions of the
+    # bounded lowest-vec_id sample, so the oracle re-fits bit-identical
+    # literals and replays coarse assignment -> probe pruning ->
+    # residual codes -> per-cluster LUT ADC -> shortlist -> exact refine
+    # entirely in SQL.  The stored cluster-partitioned layout
+    # (write_ivfpq_index / ivfpq_search_stored) stays pytest-gated via
+    # numpy-replay parity (tests/test_ivfpq.py).
+    def _ivfpq(s, d):
+        from beetle_search_engine_spark.operators.ml import (
+            ivfpq_search_deterministic,
+        )
+
+        return ivfpq_search_deterministic(
+            s, f"{d}/embeddings.parquet", query_id=0, top_k=10,
+            n_clusters=8, m=8, ksub=16, train_sample=1024,
+            nprobe=4, shortlist=100,
+        )
+
+    q["ivfpq_ann_cosine"] = _ivfpq
 
     # full §3.1 lifecycle (parse -> retrieve -> fetch -> rerank ->
     # rerank_k) on the stem-free index: the overlap reranker is pure
@@ -2417,6 +2441,101 @@ def oracle_sql() -> dict[str, str]:
       adc AS (
         SELECT code.vec_id, sum(l.ld) AS adc
         FROM code JOIN lut l USING (j, cid) GROUP BY code.vec_id
+      ),
+      short AS (
+        SELECT vec_id FROM adc WHERE vec_id <> 0
+        ORDER BY adc, vec_id LIMIT 100
+      ),
+      qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      z AS (
+        SELECT e.vec_id, unnest(e.embedding)::double AS a, unnest(qv.qvec)::double AS b
+        FROM embeddings e JOIN short USING (vec_id), qv
+      )
+      SELECT vec_id, round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4) AS score
+      FROM z GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10
+    """
+
+    # --- IVFPQ ANN: coarse centroids + residual codebooks + the
+    # per-probed-cluster ADC lookup tables are re-fit HERE (same
+    # fit_ivfpq_np, same bounded sample, same seed as the Spark entry)
+    # and inlined as literals; the SQL replays the full IVFADC pipeline
+    # — coarse argmin assignment, probe pruning, residual subspace
+    # argmin codes, per-cluster LUT ADC sum, shortlist 100, exact cosine
+    # refine — so the hash check is recall-independent.
+    from beetle_search_engine_spark.operators.ml import fit_ivfpq_np
+
+    _ivC, _ivcbs = fit_ivfpq_np(_X[:1024], 8, 8, 16, 42, 20)
+    _qva = _np.asarray(_qv, dtype=_np.float64)
+    _ivprobe = [
+        c for _d, c in sorted(
+            (float(_np.linalg.norm(_qva - _ivC[i])), int(i)) for i in range(8)
+        )[:4]
+    ]
+    _ivcent_sql = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in _ivC
+    ) + "]"
+    _ivcb_branches = "\n        UNION ALL ".join(
+        f"SELECT {j} AS j, unnest(range(16))::int AS cid, unnest({_ll(cb)}) AS cvec"
+        for j, cb in enumerate(_ivcbs)
+    )
+    _ivlut_branches = "\n        UNION ALL ".join(
+        f"SELECT {c} AS c, {j} AS j, unnest(range(16))::int AS cid, "
+        f"unnest([{', '.join(repr(float(x)) for x in lut)}])::double AS ld"
+        for c in _ivprobe
+        for j, lut in enumerate(_pq_luts_np(_qva - _ivC[c], _ivcbs))
+    )
+    o["ivfpq_ann_cosine"] = f"""
+      WITH cent AS (SELECT unnest(range(8))::int AS cid, unnest({_ivcent_sql}) AS cvec),
+      cb AS (
+        {_ivcb_branches}
+      ),
+      lut AS (
+        {_ivlut_branches}
+      ),
+      d0 AS (
+        SELECT vec_id, cid, sum((a - b) * (a - b)) AS dist FROM (
+          SELECT e.vec_id, c.cid,
+                 unnest(e.embedding)::double AS a, unnest(c.cvec)::double AS b
+          FROM embeddings e CROSS JOIN cent c
+        ) GROUP BY vec_id, cid
+      ),
+      asg AS (
+        SELECT vec_id, cid AS cluster FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d0
+        ) WHERE rn = 1
+      ),
+      sub AS (
+        SELECT e.vec_id, a.cluster, js.j,
+               list_slice(e.embedding, js.j * 8 + 1, (js.j + 1) * 8) AS svec,
+               list_slice(ct.cvec, js.j * 8 + 1, (js.j + 1) * 8) AS cslice
+        FROM embeddings e
+        JOIN asg a USING (vec_id)
+        JOIN cent ct ON ct.cid = a.cluster
+        CROSS JOIN (SELECT unnest(range(8))::int AS j) js
+        WHERE a.cluster IN ({", ".join(str(p) for p in _ivprobe)})
+      ),
+      d AS (
+        SELECT vec_id, j, cid, sum((a - g - b) * (a - g - b)) AS dist FROM (
+          SELECT s.vec_id, s.j, cbt.cid,
+                 unnest(s.svec)::double AS a, unnest(s.cslice)::double AS g,
+                 unnest(cbt.cvec)::double AS b
+          FROM sub s JOIN cb cbt ON cbt.j = s.j
+        ) GROUP BY vec_id, j, cid
+      ),
+      code AS (
+        SELECT vec_id, j, cid FROM (
+          SELECT vec_id, j, cid,
+                 row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+          FROM d
+        ) WHERE rn = 1
+      ),
+      adc AS (
+        SELECT code.vec_id, sum(l.ld) AS adc
+        FROM code JOIN asg USING (vec_id)
+        JOIN lut l ON l.c = asg.cluster AND l.j = code.j AND l.cid = code.cid
+        GROUP BY code.vec_id
       ),
       short AS (
         SELECT vec_id FROM adc WHERE vec_id <> 0

@@ -824,6 +824,84 @@ def write_ivfpq_index(
     _write_codebooks(spark, cbs, path)
 
 
+def ivfpq_search_deterministic(
+    spark,
+    emb_path: str,
+    query_id: int = 0,
+    top_k: int = 10,
+    n_clusters: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    iters: int = 20,
+    train_sample: int = 1024,
+    nprobe: int = 4,
+    shortlist: int = 100,
+) -> DataFrame:
+    """IVFADC search with the provability contract of
+    ivf_search_deterministic + pq_search_deterministic COMPOSED (FAISS
+    IndexIVFPQ, Jegou et al. 2011 §IV; reference build_faiss.py:30-43 is
+    the FAISS surface this completes): coarse centroids AND residual
+    codebooks are pure functions of the train_sample LOWEST vec_ids
+    (fit_ivfpq_np over a pushed-down bounded driver read), so the DuckDB
+    oracle re-fits bit-identical centroid/codebook/LUT literals and
+    replays the WHOLE pipeline in SQL — coarse assignment -> probe
+    pruning -> residual subspace codes -> per-cluster LUT ADC ->
+    shortlist -> exact cosine refine — making the hash check
+    recall-independent.
+
+    The scan is ONE fused Arrow numpy kernel per batch: coarse-assign
+    (blocked, never (n, k, d)), drop rows outside the probed clusters,
+    residual-encode, and per-cluster LUT-sum ADC (_np_adc) — the same
+    measured-13x rejection of the interpreted expression forms as
+    pq_encode.  Shortlist via TakeOrderedAndProject, refine via a
+    broadcast semi-join on the shortlist frame.  At 100 TB the stored
+    twin (write_ivfpq_index / ivfpq_search_stored) replaces the inline
+    encode with cluster-partition-pruned reads of the codes table; this
+    inline variant exists so the DRIVER oracle can prove the composition
+    on the un-encoded test parquet."""
+    import numpy as np
+    import pandas as pd
+
+    _ids, X = _read_embeddings_np(emb_path, limit=train_sample)
+    C, cbs = fit_ivfpq_np(X, n_clusters, m, ksub, seed, iters)
+    q = np.asarray(_read_query_vec_np(emb_path, query_id), dtype=np.float64)
+    probe = _nearest_clusters(q, list(enumerate(C.tolist())), nprobe)
+    luts = {
+        c: np.asarray(_pq_luts_np(q - C[c], cbs), dtype=np.float64) for c in probe
+    }
+    cbs_np = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+    probe_arr = np.asarray(probe, dtype=np.int64)
+
+    def kern(it):
+        for pdf in it:
+            Xb = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+            cl = _np_assign_clusters(Xb, C)
+            mask = np.isin(cl, probe_arr)
+            ids = pdf["vec_id"].to_numpy()[mask]
+            if not mask.any():
+                yield pd.DataFrame({"vec_id": ids, "adc": np.zeros(0)})
+                continue
+            cls = cl[mask]
+            codes = _np_assign_codes(Xb[mask] - C[cls], cbs_np)
+            adc = np.zeros(len(ids))
+            for c in set(cls.tolist()):
+                sub = cls == c
+                adc[sub] = _np_adc(codes[sub], luts[int(c)])
+            yield pd.DataFrame({"vec_id": ids, "adc": adc})
+
+    emb = spark.read.parquet(emb_path)
+    short = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(kern, "vec_id long, adc double")
+        .filter(F.col("vec_id") != query_id)
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    vecs = emb.join(F.broadcast(short.select("vec_id")), "vec_id")
+    return _cosine_topk(vecs, [float(x) for x in q], top_k, "vec_id", "embedding")
+
+
 def ivfpq_search_stored(
     spark,
     path: str,

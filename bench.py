@@ -16,7 +16,11 @@ coordination loss is actually observable — with the N=1 vs 4N=4 pair
 attached as `scaling_4x` alongside the measured hardware ceiling.  Every
 core count gets the SAME fixed number of interleaved runs (K decided
 up front, default 3; all raw runs reported) and the same max-over-K
-estimator — no outcome-conditioned re-measuring.
+estimator — no outcome-conditioned re-measuring.  The scaling phase
+detects the documented competing-load WEATHER SIGNATURE (hot loadavg at
+launch/mid-phase, same-core raw spread > 1.6x — never the efficiency
+outcome) and retries a stormy attempt up to BEETLE_BENCH_SCALING_RETRIES
+times, recording every discarded attempt's raw runs in the JSON.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR       sf dir for the query suite (default sf0.1)
@@ -28,6 +32,12 @@ Env knobs:
                            spread across sessions was 0.82-0.92 of the
                            4-core ceiling purely from which weather
                            window each run caught)
+  BEETLE_BENCH_SCALING_RETRIES  max scaling attempts incl. the first
+                           (default 3); a weather-flagged attempt is
+                           discarded-but-recorded and re-run
+  BEETLE_BENCH_QUIET_LOAD  1-min loadavg the launch gate waits for
+                           (default 2.0); BEETLE_BENCH_QUIET_WAIT caps
+                           the wait (default 480 s)
 """
 
 from __future__ import annotations
@@ -195,9 +205,39 @@ def _bench_build(cores: int, repeats: int, tokenizer: str = "jvm") -> dict:
     return best
 
 
-def run_scaling() -> dict:
-    repeats = max(1, int(os.environ.get("BEETLE_BENCH_REPEATS", "4")))
-    n = SCALING_N
+# Weather-signature thresholds (BENCH/BASELINE.md documents the
+# competing-load signature across rounds 3-5: same-core raw spread
+# >1.6-2x and a hot launch loadavg; the clean idle-box sessions show
+# spreads of 1.05-1.3x).  The retry decision below is SIGNATURE-
+# conditioned only — it never looks at the efficiency ratios, so the
+# fixed-K max estimator stays unbiased.
+QUIET_LOAD_AT_LAUNCH = float(os.environ.get("BEETLE_BENCH_QUIET_LOAD", "2.0"))
+MID_PHASE_LOAD_BAR = 6.0  # our own runs contribute <=4 (the 4N build)
+SPREAD_BAR = 1.6
+QUIET_WAIT_S = int(os.environ.get("BEETLE_BENCH_QUIET_WAIT", "480"))
+
+
+def _load_avg() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:
+        return 0.0
+
+
+def _wait_for_quiet() -> float:
+    """Block (bounded) until the 1-min loadavg decays below the launch
+    threshold — the query suite's 32-core session just stopped, and its
+    load tail would otherwise be indistinguishable from a competing
+    tenant.  Returns the load actually observed at launch."""
+    t0 = time.time()
+    load = _load_avg()
+    while load > QUIET_LOAD_AT_LAUNCH and time.time() - t0 < QUIET_WAIT_S:
+        time.sleep(15)
+        load = _load_avg()
+    return load
+
+
+def _scaling_attempt(repeats: int, n: int) -> dict:
     # Fixed-K design: the SAME number of measurements (K = repeats,
     # decided before any ratio is seen) for EVERY core count, interleaved
     # (N, 2N, 4N, N, 2N, 4N, ...) so a slow phase of this shared VM hits
@@ -210,8 +250,10 @@ def run_scaling() -> dict:
     # the reported efficiency upward.)
     cores = (n, n * 2, n * 4)
     runs: dict[int, list[float]] = {c: [] for c in cores}
+    loads_per_round: list[float] = []
     best: dict[int, dict] = {}
     for _ in range(repeats):
+        loads_per_round.append(round(_load_avg(), 2))
         for c in cores:
             r = _bench_build(c, 1)
             runs[c].append(r["docs_per_sec"])
@@ -231,6 +273,7 @@ def run_scaling() -> dict:
         "docs": BENCH_DOCS,
         "repeats_per_core_count": repeats,
         "runs_docs_per_sec": {str(c): runs[c] for c in cores},
+        "loadavg_per_round": loads_per_round,
         "tokenizer": "jvm",  # the at-scale configuration (auto >=500k docs)
         "docs_per_sec_n": best[n]["docs_per_sec"],
         "docs_per_sec_2n": best[n * 2]["docs_per_sec"],
@@ -245,6 +288,70 @@ def run_scaling() -> dict:
             "engine_vs_ceiling": round(eff4 / 0.73, 3),
         },
     }
+
+
+def _weather_flags(block: dict, launch_load: float) -> list[str]:
+    """The competing-load signature this box keeps exhibiting (see
+    BENCH/BASELINE.md): a hot loadavg at launch or mid-phase, or a
+    same-core-count raw spread beyond what an idle box produces.
+    Deliberately blind to the efficiency ratios themselves."""
+    flags = []
+    if launch_load > QUIET_LOAD_AT_LAUNCH:
+        flags.append(
+            f"launch loadavg {launch_load:.1f} > {QUIET_LOAD_AT_LAUNCH} "
+            f"after {QUIET_WAIT_S}s quiet-wait"
+        )
+    for load in block.get("loadavg_per_round", []):
+        if load > MID_PHASE_LOAD_BAR:
+            flags.append(f"mid-phase loadavg {load:.1f} > {MID_PHASE_LOAD_BAR}")
+            break
+    for c, raws in block["runs_docs_per_sec"].items():
+        if len(raws) >= 2:
+            spread = max(raws) / max(min(raws), 1e-9)
+            if spread > SPREAD_BAR:
+                flags.append(f"{c}-core raw spread {spread:.2f}x > {SPREAD_BAR}x")
+    return flags
+
+
+def run_scaling() -> dict:
+    """The canonical scaling block, with WEATHER DETECTION + bounded
+    retry (VERDICT r05 task 1): rounds 3-5 all documented sessions where
+    competing tenant load depressed the recorded ratios while clean
+    idle-box sessions on the same code cleared the bars — the artifact
+    kept recording the storm.  Each attempt first waits (bounded) for
+    the loadavg to go quiet, runs the fixed-K interleaved phase, then
+    checks the known weather SIGNATURE (hot launch/mid-phase load,
+    same-core raw spread > 1.6x — never the efficiency outcome); a
+    flagged attempt is retried up to BEETLE_BENCH_SCALING_RETRIES total
+    attempts, with every discarded attempt's raw runs recorded beside
+    the final block for honesty.  The last attempt is recorded
+    regardless, flags and all."""
+    repeats = max(1, int(os.environ.get("BEETLE_BENCH_REPEATS", "4")))
+    max_attempts = max(1, int(os.environ.get("BEETLE_BENCH_SCALING_RETRIES", "3")))
+    n = SCALING_N
+    discarded: list[dict] = []
+    for attempt in range(1, max_attempts + 1):
+        launch_load = _wait_for_quiet()
+        block = _scaling_attempt(repeats, n)
+        flags = _weather_flags(block, launch_load)
+        block["load_at_launch"] = round(launch_load, 2)
+        block["weather_flags"] = flags
+        block["attempt"] = attempt
+        if not flags or attempt == max_attempts:
+            block["discarded_stormy_attempts"] = discarded
+            return block
+        discarded.append(
+            {
+                "attempt": attempt,
+                "load_at_launch": round(launch_load, 2),
+                "weather_flags": flags,
+                "runs_docs_per_sec": block["runs_docs_per_sec"],
+                "loadavg_per_round": block["loadavg_per_round"],
+                "efficiency": block["efficiency"],
+                "efficiency_4x": block["scaling_4x"]["efficiency"],
+            }
+        )
+    raise AssertionError("unreachable")
 
 
 def engine_skew() -> dict:

@@ -74,11 +74,31 @@ def test_driver_window_composition(spark):
     missing = [k for k in keys[:50] if k not in oracles]
     assert missing == [], f"window entries without an oracle: {missing}"
     # demoted family twins remain registered (pytest-only coverage)
-    assert len(keys) == 80
+    assert len(keys) == 81
     for demoted in ("knn_dot_topk", "knn_cosine_topk", "simhash16",
-                    "near_dup_pairs",
+                    "near_dup_pairs", "ann_lsh_cosine",
                     "engine_not_phrase", "engine_wildcard", "engine_range",
                     "engine_nested_groups", "engine_phrase_slop",
                     "engine_field_group", "engine_every", "subword_stats",
                     "gopher_quality_filter"):
         assert demoted in keys[50:]
+
+
+def test_readme_counts_match_registry(spark):
+    """README's registry/oracle counts are pinned to the live registry so
+    they can't drift (r05 VERDICT missing-item 4: README said 72/70 while
+    the registry was 80/78)."""
+    import os
+    import re
+
+    qs = list(_QUERIES)
+    oracles = entrymod.oracle_sql()
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    text = open(readme).read()
+    m = re.search(r"(\d+) operator queries; (\d+) have DuckDB SQL oracles", text)
+    assert m, "README registry-count sentence missing"
+    assert (int(m.group(1)), int(m.group(2))) == (len(qs), len(oracles))
+    m2 = re.search(r"All (\d+) oracle comparisons run at", text)
+    assert m2 and int(m2.group(1)) == len(oracles)
+    m3 = re.search(r"inside; the (\d+) entries", text)
+    assert m3 and int(m3.group(1)) == len(qs) - 50

@@ -153,3 +153,28 @@ def test_plan_shapes(spark, idx_path):
         "PartitionFilters" in s and re.search(r"cluster#\d+ IN", s) for s in scans
     ), scans
     assert any("ReadSchema: struct<vec_id:bigint,codes:array<smallint>>" in s for s in scans), scans
+
+
+def test_deterministic_inline_matches_stored(spark, tmp_path):
+    """ivfpq_search_deterministic (the driver-oracle inline variant) and
+    ivfpq_search_stored over an index built with the same params return
+    identical (vec_id, score) rankings — the inline twin exists only so
+    the DuckDB oracle can prove the composition; the stored layout is
+    the at-scale path."""
+    from beetle_search_engine_spark.operators.ml import (
+        ivfpq_search_deterministic,
+    )
+
+    p = str(tmp_path / "idx_det")
+    write_ivfpq_index(
+        spark.read.parquet(EMB), p,
+        n_clusters=8, m=8, ksub=16, seed=42, iters=20, train_sample=1024,
+    )
+    det = ivfpq_search_deterministic(
+        spark, EMB, query_id=3, top_k=10, n_clusters=8, m=8, ksub=16,
+        train_sample=1024, nprobe=4, shortlist=100,
+    ).collect()
+    sto = ivfpq_search_stored(
+        spark, p, EMB, query_id=3, top_k=10, nprobe=4, shortlist=100,
+    ).collect()
+    assert [(r.vec_id, r.score) for r in det] == [(r.vec_id, r.score) for r in sto]
