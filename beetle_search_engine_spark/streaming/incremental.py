@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
-from ..operators.build import POSTINGS_SCHEMA, _encode_input, _make_encode_kernel
+from ..operators.build import (
+    POSTINGS_SCHEMA,
+    _encode_input,
+    _make_encode_kernel,
+    build_index,
+)
 from ..operators.docnums import numbered, stage_corpus, write_docids
 from ..operators.tokenize import tokenize
 
@@ -204,7 +209,22 @@ def stream_refresh(
     collides with an old batch — so each run gets a fresh random run
     token instead: at-least-once per run, and a restart reprocesses the
     whole source as new epochs (documented; pass a checkpoint_dir for
-    real deployments)."""
+    real deployments).
+
+    COLD START: if ``index_dir`` has no stats.json yet, the first
+    non-empty micro-batch bootstraps it via ``build_index`` (a stream can
+    create the index it feeds, not just refresh a pre-built one).  The
+    bootstrap is made idempotent against at-least-once redelivery by
+    committing the batch tag into stats.json right after the build; the
+    crash window between the build's own stats commit and that tag write
+    is closed by a fingerprint check on redelivery — an index whose
+    applied-tag list is empty, that has only the base epoch, and whose
+    corpus fingerprint (n_docs + order-independent xxhash64-xor of
+    doc_ids, the same fingerprint ``stage_corpus`` records) equals the
+    incoming batch IS that batch's uncommitted bootstrap, so the handler
+    just commits the tag instead of appending a duplicate epoch.  The
+    check costs one column-pruned count+bit_xor aggregation and only
+    runs on the first append of a tag-less single-epoch index."""
     import hashlib as _hl
     import os as _os
 
@@ -213,13 +233,47 @@ def stream_refresh(
     else:
         scope = _os.urandom(4).hex()
 
+    def _commit_tag(stats_path: str, tag: str):
+        with open(stats_path) as f:
+            stats = json.load(f)
+        stats.setdefault("applied_batches", []).append(tag)
+        tmp = f"{stats_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f, indent=1)
+        _os.replace(tmp, stats_path)
+
+    def _batch_fingerprint(batch_df: DataFrame) -> tuple[int, int]:
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(doc_id))").alias("x"),
+        ).collect()[0]
+        return int(row["c"]), int(row["x"] or 0)
+
     def handle(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        append_epoch(
-            batch_df.sparkSession, index_dir, batch_df, fields, cfg, meta_cols,
-            batch_tag=f"stream:{scope}:{batch_id}",
-        )
+        spark = batch_df.sparkSession
+        tag = f"stream:{scope}:{batch_id}"
+        stats_path = f"{index_dir}/stats.json"
+        if not _os.path.exists(stats_path):
+            build_index(spark, batch_df, index_dir, fields, cfg, meta_cols)
+            _commit_tag(stats_path, tag)
+            return
+        with open(stats_path) as f:
+            stats = json.load(f)
+        if (
+            tag not in stats.get("applied_batches", [])
+            and not stats.get("applied_batches")
+            and len(stats.get("epochs", {})) == 1
+        ):
+            # possible uncommitted bootstrap (crash between build_index's
+            # stats commit and the tag write above) — fingerprint decides
+            n, xor = _batch_fingerprint(batch_df)
+            fp = stats["fingerprint"]
+            if n == fp["n_docs"] and xor == fp["id_hash_xor"]:
+                _commit_tag(stats_path, tag)
+                return
+        append_epoch(spark, index_dir, batch_df, fields, cfg, meta_cols, batch_tag=tag)
 
     w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
     if checkpoint_dir:
