@@ -529,13 +529,19 @@ def _np_adc(codes, luts_np):
 
 
 def adc_scan_stored(codes_df: DataFrame, luts, id_col: str = "vec_id") -> DataFrame:
-    """(id, adc) over a STORED codes table via the fused Arrow numpy
-    kernel — the scan shape the 100 TB layout runs (m bytes a row, no
-    float vectors).  The interpreted-expression alternative
-    (``pq_adc_col`` as a withColumn) was measured 13x slower at sf0.1
-    (BENCH/BASELINE.md "codegen cliff": 128 literal element_at
-    expressions per row get ZERO WholeStageCodegen spans); pq_adc_col is
-    kept for the DuckDB-oracle parity tests only."""
+    """(id, adc) over a STORED codes table via an Arrow numpy kernel —
+    MEASURED AND REJECTED for the stored hot path (kept as the recorded
+    alternative + kernel-parity surface).  Round 6 re-measured the two
+    forms at 2M rows (BENCH/BASELINE.md "ADC scan A/B, round 6"): the
+    ``pq_adc_col`` expression scan wins 3.3x (0.20 s vs 0.70 s warm at
+    m=8/ksub=16; 0.21 s vs 0.65 s at the FAISS-realistic m=16/ksub=256)
+    even though its tree gets ZERO WholeStageCodegen spans — m element_at
+    lookups per row are cheap enough interpreted, while this kernel pays
+    Arrow ser/de on every (id, codes) row.  The round-5 "13x cliff"
+    belongs to the ENCODE tree (m*ksub*dsub ≈ 128+ subexpressions per
+    row, see pq_encode) — it was misattributed to this ADC-only scan;
+    the inline paths keep their fused kernels because encode forces the
+    rows through Python anyway and the ADC rides along free."""
     import numpy as np
     import pandas as pd
 
@@ -695,18 +701,20 @@ def pq_search_stored(
     semi-join on the shortlist frame (the whole search stays ONE lazy
     plan, same shape as pq_search_deterministic; shortlist ids are tiny
     by construction).  The codebooks come from the tiny stored dimension
-    table (driver read of m*ksub rows).  The scan runs the fused numpy
-    LUT kernel (adc_scan_stored) — the interpreted pq_adc_col expression
-    form it replaced was measured 13x slower (codegen cliff, see
-    adc_scan_stored's docstring); tests/test_pq.py pins stored-vs-inline
-    rank identity across the swap."""
+    table (driver read of m*ksub rows).  The scan is the pure-expression
+    ``pq_adc_col`` (m element_at lookups + adds per row, JVM-side, zero
+    Python in the hot path): the round-6 A/B at 2M rows measured it 3.3x
+    FASTER than the Arrow kernel alternative (adc_scan_stored's
+    docstring has the numbers) — the round-5 "13x cliff" belongs to the
+    inline ENCODE tree, not this small ADC tree; tests/test_pq.py pins
+    stored-vs-inline rank identity across the swap."""
     cbs = _read_codebooks(spark, pq_path)
     q = _read_query_vec_np(emb_path, query_id)
     luts = _pq_luts_np(q, cbs)
 
     codes = spark.read.parquet(f"{pq_path}/codes")
     short = (
-        adc_scan_stored(codes, luts, "vec_id")
+        codes.select("vec_id", pq_adc_col(F.col("codes"), luts).alias("adc"))
         .filter(F.col("vec_id") != query_id)
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(shortlist)
@@ -919,7 +927,16 @@ def ivfpq_search_stored(
     ONLY the probed cluster partitions of the codes table — the plan
     shows PartitionFilters [cluster IN (...)] over a codes-only
     ReadSchema — and refine the shortlist with exact cosine on raw
-    vectors fetched by pushed-down id."""
+    vectors fetched by pushed-down id.
+
+    The scan is a JVM when-chain: one ``pq_adc_col`` arm per probed
+    cluster, selected by the cluster partition column (CaseWhen
+    evaluates only the matched arm, so per-row cost is ~nprobe/2 int
+    compares + m lookups regardless of nprobe).  Round-6 A/B at 2M rows
+    / nprobe=4: 0.50 s vs 0.62 s for the per-cluster Arrow kernel it
+    replaced — same win as pq_search_stored's, smaller margin because
+    the kernel amortized Arrow cost over the branchy LUT select (see
+    adc_scan_stored's docstring for the full re-measurement record)."""
     import numpy as np
 
     crows = spark.read.parquet(f"{path}/centroids").collect()
@@ -927,25 +944,19 @@ def ivfpq_search_stored(
     cbs = _read_codebooks(spark, path)
     q = np.asarray(_read_query_vec_np(emb_path, query_id), dtype=np.float64)
     probe = _nearest_clusters(q, [(c, list(v)) for c, v in C.items()], nprobe)
-    luts = {c: np.asarray(_pq_luts_np(q - C[c], cbs), dtype=np.float64) for c in probe}
-
-    import pandas as pd
-
-    def kern(it):
-        for pdf in it:
-            codes = np.asarray(pdf["codes"].to_list(), dtype=np.int64)
-            cl = pdf["cluster"].to_numpy()
-            adc = np.zeros(len(pdf))
-            for c in set(cl.tolist()):
-                mask = cl == c
-                adc[mask] = _np_adc(codes[mask], luts[int(c)])
-            yield pd.DataFrame({id_col: pdf[id_col], "adc": adc})
+    luts = {c: _pq_luts_np(q - C[c], cbs) for c in probe}
 
     codes = spark.read.parquet(f"{path}/codes").filter(F.col("cluster").isin(probe))
-    id_type = dict(codes.dtypes)[id_col]
+    adc = None
+    for c in probe:
+        arm = pq_adc_col(F.col("codes"), luts[c])
+        adc = (
+            F.when(F.col("cluster") == c, arm)
+            if adc is None
+            else adc.when(F.col("cluster") == c, arm)
+        )
     short = (
-        codes.select(id_col, "cluster", "codes")
-        .mapInPandas(kern, f"{id_col} {id_type}, adc double")
+        codes.select(id_col, adc.alias("adc"))
         .filter(F.col(id_col) != query_id)
         .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(shortlist)
