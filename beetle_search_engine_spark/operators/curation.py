@@ -186,6 +186,7 @@ def token_budget_select(
     score_col: str = "score",
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, cum_tokens): the highest-scoring docs whose
     cumulative token count fits ``budget`` — data selection under a
@@ -210,19 +211,32 @@ def token_budget_select(
     the window pass could pick DIFFERENT range boundaries once the input
     outgrows the boundary sample — the driver-computed offsets would
     then apply to the wrong partition contents.  Checkpointing pins one
-    physical partitioning that both passes read (the checkpointed blocks
-    are executor-local and reclaimed by the ContextCleaner when the
-    result frame is released).
+    physical partitioning that both passes read.  Default is
+    ``localCheckpoint`` (executor-local blocks, reclaimed by the
+    ContextCleaner when the result frame is released) — fine on a
+    stable cluster, but an executor loss between the checkpoint and the
+    caller's action kills the job because the truncated lineage can't
+    recompute the lost blocks.  Pass ``checkpoint_dir`` to stage the
+    ranked partitioning to parquet instead (the same durability escape
+    hatch ``connected_components`` offers) when running on preemptible
+    executors; correctness doesn't depend on the staged read's physical
+    layout because ``_pid`` is persisted as a COLUMN — both the totals
+    aggregation and the running-sum window group by the stored value,
+    not by whatever partitioning the re-read happens to have.
     """
     spark = df.sparkSession
     toks = F.size(token_array(F.col(text_col))).cast("long")
     scored = df.select(F.col(id_col), F.col(score_col), toks.alias("n_tokens"))
     p = max(2, spark.sparkContext.defaultParallelism)
-    ranked = (
-        scored.repartitionByRange(p, F.col(score_col).desc(), F.col(id_col).asc())
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    ranked = scored.repartitionByRange(
+        p, F.col(score_col).desc(), F.col(id_col).asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    if checkpoint_dir is None:
+        ranked = ranked.localCheckpoint(eager=True)
+    else:
+        path = f"{checkpoint_dir}/token_budget_ranked"
+        ranked.write.mode("overwrite").parquet(path)
+        ranked = spark.read.parquet(path)
     totals = {
         int(r["_pid"]): int(r["s"])
         for r in ranked.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
@@ -348,6 +362,7 @@ def duplicate_span_stats(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-doc coverage of corpus-wide duplicated n-token substrings —
     the ExactSubstr dedup signal (Lee et al. 2022, "Deduplicating
@@ -383,6 +398,15 @@ def duplicate_span_stats(
     inflate hits n x).  _h64 keys are 32-bit-range for bit-parity with
     the DuckDB oracle; at real corpus sizes widen to F.xxhash64 (full 64
     bits) to keep accidental-collision overcounts negligible.
+
+    ``wins`` feeds BOTH the counts aggregation and the join probe, so
+    by default the tokenize+hash map pass runs twice (Spark doesn't
+    dedupe shared subplans) — a deliberate default: the second pass is
+    embarrassingly parallel map work with zero added exchange or I/O.
+    Pass ``checkpoint_dir`` to stage the window stream to parquet once
+    instead, trading a write+read of O(corpus tokens) compact rows for
+    the second tokenize pass — usually the right trade at 100 TB where
+    tokenization CPU dominates, the wrong one for small inputs.
     """
     toks = token_array(F.col(text_col))
     base = (
@@ -401,6 +425,10 @@ def duplicate_span_stats(
             )
         ).alias("_p0", "_h"),
     )
+    if checkpoint_dir is not None:
+        path = f"{checkpoint_dir}/span_windows"
+        wins.write.mode("overwrite").parquet(path)
+        wins = df.sparkSession.read.parquet(path)
     counts = wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_c")).where(
         F.col("_c") >= min_count
     )
@@ -623,6 +651,7 @@ def remove_duplicate_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """ExactSubstr DEDUP — the cut step of Lee et al. 2022 (§3 "we
     remove all but one of the duplicated substrings"), composing with
@@ -650,7 +679,11 @@ def remove_duplicate_spans(
     a small fraction, and the interval merge is a per-doc fold over
     sorted starts.  The final pass re-derives each doc's token array in
     the same projection that filters it (no second corpus shuffle; docs
-    without cuts pass through untouched via the left join).
+    without cuts pass through untouched via the left join).  As in
+    duplicate_span_stats, the window stream feeds both the key
+    aggregation and the join probe — recomputed by default (pure
+    map-side work), staged once to parquet when ``checkpoint_dir`` is
+    given.
     """
     toks = token_array(F.col(text_col))
     base = (
@@ -667,6 +700,10 @@ def remove_duplicate_spans(
             )
         ).alias("_p0", "_h"),
     )
+    if checkpoint_dir is not None:
+        path = f"{checkpoint_dir}/span_windows_cut"
+        wins.write.mode("overwrite").parquet(path)
+        wins = df.sparkSession.read.parquet(path)
     keyagg = (
         wins.groupBy("_h")
         .agg(

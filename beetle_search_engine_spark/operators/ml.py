@@ -697,10 +697,18 @@ def pq_search_stored(
 ) -> DataFrame:
     """The scale-path query: ADC over the STORED codes table — the scan
     reads (vec_id, codes) only, never a float vector — then exact
-    re-rank of the shortlist by fetching its raw vectors via a broadcast
-    semi-join on the shortlist frame (the whole search stays ONE lazy
-    plan, same shape as pq_search_deterministic; shortlist ids are tiny
-    by construction).  The codebooks come from the tiny stored dimension
+    re-rank of the shortlist by fetching its raw vectors with a
+    PUSHED-DOWN id filter: the ≤shortlist ids are collected and applied
+    as a literal ``isin``, which reaches the raw-vector parquet scan as
+    ``PushedFilters: In(vec_id, ...)`` and skips row groups by column
+    stats.  That pushdown is the point of the stored layout (the raw
+    table is the one the codes table exists to avoid scanning); the
+    lazy broadcast-semi-join alternative injects no row-level runtime
+    filter into a non-partitioned scan, so it would read every row
+    group of the raw table to keep ~100 rows.  The inline driver-entry
+    twins keep the broadcast-join shape because their input IS the raw
+    table (already scanned) and the oracle wants one lazy plan.
+    The codebooks come from the tiny stored dimension
     table (driver read of m*ksub rows).  The scan is the pure-expression
     ``pq_adc_col`` (m element_at lookups + adds per row, JVM-side, zero
     Python in the hot path): the round-6 A/B at 2M rows measured it 3.3x
@@ -719,9 +727,8 @@ def pq_search_stored(
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(shortlist)
     )
-    vecs = spark.read.parquet(emb_path).join(
-        F.broadcast(short.select("vec_id")), "vec_id"
-    )
+    ids = [r.vec_id for r in short.select("vec_id").collect()]
+    vecs = spark.read.parquet(emb_path).filter(F.col("vec_id").isin(ids))
     return _cosine_topk(vecs, [float(x) for x in q], top_k, "vec_id", "embedding")
 
 
@@ -944,8 +951,20 @@ def ivfpq_search_stored(
     cbs = _read_codebooks(spark, path)
     q = np.asarray(_read_query_vec_np(emb_path, query_id), dtype=np.float64)
     probe = _nearest_clusters(q, [(c, list(v)) for c, v in C.items()], nprobe)
-    luts = {c: _pq_luts_np(q - C[c], cbs) for c in probe}
+    short = _ivfpq_shortlist(spark, path, q, C, cbs, probe, query_id, shortlist, id_col)
+    ids = [r[id_col] for r in short.select(id_col).collect()]
+    vecs = spark.read.parquet(emb_path).filter(F.col(id_col).isin(ids))
+    return _cosine_topk(vecs, [float(x) for x in q], top_k, id_col, vec_col)
 
+
+def _ivfpq_shortlist(
+    spark, path, q, C, cbs, probe, query_id, shortlist, id_col
+) -> DataFrame:
+    """The IVFADC shortlist plan (split out so its shape is testable):
+    a cluster-partition-pruned codes-only scan with a per-probed-cluster
+    `when`-chain of pq_adc_col arms, TakeOrderedAndProject'd to the
+    `shortlist` smallest ADC distances."""
+    luts = {c: _pq_luts_np(q - C[c], cbs) for c in probe}
     codes = spark.read.parquet(f"{path}/codes").filter(F.col("cluster").isin(probe))
     adc = None
     for c in probe:
@@ -955,12 +974,9 @@ def ivfpq_search_stored(
             if adc is None
             else adc.when(F.col("cluster") == c, arm)
         )
-    short = (
+    return (
         codes.select(id_col, adc.alias("adc"))
         .filter(F.col(id_col) != query_id)
         .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(shortlist)
     )
-    emb = spark.read.parquet(emb_path)
-    vecs = emb.join(F.broadcast(short.select(id_col)), id_col)
-    return _cosine_topk(vecs, [float(x) for x in q], top_k, id_col, vec_col)

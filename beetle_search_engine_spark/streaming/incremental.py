@@ -214,17 +214,19 @@ def stream_refresh(
     COLD START: if ``index_dir`` has no stats.json yet, the first
     non-empty micro-batch bootstraps it via ``build_index`` (a stream can
     create the index it feeds, not just refresh a pre-built one).  The
-    bootstrap is made idempotent against at-least-once redelivery by
-    committing the batch tag into stats.json right after the build; the
-    crash window between the build's own stats commit and that tag write
-    is closed by a fingerprint check on redelivery — an index whose
-    applied-tag list is empty, that has only the base epoch, and whose
-    corpus fingerprint (n_docs + order-independent xxhash64-xor of
-    doc_ids, the same fingerprint ``stage_corpus`` records) equals the
-    incoming batch IS that batch's uncommitted bootstrap, so the handler
-    just commits the tag instead of appending a duplicate epoch.  The
-    check costs one column-pruned count+bit_xor aggregation and only
-    runs on the first append of a tag-less single-epoch index."""
+    bootstrap is made idempotent against at-least-once redelivery by an
+    explicit SENTINEL: ``_stream_bootstrap.json`` (carrying the batch
+    tag) is written before the build and removed after the tag is
+    committed into stats.json, so a redelivery that finds the sentinel
+    with its own tag next to a completed stats.json knows the build
+    already happened and just commits the tag — while an index that was
+    PRE-BUILT outside the stream never has a sentinel, so a first
+    appended batch is never mistaken for a bootstrap (a content-blind
+    fingerprint guard would silently swallow a re-crawl batch whose
+    doc_id set equals the base index's).  Without a ``checkpoint_dir``
+    the tag scope is per-run, so a crash in the bootstrap tag window
+    re-appends on restart — the same documented at-least-once behavior
+    as every other uncheckpointed batch."""
     import hashlib as _hl
     import os as _os
 
@@ -232,6 +234,8 @@ def stream_refresh(
         scope = _hl.md5(checkpoint_dir.encode()).hexdigest()[:8]
     else:
         scope = _os.urandom(4).hex()
+
+    sentinel_path = f"{index_dir}/_stream_bootstrap.json"
 
     def _commit_tag(stats_path: str, tag: str):
         with open(stats_path) as f:
@@ -242,13 +246,6 @@ def stream_refresh(
             json.dump(stats, f, indent=1)
         _os.replace(tmp, stats_path)
 
-    def _batch_fingerprint(batch_df: DataFrame) -> tuple[int, int]:
-        row = batch_df.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.expr("bit_xor(xxhash64(doc_id))").alias("x"),
-        ).collect()[0]
-        return int(row["c"]), int(row["x"] or 0)
-
     def handle(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
@@ -256,23 +253,26 @@ def stream_refresh(
         tag = f"stream:{scope}:{batch_id}"
         stats_path = f"{index_dir}/stats.json"
         if not _os.path.exists(stats_path):
+            _os.makedirs(index_dir, exist_ok=True)
+            with open(sentinel_path, "w") as f:
+                json.dump({"tag": tag}, f)
             build_index(spark, batch_df, index_dir, fields, cfg, meta_cols)
             _commit_tag(stats_path, tag)
+            _os.remove(sentinel_path)
             return
-        with open(stats_path) as f:
-            stats = json.load(f)
-        if (
-            tag not in stats.get("applied_batches", [])
-            and not stats.get("applied_batches")
-            and len(stats.get("epochs", {})) == 1
-        ):
-            # possible uncommitted bootstrap (crash between build_index's
-            # stats commit and the tag write above) — fingerprint decides
-            n, xor = _batch_fingerprint(batch_df)
-            fp = stats["fingerprint"]
-            if n == fp["n_docs"] and xor == fp["id_hash_xor"]:
+        if _os.path.exists(sentinel_path):
+            with open(sentinel_path) as f:
+                pending = json.load(f).get("tag")
+            if pending == tag:
+                # redelivered bootstrap batch: the build committed its
+                # stats but the crash hit before the tag write — finish
+                # the commit instead of appending a duplicate epoch
                 _commit_tag(stats_path, tag)
+                _os.remove(sentinel_path)
                 return
+            # stale sentinel from an uncheckpointed earlier run: this
+            # batch is NOT that bootstrap; clear it and append normally
+            _os.remove(sentinel_path)
         append_epoch(spark, index_dir, batch_df, fields, cfg, meta_cols, batch_tag=tag)
 
     w = stream_df.writeStream.foreachBatch(handle).outputMode("append")

@@ -7,35 +7,36 @@ arbitrary-state shape Structured Streaming exposes through
 ``applyInPandasWithState`` (Arrow-batched per-key state, the Python
 analog of flatMapGroupsWithState).
 
-``streaming_sessionize`` keeps one open session per user key:
+``streaming_sessionize`` keeps a per-key list of PENDING session
+segments (the newest one is the open session):
 
-* state = (session_id counter, session start, last event ts, running
-  count, running value sum)
-* a micro-batch's events for the key are sorted and folded into the
-  state; any event farther than ``gap_s`` from the previous one CLOSES
-  the open session (emitting a result row) and opens a new one
-* event-time timeout (``GroupStateTimeout.EventTimeTimeout`` + the
-  stream's watermark) closes sessions for keys that stop receiving
-  events — without it, an idle key's last session would never emit
+* state = (next session id, parallel arrays of segment
+  start/last/count/value-sum, sorted by start, pairwise separated by
+  more than ``gap_s``)
+* a micro-batch's events are sorted and INSERTED: an event within
+  ``gap_s`` of a segment's edges joins it (start/last absorb the
+  timestamp), bridged neighbors merge, anything else opens a new
+  segment — no emission is triggered by events, only state movement
+* a segment is EMITTED exactly when the watermark passes its
+  ``last + gap_s`` (checked against ``getCurrentWatermarkMs`` at the
+  end of every fold, and via ``GroupStateTimeout.EventTimeTimeout`` set
+  to the earliest pending deadline for keys that stop receiving events)
+
+Emission is watermark-gated rather than event-gated because an
+event-implied gap is NOT final under out-of-order delivery: a later
+batch may deliver an in-watermark straggler that bridges two segments a
+naive fold would already have flushed.  Since the watermark is also the
+line past which Spark drops late input, every event the operator ever
+sees can still only extend segments whose deadline has not passed —
+so the stream's output equals the batch window scan over the same
+delivered events EXACTLY (same sessions, same start-ordered session
+ids), with no residual divergence; only events the watermark drops
+before the operator differ, and those never reach state at all.
 
 Emitted rows match the batch sessionizer's columns (user_id,
-session_id, n_events, start_epoch, session_value), so the two paths are
-directly comparable — tested by feeding the same events through the
-batch window scan and this stream (every session CLOSED by the stream
-equals its batch twin; the batch run also reports still-open tails the
-stream is rightly still holding in state).
-
-Cross-batch out-of-order events (within watermark): an event within
-``gap_s`` of the open session's start extends it BACKWARDS (start
-absorbs the timestamp, last never regresses — batch parity).  An event
-MORE than ``gap_s`` older than the open session's start is folded into
-its own earlier session (emitted once gap-closed) rather than corrupting
-the open session's start; if a later event in the same batch bridges the
-chain back within ``gap_s``, the chain is merged into the open session
-as batch semantics require.  Full batch parity is still not guaranteed
-for such stragglers — the batch scan could have merged one with a
-session ALREADY emitted downstream, which append-mode streaming cannot
-retract.  That residual divergence is inherent and intentional.
+session_id, n_events, start_epoch, session_value) — pinned by the
+batch-twin test, the backwards-extension test, the straggler
+split/bridge test, and the cross-batch bridge-after-gap test.
 
 At scale: state lives in the state store partitioned by user key — the
 shuffle is one hash exchange per micro-batch, identical to the batch
@@ -56,8 +57,8 @@ SESSION_SCHEMA = (
     "session_value double"
 )
 _STATE_SCHEMA = (
-    "session_id long, start_epoch long, last_epoch long, n_events long, "
-    "value_sum double"
+    "next_sid long, starts array<long>, lasts array<long>, "
+    "counts array<long>, sums array<double>"
 )
 
 
@@ -67,95 +68,89 @@ def _fold_sessions(
     state: GroupState,
     gap_s: int,
 ) -> Iterator[pd.DataFrame]:
-    """Fold one key's micro-batch events into its open-session state,
-    emitting every session the gap rule closes."""
+    """Insert one key's micro-batch events into its pending-segment
+    state, then emit every segment whose ``last + gap_s`` the watermark
+    has passed (events move state; only the watermark emits)."""
     (user_id,) = key
-    if state.hasTimedOut:
-        # watermark passed the open session's last event + gap: flush it
-        sid, start, last, n, vs = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id], "session_id": [sid], "n_events": [n],
-                "start_epoch": [start], "session_value": [vs],
-            }
-        )
-        return
-    events = pd.concat(list(pdfs), ignore_index=True)
-    # epoch seconds; micro-batches arrive unordered within themselves
-    ts = (events["ts"].astype("int64") // 1_000_000_000).to_numpy()
-    order = ts.argsort(kind="stable")
-    ts = ts[order]
-    vals = events["value"].to_numpy()[order]
-
     if state.exists:
-        sid, start, last, n, vs = state.get
+        next_sid, starts, lasts, counts, sums = state.get
+        segs = [list(t) for t in zip(starts, lasts, counts, sums)]
     else:
-        sid, start, last, n, vs = 0, int(ts[0]), None, 0, 0.0
+        next_sid, segs = 0, []
+
+    if not state.hasTimedOut:
+        events = pd.concat(list(pdfs), ignore_index=True)
+        ts = (events["ts"].astype("int64") // 1_000_000_000).to_numpy()
+        order = ts.argsort(kind="stable")
+        ts = ts[order]
+        vals = events["value"].to_numpy()[order]
+        for t, v in zip(ts.tolist(), vals.tolist()):
+            t, v = int(t), float(v)
+            # join the leftmost segment whose gap-envelope covers t,
+            # else insert a new singleton at its sorted position
+            hit = None
+            for i, sg in enumerate(segs):
+                if sg[0] - gap_s <= t <= sg[1] + gap_s:
+                    hit = i
+                    break
+                if t < sg[0] - gap_s:
+                    segs.insert(i, [t, t, 0, 0.0])
+                    hit = i
+                    break
+            if hit is None:
+                segs.append([t, t, 0, 0.0])
+                hit = len(segs) - 1
+            sg = segs[hit]
+            sg[0], sg[1] = min(sg[0], t), max(sg[1], t)
+            sg[2] += 1
+            sg[3] += v
+            # the joined/inserted segment may now bridge its neighbors
+            while hit + 1 < len(segs) and segs[hit + 1][0] - segs[hit][1] <= gap_s:
+                nxt = segs.pop(hit + 1)
+                segs[hit][1] = max(segs[hit][1], nxt[1])
+                segs[hit][2] += nxt[2]
+                segs[hit][3] += nxt[3]
+            while hit > 0 and segs[hit][0] - segs[hit - 1][1] <= gap_s:
+                prev = segs.pop(hit - 1)
+                hit -= 1
+                segs[hit][0] = min(segs[hit][0], prev[0])
+                segs[hit][2] += prev[2]
+                segs[hit][3] += prev[3]
+
+    # watermark-gated emission: a segment with (last + gap) behind the
+    # watermark can never be extended (any future event the watermark
+    # lets through is too new to bridge it) and can never re-merge with
+    # a later segment (the bridging event would equally be too old) —
+    # so flushing it now is final AND exactly what the batch scan over
+    # the same delivered events produces.  Segments are start-ordered,
+    # so sids assigned front-to-back stay start-ordered forever.
+    w_ms = max(int(state.getCurrentWatermarkMs()), 0)
     out = {k: [] for k in ("user_id", "session_id", "n_events", "start_epoch", "session_value")}
-
-    def _emit(e_sid, e_n, e_start, e_vs):
+    while segs and (segs[0][1] + gap_s) * 1000 < w_ms:
+        st, _last, n, vs = segs.pop(0)
         out["user_id"].append(user_id)
-        out["session_id"].append(e_sid)
-        out["n_events"].append(e_n)
-        out["start_epoch"].append(e_start)
-        out["session_value"].append(e_vs)
+        out["session_id"].append(next_sid)
+        out["n_events"].append(n)
+        out["start_epoch"].append(st)
+        out["session_value"].append(vs)
+        next_sid += 1
 
-    # late-beyond-gap chain: events from a later micro-batch that are
-    # MORE than gap_s older than the open session's start belong to a
-    # separate EARLIER session (the batch scan over the same global event
-    # set would never merge them) — fold them into their own gap-chained
-    # session(s) instead of corrupting the open session's start.  The
-    # open session's sid advances past each emitted early session, so
-    # sids stay start-ordered among not-yet-emitted sessions; full batch
-    # parity is still not guaranteed (the batch scan could have merged
-    # such an event with a session ALREADY flushed downstream — inherent
-    # to append-mode streaming and documented here).
-    early = None  # [start, last, n, vs]
-    for t, v in zip(ts.tolist(), vals.tolist()):
-        if last is not None and t < start - gap_s:
-            if early is not None and t - early[1] > gap_s:
-                _emit(sid, early[2], early[0], early[3])
-                sid, early = sid + 1, None
-            if early is None:
-                early = [t, t, 0, 0.0]
-            early[1] = max(early[1], t)
-            early[2] += 1
-            early[3] += float(v)
-            continue
-        if early is not None:
-            if t - early[1] <= gap_s:
-                # the chain bridges to this event (which itself reaches
-                # the open session), so batch semantics merge everything:
-                # absorb the chain into the open session
-                start, n, vs = min(start, early[0]), n + early[2], vs + early[3]
-            else:
-                # gap-closed relative to this event: flush as its own
-                # earlier session
-                _emit(sid, early[2], early[0], early[3])
-                sid = sid + 1
-            early = None
-        if last is not None and t - last > gap_s:
-            _emit(sid, n, start, vs)
-            sid, start, last, n, vs = sid + 1, t, None, 0, 0.0
-        n += 1
-        vs += float(v)
-        # a later micro-batch may deliver an event OLDER than the open
-        # session's last but within gap_s of its start (out-of-order
-        # across batches, within watermark): it extends the session
-        # backwards — last must not regress (a regressed last would
-        # measure the next gap from the wrong edge and split spuriously)
-        # and start absorbs the earlier timestamp, matching the batch
-        # window scan over the same global event set
-        start = min(start, t)
-        last = t if last is None else max(last, t)
-    if early is not None:
-        _emit(sid, early[2], early[0], early[3])
-        sid, early = sid + 1, None
-    state.update((sid, start, last, n, vs))
-    # event-time timeout: when the watermark passes last + gap, the open
-    # session can never be extended — flush it then
-    state.setTimeoutTimestamp((last + gap_s) * 1000)
+    if segs:
+        state.update(
+            (
+                next_sid,
+                [sg[0] for sg in segs],
+                [sg[1] for sg in segs],
+                [sg[2] for sg in segs],
+                [sg[3] for sg in segs],
+            )
+        )
+        # wake when the watermark passes the earliest pending deadline
+        # (Spark requires the timeout to sit strictly beyond the current
+        # watermark)
+        state.setTimeoutTimestamp(max((segs[0][1] + gap_s) * 1000, w_ms + 1))
+    else:
+        state.remove()
     if out["user_id"]:
         yield pd.DataFrame(out)
 

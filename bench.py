@@ -212,7 +212,10 @@ def _bench_build(cores: int, repeats: int, tokenizer: str = "jvm") -> dict:
 # conditioned only — it never looks at the efficiency ratios, so the
 # fixed-K max estimator stays unbiased.
 QUIET_LOAD_AT_LAUNCH = float(os.environ.get("BEETLE_BENCH_QUIET_LOAD", "2.0"))
-MID_PHASE_LOAD_BAR = 6.0  # our own runs contribute <=4 (the 4N build)
+# our own runs contribute up to 4N (the 4N build is the biggest phase the
+# 1-min loadavg can still reflect at the next round's sample), so the bar
+# scales with BEETLE_BENCH_N instead of assuming N=1
+MID_PHASE_LOAD_BAR = 4.0 * SCALING_N + 2.0
 SPREAD_BAR = 1.6
 QUIET_WAIT_S = int(os.environ.get("BEETLE_BENCH_QUIET_WAIT", "480"))
 

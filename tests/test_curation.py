@@ -704,3 +704,40 @@ def test_cc_diameter_exactly_max_iter_converges(spark):
     got = {r.doc_id: r.component
            for r in connected_components(df, max_iter=2).collect()}
     assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_token_budget_checkpoint_dir_matches_local(spark, tmp_path):
+    """The durable parquet-staging path (checkpoint_dir=) selects the
+    identical budget prefix as the default localCheckpoint path."""
+    docs = [(f"d{i:03d}", float((i * 37) % 101), "tok " * (5 + i % 17)) for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id string, score double, text string")
+    a = sorted(
+        (r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in token_budget_select(df, 900).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in token_budget_select(df, 900, checkpoint_dir=str(tmp_path)).collect()
+    )
+    assert a == b and a
+
+
+def test_span_ops_checkpoint_dir_identity(spark, tmp_path):
+    """Staging the window stream (checkpoint_dir=) changes only the plan,
+    never the result, for both span operators."""
+    docs = [
+        ("a", "one two three four five six seven eight nine ten"),
+        ("b", "zz one two three four five six qq unique words here"),
+        ("c", "one two three four five six seven eight distinct tail"),
+    ]
+    from beetle_search_engine_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    s0 = sorted(map(tuple, duplicate_span_stats(df).collect()))
+    s1 = sorted(map(tuple, duplicate_span_stats(df, checkpoint_dir=str(tmp_path / "a")).collect()))
+    assert s0 == s1 and s0
+    r0 = sorted(map(tuple, remove_duplicate_spans(df).collect()))
+    r1 = sorted(map(tuple, remove_duplicate_spans(df, checkpoint_dir=str(tmp_path / "b")).collect()))
+    assert r0 == r1 and r0

@@ -323,18 +323,58 @@ def test_stream_bootstrap_redelivery_is_idempotent(spark, tmp_path):
         q.awaitTermination(120)
 
     run()
+    assert not _os.path.exists(f"{idx_dir}/_stream_bootstrap.json")
     with open(f"{idx_dir}/stats.json") as f:
         stats = json.load(f)
     assert len(stats["applied_batches"]) == 1
     tag = stats["applied_batches"][0]
-    # simulate the lost tag write + redelivery (same checkpoint identity
-    # -> same scope; a wiped checkpoint restarts batch ids at 0)
+    # simulate the crash between build_index's stats commit and the tag
+    # write: the sentinel is still on disk, the tag is not, and the
+    # wiped checkpoint redelivers the batch with the same tag (scope is
+    # the checkpoint identity; batch ids restart at 0)
     stats["applied_batches"] = []
     with open(f"{idx_dir}/stats.json", "w") as f:
         json.dump(stats, f)
+    with open(f"{idx_dir}/_stream_bootstrap.json", "w") as f:
+        json.dump({"tag": tag}, f)
     _sh.rmtree(ckpt)
     run()
     with open(f"{idx_dir}/stats.json") as f:
         after = json.load(f)
     assert after["n_docs"] == 80 and len(after["epochs"]) == 1
     assert after["applied_batches"] == [tag]
+    assert not _os.path.exists(f"{idx_dir}/_stream_bootstrap.json")
+
+
+def test_stream_refresh_prebuilt_index_same_ids_still_appends(spark, tmp_path):
+    """Regression for the content-blind bootstrap guard: an index
+    PRE-BUILT over doc_ids D, then fed a stream whose first batch
+    carries the SAME doc_ids (a re-crawl refresh), must APPEND that
+    batch as an epoch — never swallow it as an 'uncommitted
+    bootstrap' (no sentinel exists, so the guard cannot fire)."""
+    import json
+    import os as _os
+    import shutil as _sh
+
+    a = generate_corpus(spark, 60, seed=51)
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, a, idx_dir, fields=FIELDS, cfg=CFG)
+
+    refreshed = a.withColumn("content", F.concat(F.col("content"), F.lit(" refreshed")))
+    src = tmp_path / "src"
+    src.mkdir()
+    stage = str(tmp_path / "stage")
+    refreshed.coalesce(1).write.parquet(stage)
+    part = next(f for f in _os.listdir(stage) if f.endswith(".parquet"))
+    _sh.copyfile(f"{stage}/{part}", str(src / "r.parquet"))
+
+    stream = spark.readStream.schema(refreshed.schema).parquet(str(src))
+    q = stream_refresh(
+        stream, idx_dir, fields=FIELDS, cfg=CFG,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    with open(f"{idx_dir}/stats.json") as f:
+        stats = json.load(f)
+    assert stats["n_docs"] == 120 and len(stats["epochs"]) == 2
+    assert len(stats["applied_batches"]) == 1

@@ -140,19 +140,38 @@ def test_recall_documentation(spark, idx_path):
 
 
 def test_plan_shapes(spark, idx_path):
-    df = ivfpq_search_stored(spark, idx_path, EMB, 0, 10, nprobe=2)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan
-    # the codes scan is partition-pruned to the probed clusters and
-    # reads only (vec_id, codes) — never a float vector column
+    """Two plans to pin: the SHORTLIST scan (partition-pruned, codes-only,
+    TakeOrderedAndProject) and the REFINE fetch (literal isin pushed into
+    the raw-vector scan as PushedFilters: In — the row-group-skipping
+    shape the stored layout exists for)."""
     import re
 
-    scans = [s for s in plan.split("+-") if "/codes" in s and "FileScan" in s]
-    assert scans, plan
+    from beetle_search_engine_spark.operators.ml import (
+        _ivfpq_shortlist,
+        _nearest_clusters,
+        _read_codebooks,
+        _read_query_vec_np,
+    )
+
+    crows = spark.read.parquet(f"{idx_path}/centroids").collect()
+    C = {int(r.cluster): np.asarray(r.center, dtype=np.float64) for r in crows}
+    cbs = _read_codebooks(spark, idx_path)
+    q = np.asarray(_read_query_vec_np(EMB, 0), dtype=np.float64)
+    probe = _nearest_clusters(q, [(c, list(v)) for c, v in C.items()], 2)
+    short = _ivfpq_shortlist(spark, idx_path, q, C, cbs, probe, 0, 100, "vec_id")
+    splan = short._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in splan
+    scans = [s for s in splan.split("+-") if "/codes" in s and "FileScan" in s]
+    assert scans, splan
     assert any(
         "PartitionFilters" in s and re.search(r"cluster#\d+ IN", s) for s in scans
     ), scans
     assert any("ReadSchema: struct<vec_id:bigint,codes:array<smallint>>" in s for s in scans), scans
+
+    df = ivfpq_search_stored(spark, idx_path, EMB, 0, 10, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(vec_id" in plan, plan
+    assert "EvalPython" not in plan  # refine stays JVM-side too
 
 
 def test_deterministic_inline_matches_stored(spark, tmp_path):

@@ -250,3 +250,42 @@ def test_streaming_sessionize_late_beyond_gap_splits(spark, tmp_path):
         # user 2: bridged -> one merged session
         (2, 0): (3, base + 7500, 6.0),
     }
+
+
+def test_streaming_sessionize_straggler_bridged_by_later_batch(spark, tmp_path):
+    """The round-6 review scenario: a straggler beyond the gap of the
+    open session (batch B, t=7000 vs start=10000) must NOT be flushed at
+    end of batch, because a later in-watermark batch (C, t=8300) bridges
+    the chain 7000 -> 8300 -> 10000 into ONE batch-semantics session.
+    Emission is watermark-gated, so the stream reports exactly the batch
+    scan's single 3-event session."""
+    from beetle_search_engine_spark.streaming.stateful import streaming_sessionize
+
+    src = tmp_path / "stream_bridge"
+    src.mkdir()
+    now = time.time()
+    _write_batch(spark, str(src / "a.parquet"), [(1, _t(10_000), 1.0)], now - 40)
+    # watermark after batch a = 10000 - 3600 = 6400 < 7000: in-watermark
+    _write_batch(spark, str(src / "b.parquet"), [(1, _t(7000), 2.0)], now - 30)
+    _write_batch(spark, str(src / "c.parquet"), [(1, _t(8300), 4.0)], now - 20)
+    # flush the tail
+    _write_batch(spark, str(src / "d.parquet"), [(99, _t(10_000_000), 0.0)], now - 10)
+    _write_batch(spark, str(src / "e.parquet"), [(98, _t(20_000_000), 0.0)], now - 5)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_sessionize(stream, gap_s=1800, watermark="1 hour")
+        .writeStream.format("memory").queryName("sess_bridge")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["start_epoch"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sess_bridge WHERE user_id = 1").collect()
+    }
+    base = int(_t(0).timestamp())
+    assert got == {(1, 0): (3, base + 7000, 7.0)}
