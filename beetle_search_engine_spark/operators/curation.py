@@ -40,6 +40,23 @@ from .dedup import _h64, shingles
 from .textops import spread_small_input, token_array
 
 
+
+def _stage_parquet(df: DataFrame, checkpoint_dir: str, name: str) -> DataFrame:
+    """Durable staging for multi-pass operators: write ``df`` to a
+    UNIQUE subpath of ``checkpoint_dir`` and read it back, truncating
+    lineage in a way that survives executor loss (unlike
+    localCheckpoint's unreplicated blocks).  The uuid suffix keeps two
+    calls sharing a checkpoint_dir from aliasing each other's staging —
+    the returned frame re-reads its path LAZILY, so a fixed subpath
+    would let a second call's overwrite silently corrupt the first
+    call's pending result."""
+    import uuid
+
+    path = f"{checkpoint_dir}/{name}_{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def ngram_decontaminate(
     corpus: DataFrame,
     bench: DataFrame,
@@ -234,9 +251,7 @@ def token_budget_select(
     if checkpoint_dir is None:
         ranked = ranked.localCheckpoint(eager=True)
     else:
-        path = f"{checkpoint_dir}/token_budget_ranked"
-        ranked.write.mode("overwrite").parquet(path)
-        ranked = spark.read.parquet(path)
+        ranked = _stage_parquet(ranked, checkpoint_dir, "token_budget_ranked")
     totals = {
         int(r["_pid"]): int(r["s"])
         for r in ranked.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
@@ -426,9 +441,7 @@ def duplicate_span_stats(
         ).alias("_p0", "_h"),
     )
     if checkpoint_dir is not None:
-        path = f"{checkpoint_dir}/span_windows"
-        wins.write.mode("overwrite").parquet(path)
-        wins = df.sparkSession.read.parquet(path)
+        wins = _stage_parquet(wins, checkpoint_dir, "span_windows")
     counts = wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_c")).where(
         F.col("_c") >= min_count
     )
@@ -701,9 +714,7 @@ def remove_duplicate_spans(
         ).alias("_p0", "_h"),
     )
     if checkpoint_dir is not None:
-        path = f"{checkpoint_dir}/span_windows_cut"
-        wins.write.mode("overwrite").parquet(path)
-        wins = df.sparkSession.read.parquet(path)
+        wins = _stage_parquet(wins, checkpoint_dir, "span_windows_cut")
     keyagg = (
         wins.groupBy("_h")
         .agg(

@@ -240,6 +240,8 @@ def stream_refresh(
     def _commit_tag(stats_path: str, tag: str):
         with open(stats_path) as f:
             stats = json.load(f)
+        if tag in stats.get("applied_batches", []):
+            return  # crash between tag commit and sentinel removal: done
         stats.setdefault("applied_batches", []).append(tag)
         tmp = f"{stats_path}.tmp"
         with open(tmp, "w") as f:

@@ -124,9 +124,15 @@ def _fold_sessions(
     # so flushing it now is final AND exactly what the batch scan over
     # the same delivered events produces.  Segments are start-ordered,
     # so sids assigned front-to-back stay start-ordered forever.
+    # The deadline closes at the END of its second: timestamps truncate
+    # to seconds here (and in the batch oracle), so an event anywhere in
+    # second (last + gap) still merges — the watermark must pass
+    # (last + gap + 1) whole seconds before a sub-second straggler like
+    # t = (last + gap) + 0.9s (>= watermark, hence deliverable; == last
+    # + gap after truncation, hence mergeable) becomes impossible.
     w_ms = max(int(state.getCurrentWatermarkMs()), 0)
     out = {k: [] for k in ("user_id", "session_id", "n_events", "start_epoch", "session_value")}
-    while segs and (segs[0][1] + gap_s) * 1000 < w_ms:
+    while segs and (segs[0][1] + gap_s + 1) * 1000 <= w_ms:
         st, _last, n, vs = segs.pop(0)
         out["user_id"].append(user_id)
         out["session_id"].append(next_sid)
@@ -148,7 +154,7 @@ def _fold_sessions(
         # wake when the watermark passes the earliest pending deadline
         # (Spark requires the timeout to sit strictly beyond the current
         # watermark)
-        state.setTimeoutTimestamp(max((segs[0][1] + gap_s) * 1000, w_ms + 1))
+        state.setTimeoutTimestamp(max((segs[0][1] + gap_s + 1) * 1000, w_ms + 1))
     else:
         state.remove()
     if out["user_id"]:
