@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beetle_search_engine_spark.config import EngineConfig, IndexConfig
-from beetle_search_engine_spark.functions.analyzer import STOP_WORDS
+from beetle_search_engine_spark.functions.analyzer import SQL_TOKEN_PATTERN, STOP_WORDS
 from beetle_search_engine_spark.operators import curation, dedup, textops
 from beetle_search_engine_spark.operators.build import build_index
 from beetle_search_engine_spark.plans import knn as knnp
@@ -36,7 +36,10 @@ from beetle_search_engine_spark.sources.corpus import documents_as_corpus, load_
 # ---------------------------------------------------------------------------
 # shared constants (Spark & SQL sides use the same)
 
-PAT = r"[a-z0-9_]+(?:\.[a-z0-9_]+)*"
+# alias, not a copy: the oracles must tokenize with the exact pattern the
+# Spark entries use, so a future pattern tune can't desynchronize ~30
+# oracle SQL strings from the engine side (round-6 review finding)
+PAT = SQL_TOKEN_PATTERN
 STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
 BM25_TERMS = ["spark", "table", "scan", "filter"]
 SPLADE_TERMS = ["query", "join", "stream"]
@@ -569,12 +572,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 
 # The driver's CORRECTNESS artifact records the FIRST 50 registry entries
-# in insertion order (observed: CORRECTNESS_r04.json cut the 70-entry
+# in insertion order (observed: CORRECTNESS_r04.json cut the then-70-entry
 # registry at 50).  This list IS the window: one representative per
 # proven operator family, with every flagship (engine lifecycle + full
 # parser grammar, batch search, curation family, dedup->clusters->
 # survivors chain, ANN variants, ML label pipeline, streaming/crawler/
-# multimodal) inside it.  The 20 entries registered AFTER the window are
+# multimodal) inside it.  Entries registered AFTER the window (the
+# registry minus 50 — test_driver_window_composition pins the count) are
 # long-green family twins (e.g. knn_dot/l2 next to knn_cosine, simhash16
 # next to simhash64) — demoted to pytest-only coverage, where
 # tests/test_entry_oracle.py runs the IDENTICAL row/schema/value-hash
@@ -2104,9 +2108,11 @@ def oracle_sql() -> dict[str, str]:
         ["spark", "scan"], fielded={"spark": "title"}, excluded=["filter"]
     )
 
-    # phrase entry: adjacency over PRE-stop-filter tokenizer positions
-    # (exactly the engine's positional-posting semantics), then BM25 over
-    # the phrase terms with the conjunctive nt filter
+    # phrase entry: adjacency over positions RENUMBERED across kept
+    # tokens (Whoosh StopFilter renumber=True — the round-6 parity fix:
+    # a phrase matches across a removed stopword gap, exactly the
+    # engine's positional-posting semantics), then BM25 over the phrase
+    # terms with the conjunctive nt filter
     o["engine_phrase"] = (
         _bm25_ctes(["table", "scan"])
         + f"""
@@ -2116,7 +2122,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
       ),
       kept AS (
-        SELECT * FROM rawtok WHERE length(term) >= 2 AND term NOT IN ({STOP_SQL})
+        -- positions RENUMBERED over kept tokens (Whoosh StopFilter
+        -- renumber=True): phrases match across removed stopword gaps
+        SELECT doc_id, term,
+               (row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1)::int AS pos
+        FROM rawtok WHERE length(term) >= 2 AND term NOT IN ({STOP_SQL})
       ),
       phr AS (
         SELECT DISTINCT a.doc_id FROM kept a JOIN kept b
@@ -2133,18 +2143,25 @@ def oracle_sql() -> dict[str, str]:
     # literal term lists — tf/df computed for every sc%-term + 'table',
     # score sums ALL matched terms, predicate = 'table' present AND >=1
     # sc% term present
-    o["engine_prefix"] = f"""
+    def _bm25_expanded_sql(pred: str) -> str:
+        """Shared expansion-query oracle (prefix / wildcard / term-range):
+        the dictionary walk becomes the SQL predicate ``pred`` over terms,
+        AND'd with the literal 'table'; scoring sums every matched term
+        (UnionMatcher) and the conjunctive filter requires 'table' plus
+        >= 1 expansion hit.  One body, three operators — a scoring-shape
+        fix lands in all of them at once (round-6 review finding)."""
+        return f"""
       WITH toks AS ({_FTOKS}),
       tf AS (
         SELECT doc_id, term, count(*)::double AS tf FROM toks
-        WHERE term LIKE 'sc%' OR term = 'table' GROUP BY doc_id, term
+        WHERE ({pred}) OR term = 'table' GROUP BY doc_id, term
       ),
       dl AS (SELECT doc_id, len(l)::double AS dl FROM ({_TOKLIST})),
       st AS (SELECT count(*)::double AS n_docs, avg(dl) AS avgdl FROM dl),
       dfq AS (
         SELECT term, count(*) AS df
         FROM (SELECT DISTINCT doc_id, term FROM toks
-              WHERE term LIKE 'sc%' OR term = 'table')
+              WHERE ({pred}) OR term = 'table')
         GROUP BY term
       ),
       scores AS (
@@ -2157,69 +2174,18 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores
       WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
-        AND doc_id IN (SELECT doc_id FROM tf WHERE term LIKE 'sc%')
+        AND doc_id IN (SELECT doc_id FROM tf WHERE {pred})
       ORDER BY s DESC, doc_id LIMIT 10
     """
+
+    o["engine_prefix"] = _bm25_expanded_sql("term LIKE 'sc%'")
 
     # general wildcard And(Wildcard(s?a*), table): LIKE 's_a%' plays the
-    # dictionary walk, same shape as engine_prefix
-    o["engine_wildcard"] = f"""
-      WITH toks AS ({_FTOKS}),
-      tf AS (
-        SELECT doc_id, term, count(*)::double AS tf FROM toks
-        WHERE term LIKE 's_a%' OR term = 'table' GROUP BY doc_id, term
-      ),
-      dl AS (SELECT doc_id, len(l)::double AS dl FROM ({_TOKLIST})),
-      st AS (SELECT count(*)::double AS n_docs, avg(dl) AS avgdl FROM dl),
-      dfq AS (
-        SELECT term, count(*) AS df
-        FROM (SELECT DISTINCT doc_id, term FROM toks
-              WHERE term LIKE 's_a%' OR term = 'table')
-        GROUP BY term
-      ),
-      scores AS (
-        SELECT tf.doc_id,
-               sum((ln(st.n_docs / (dfq.df + 1.0)) + 1.0)
-                   * (tf.tf * 2.2)
-                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
-        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-        GROUP BY tf.doc_id
-      )
-      SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores
-      WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
-        AND doc_id IN (SELECT doc_id FROM tf WHERE term LIKE 's_a%')
-      ORDER BY s DESC, doc_id LIMIT 10
-    """
+    # dictionary walk
+    o["engine_wildcard"] = _bm25_expanded_sql("term LIKE 's_a%'")
 
-    # term-range And(TermRange[sc,se], table): BETWEEN plays the
-    # dictionary walk, same shape as engine_prefix
-    o["engine_range"] = f"""
-      WITH toks AS ({_FTOKS}),
-      tf AS (
-        SELECT doc_id, term, count(*)::double AS tf FROM toks
-        WHERE (term BETWEEN 'sc' AND 'se') OR term = 'table' GROUP BY doc_id, term
-      ),
-      dl AS (SELECT doc_id, len(l)::double AS dl FROM ({_TOKLIST})),
-      st AS (SELECT count(*)::double AS n_docs, avg(dl) AS avgdl FROM dl),
-      dfq AS (
-        SELECT term, count(*) AS df
-        FROM (SELECT DISTINCT doc_id, term FROM toks
-              WHERE (term BETWEEN 'sc' AND 'se') OR term = 'table')
-        GROUP BY term
-      ),
-      scores AS (
-        SELECT tf.doc_id,
-               sum((ln(st.n_docs / (dfq.df + 1.0)) + 1.0)
-                   * (tf.tf * 2.2)
-                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
-        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-        GROUP BY tf.doc_id
-      )
-      SELECT doc_id::varchar AS doc_id, round(s, 4) AS score FROM scores
-      WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
-        AND doc_id IN (SELECT doc_id FROM tf WHERE term BETWEEN 'sc' AND 'se')
-      ORDER BY s DESC, doc_id LIMIT 10
-    """
+    # term-range And(TermRange[sc,se], table): BETWEEN plays the walk
+    o["engine_range"] = _bm25_expanded_sql("term BETWEEN 'sc' AND 'se'")
 
     # OR-group entry: And(Or(spark, stream), scan).  The scores CTE sums
     # ALL matching query terms (UnionMatcher); the grouped predicate is
@@ -2235,7 +2201,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # negated phrase: BM25 over 'spark' minus docs with adjacent
-    # (table, scan) at pre-stop-filter tokenizer positions
+    # (table, scan) at renumbered kept-token positions
     o["engine_not_phrase"] = (
         _bm25_ctes(["spark"])
         + f"""
@@ -2245,7 +2211,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
       ),
       kept AS (
-        SELECT * FROM rawtok WHERE length(term) >= 2 AND term NOT IN ({STOP_SQL})
+        -- positions RENUMBERED over kept tokens (Whoosh StopFilter
+        -- renumber=True): phrases match across removed stopword gaps
+        SELECT doc_id, term,
+               (row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1)::int AS pos
+        FROM rawtok WHERE length(term) >= 2 AND term NOT IN ({STOP_SQL})
       ),
       phr AS (
         SELECT DISTINCT a.doc_id FROM kept a JOIN kept b
@@ -2345,7 +2315,8 @@ def oracle_sql() -> dict[str, str]:
         fit_centroids_np,
     )
 
-    _osf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    # _osf assigned once above (LR-fit block): the LR weights and the
+    # ANN centroid/codebook literals must fit against the SAME corpus
     # same bounded sample as ivf_search_deterministic (256 * k lowest
     # vec_ids) so the centroid literals stay bit-identical to the entry
     _ids, _X = _read_embeddings_np(f"{_osf}/embeddings.parquet", limit=256 * 8)
@@ -2653,8 +2624,13 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
       )
       , st AS (
-        SELECT doc_id, text,
-               regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g') AS after_email
+        -- coalesce AFTER the append, mirroring the entry exactly: the
+        -- Spark side's concat is NULL-propagating (a NULL source text
+        -- nulls the whole appended string) and curation.pii_redact then
+        -- coalesces to '' — so a NULL-text doc counts 0/0/0 with
+        -- md5('') on BOTH sides (round-6 review finding)
+        SELECT doc_id, coalesce(text, '') AS text,
+               regexp_replace(coalesce(text, ''), '@EMAIL@', '<EMAIL>', 'g') AS after_email
         FROM p
       ),
       st2 AS (
@@ -2882,7 +2858,7 @@ def oracle_sql() -> dict[str, str]:
 
     # sloppy phrase: same CTE chain as engine_phrase but the adjacency
     # predicate widens to the Whoosh SpanNear2 window — b 1..3 positions
-    # after a (ordered, pre-stop-filter positions)
+    # after a (ordered, renumbered kept-token positions)
     o["engine_phrase_slop"] = (
         _bm25_ctes(["table", "scan"])
         + f"""
@@ -2892,7 +2868,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
       ),
       kept AS (
-        SELECT * FROM rawtok WHERE length(term) >= 2 AND term NOT IN ({STOP_SQL})
+        -- positions RENUMBERED over kept tokens (Whoosh StopFilter
+        -- renumber=True): phrases match across removed stopword gaps
+        SELECT doc_id, term,
+               (row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1)::int AS pos
+        FROM rawtok WHERE length(term) >= 2 AND term NOT IN ({STOP_SQL})
       ),
       phr AS (
         SELECT DISTINCT a.doc_id FROM kept a JOIN kept b

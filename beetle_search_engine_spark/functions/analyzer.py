@@ -119,10 +119,19 @@ class Analyzer:
         return Counter(self.analyze(text))
 
     def analyze_pos(self, text: str) -> list[tuple[str, int]]:
-        """(term, tokenizer position) pairs.  Positions index the
-        PRE-filter token stream — Whoosh's RegexTokenizer assigns
-        positions before StopFilter removes tokens, so a phrase never
-        matches across a removed stopword gap."""
+        """(term, position) pairs with positions RENUMBERED over the
+        kept tokens — Whoosh's StopFilter defaults to ``renumber=True``
+        (whoosh/analysis/filters.py: the first kept token retains its
+        raw position, every later kept token is numbered consecutively
+        from it), so a Whoosh phrase DOES match across a removed
+        stopword/minsize gap.  We number kept tokens from 0 instead of
+        from the first kept raw position; the per-(doc, field) constant
+        offset cancels in every adjacency/slop DIFFERENCE the phrase
+        operators test, so matching is bit-identical to Whoosh while the
+        stored ints stay dense.  (Round 6 fix: positions previously
+        indexed the pre-filter stream, which silently REJECTED phrases
+        the reference engine matches — e.g. 'table the scan' vs the
+        query '"table scan"'.)"""
         if not text:
             return []
         if self.lower_first:
@@ -130,10 +139,10 @@ class Analyzer:
         else:
             toks = [t.lower() for t in self.pattern.findall(text)]
         out = []
-        for i, tok in enumerate(toks):
+        for tok in toks:
             if len(tok) < MIN_TOKEN_SIZE or tok in STOP_WORDS:
                 continue
-            out.append((_cached_stem(tok) if self.do_stem else tok, i))
+            out.append((_cached_stem(tok) if self.do_stem else tok, len(out)))
         return out
 
     def analyze_query(self, query: str) -> list[str]:

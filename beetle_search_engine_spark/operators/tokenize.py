@@ -117,19 +117,27 @@ def tokenize_jvm(
         # OUTPUT row — observed as a ~100x tokenize blowup.  A column
         # reference is cheap to duplicate; the regex runs once per doc.
         if positions:
-            # positions index the PRE-filter token stream (Whoosh's
-            # tokenizer numbers tokens before StopFilter drops any), so
-            # explode the raw array and filter the exploded rows; dl is
-            # still the post-filter count (Whoosh field length)
+            # positions number the KEPT tokens consecutively — Whoosh's
+            # StopFilter defaults to renumber=True, so its phrases match
+            # across removed stopword/minsize gaps; filtering the array
+            # FIRST and posexploding the kept tokens gives exactly those
+            # renumbered positions (see analyze_pos: the constant
+            # first-kept offset Whoosh retains cancels in every
+            # difference the phrase operators test).  dl = kept count ==
+            # Whoosh field length, which is now simply the array size.
             raw = _jvm_raw_tokens(col, analyzer)
-            pre = corpus.select("docnum", F.lit(fname).alias("field"), raw.alias("raw"))
+            pre = corpus.select(
+                "docnum",
+                F.lit(fname).alias("field"),
+                F.filter(raw, _keep).alias("kept"),
+            )
             parts.append(
                 pre.select(
                     "docnum",
                     "field",
-                    F.size(F.filter(F.col("raw"), _keep)).alias("dl"),
-                    F.posexplode("raw").alias("tokpos", "token"),
-                ).filter(_keep(F.col("token")))
+                    F.size(F.col("kept")).alias("dl"),
+                    F.posexplode("kept").alias("tokpos", "token"),
+                )
             )
         else:
             toks = _jvm_token_array(col, analyzer)

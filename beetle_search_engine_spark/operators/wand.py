@@ -156,10 +156,11 @@ def _phrase_mask(
     phrase: list[tuple[str, int]], cand: np.ndarray, cursors: dict
 ) -> np.ndarray:
     """Boolean mask over sorted candidate docnums: True where the doc
-    contains ``phrase``'s terms at the phrase's relative tokenizer
+    contains ``phrase``'s terms at the phrase's relative kept-token
     positions within at least one field (Whoosh phrase semantics are
-    per-field; positions are pre-stop-filter, so stopword gaps inside the
-    phrase must be reproduced by the doc).  Decodes position blobs only
+    per-field; positions are RENUMBERED over kept tokens per Whoosh's
+    StopFilter renumber=True, so removed stopwords leave no gap on
+    either the doc or the query side).  Decodes position blobs only
     for rows overlapping the candidate range.
 
     Fully vectorized: slot j's occurrences become int64 keys

@@ -239,10 +239,11 @@ class TermRange:
 class ParsedQuery:
     terms: list[str]                  # all scoring terms, deduped, order kept
     mode: str                         # "and" | "or" | "group"
-    # each phrase is [(term, offset)] with offsets = tokenizer positions
-    # relative to the phrase's first kept token; a stopword inside a
-    # quoted phrase therefore contributes a position *gap* that matching
-    # docs must reproduce — exactly Whoosh's pre-filter position semantics
+    # each phrase is [(term, offset)] with offsets = RENUMBERED kept-token
+    # positions relative to the phrase's first kept token; Whoosh's
+    # StopFilter renumbers (renumber=True default), so a stopword inside a
+    # quoted phrase contributes NO gap — the kept neighbors must be
+    # adjacent in the doc's (equally renumbered) position stream
     phrases: list[list[tuple[str, int]]] = field(default_factory=list)
     fielded: dict[str, str] = field(default_factory=dict)  # term -> field
     excluded: list[str] = field(default_factory=list)      # NOT terms

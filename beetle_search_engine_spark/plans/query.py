@@ -222,7 +222,11 @@ class BM25Index:
         every live document matches, and docs matching ``every_rest``
         add its BM25F score to Every's constant 1.0 (Whoosh's union
         matcher sums matching children).  A sub match always outranks
-        the 1.0 floor, so the sub's own top-k fills the result; only
+        the 1.0 floor — provably: this engine's idf = ln(N/(df+1)) + 1
+        is negative only when df+1 > N*e, impossible with df <= N, so
+        every BM25F contribution is > 0 and 1.0 + score > 1.0 for any
+        match (a round-6 review flagged the floor as beatable; it is
+        not under this idf) — so the sub's own top-k fills the result; only
         when the sub matches fewer than k docs does the remainder pad at
         1.0 by lowest display id (the same determinism rule as
         ``_search_every``).  Driver-side assembly of <= 2k tiny rows."""

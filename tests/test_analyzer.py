@@ -93,7 +93,8 @@ def test_whoosh_filter_order_tokenize_then_lowercase():
     keeps one token, while a lower-first shortcut could move boundaries.
     Golden-pins the per-token ordering (ADVICE round 1)."""
     assert analyze("İstanbul Straße CAFÉ") == ["i̇stanbul", "straße", "café"]
-    # position indexes the pre-filter token stream (stopword 'The' = slot 0)
+    # positions renumber over KEPT tokens (Whoosh StopFilter
+    # renumber=True): the dropped stopword 'The' leaves no gap
     from beetle_search_engine_spark.functions.analyzer import get_analyzer
 
-    assert get_analyzer("whoosh").analyze_pos("The İstanbul") == [("i̇stanbul", 1)]
+    assert get_analyzer("whoosh").analyze_pos("The İstanbul") == [("i̇stanbul", 0)]

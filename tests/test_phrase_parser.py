@@ -3,8 +3,9 @@
 Covers the MultifieldParser-analog grammar (reference feeds raw user
 strings through Whoosh's parser, src/search/search_bm25.py:32-33), the
 position codec roundtrip, and end-to-end phrase retrieval incl. the
-Whoosh pre-stop-filter position semantics (a stopword inside a phrase is
-a positional gap the doc must reproduce).
+Whoosh renumbered position semantics (StopFilter renumber=True: a
+stopword inside a phrase leaves NO gap — kept neighbors must be adjacent;
+round-6 parity fix).
 """
 
 import numpy as np
@@ -209,10 +210,12 @@ def test_parse_quoted_phrase_forces_and():
     assert set(pq.terms) == {"transform", "model", "nlp"}
 
 
-def test_parse_phrase_keeps_stopword_gap():
-    # "state of the art": of/the are stopwords -> positions 0,3 survive
+def test_parse_phrase_renumbers_stopword_gap():
+    # "state of the art": of/the are stopwords; Whoosh's StopFilter
+    # renumbers kept tokens (renumber=True), so state/art are ADJACENT
+    # after analysis (round-6 parity fix: was [(state,0),(art,3)])
     pq = parse_query('"state of the art"', S)
-    assert pq.phrases == [[("state", 0), ("art", 3)]]
+    assert pq.phrases == [[("state", 0), ("art", 1)]]
 
 
 def test_parse_single_term_phrase_degrades():
@@ -318,9 +321,9 @@ def phrase_index(spark, tmp_path_factory):
         ("b", "models transformer pipelines"),                # wrong order
         ("c", "transformer deep models"),                     # gap
         ("d", "big transformer models run fast"),             # adjacent
-        ("e", "transformer for models"),                      # stopword gap -> NOT adjacent (Whoosh positions)
-        ("f", "state of the art transformer"),                # for the gap-phrase test
-        ("g", "state art transformer"),                       # no gap -> must NOT match "state of the art"
+        ("e", "transformer for models"),                      # stopword removed -> ADJACENT (Whoosh renumber=True)
+        ("f", "state of the art transformer"),                # stopwords removed -> state,art adjacent
+        ("g", "state art transformer"),                       # literally adjacent -> same kept stream as f
     ]
     corpus = spark.createDataFrame(rows, "doc_id string, content string")
     idx_dir = str(tmp_path_factory.mktemp("phrase_idx"))
@@ -339,15 +342,19 @@ def _ids(df):
 
 
 def test_phrase_search_adjacent_only(phrase_index):
+    # e's 'for' is a removed stopword: renumbered positions make
+    # transformer/models adjacent there, matching Whoosh
     res = phrase_index.search('"transformer models"', 10, mode="parse")
-    assert _ids(res) == {"a", "d"}
+    assert _ids(res) == {"a", "d", "e"}
 
 
-def test_phrase_stopword_gap_matches_gap_docs(phrase_index):
-    # query phrase has offsets (0, 3); doc f has "state of the art" with
-    # the same tokenizer gap; doc g has "state art" (offset 1) -> no match
+def test_phrase_across_stopwords_matches_whoosh(phrase_index):
+    # '"state of the art"' analyzes to the adjacent pair (state, art) —
+    # Whoosh renumbering makes it equal to '"state art"', so BOTH f
+    # ('state of the art ...') and g ('state art ...') match
     res = phrase_index.search('"state of the art"', 10, mode="parse")
-    assert _ids(res) == {"f"}
+    assert _ids(res) == {"f", "g"}
+    assert _ids(phrase_index.search('"state art"', 10, mode="parse")) == {"f", "g"}
 
 
 def test_parse_mode_or_vs_and(phrase_index):
@@ -393,21 +400,21 @@ def test_or_group_scores_sum_matching_members(phrase_index):
 def test_negated_phrase_search(phrase_index):
     # all docs have transformer; drop those containing "transformer models"
     res = phrase_index.search('transformer NOT "transformer models"', 10, mode="parse")
-    assert _ids(res) == {"b", "c", "e", "f", "g"}
+    assert _ids(res) == {"b", "c", "f", "g"}
 
 
 def test_negated_phrase_search_distributed(phrase_index):
     res = phrase_index.search(
         'transformer NOT "transformer models"', 10, mode="parse", prefer_local=False
     )
-    assert _ids(res) == {"b", "c", "e", "f", "g"}
+    assert _ids(res) == {"b", "c", "f", "g"}
 
 
 def test_negated_phrase_with_or_group(phrase_index):
     # And(Or(state, models), Not(Phrase(transformer models)))
-    # state|models docs: a,b,c,d,e,f,g minus phrase docs {a,d}
+    # state|models docs: a,b,c,d,e,f,g minus phrase docs {a,d,e}
     res = phrase_index.search('state OR models NOT "transformer models"', 10, mode="parse")
-    assert _ids(res) == {"b", "c", "e", "f", "g"}
+    assert _ids(res) == {"b", "c", "f", "g"}
 
 
 def test_prefix_search(phrase_index):
@@ -662,10 +669,11 @@ def test_parse_phrase_slop_one_and_junk_stay_exact():
 
 
 def test_slop_phrase_widens_to_gap_docs(phrase_index):
-    # exact: a, d.  slop 2 adds c ("transformer deep models", gap 2) and
-    # e ("transformer for models": 'for' is a stopword, positional gap 2)
+    # exact: a, d, e (e's stopword leaves no gap after renumbering).
+    # slop 2 adds c ("transformer deep models": 'deep' is a KEPT word,
+    # so its gap SURVIVES renumbering — gap 2)
     exact = phrase_index.search('"transformer models"', 10, mode="parse")
-    assert _ids(exact) == {"a", "d"}
+    assert _ids(exact) == {"a", "d", "e"}
     sloppy = phrase_index.search('"transformer models"~2', 10, mode="parse")
     assert _ids(sloppy) == {"a", "c", "d", "e"}
     # b stays out at any slop: wrong order (SpanNear2 ordered=True)
@@ -675,11 +683,14 @@ def test_slop_phrase_widens_to_gap_docs(phrase_index):
 
 
 def test_slop_phrase_gap_boundary(phrase_index):
-    # f: "state of the art transformer" -> state..art positional gap 3
-    # (two stopwords); g: "state art" gap 1.  slop 2 excludes f, slop 3
-    # admits it — the [1, slop] window is tight on both sides
-    assert _ids(phrase_index.search('"state art"~2', 10, mode="parse")) == {"g"}
-    assert _ids(phrase_index.search('"state art"~3', 10, mode="parse")) == {"f", "g"}
+    # the [1, slop] window is tight on both sides over RENUMBERED
+    # positions: slop 1 == exact adjacency ({a,d,e}); c's kept-word gap
+    # of 2 needs slop 2; stopword-derived gaps no longer exist, so
+    # "state art"~2 matches both f and g identically
+    assert _ids(phrase_index.search('"transformer models"~1', 10, mode="parse")) == {
+        "a", "d", "e"
+    }
+    assert _ids(phrase_index.search('"state art"~2', 10, mode="parse")) == {"f", "g"}
 
 
 def test_slop_phrase_distributed_matches_local(phrase_index):
