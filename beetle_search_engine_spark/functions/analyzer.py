@@ -145,6 +145,15 @@ class Analyzer:
             out.append((_cached_stem(tok) if self.do_stem else tok, len(out)))
         return out
 
+    def analyze_single(self, text: str) -> str:
+        """Whoosh's ``get_single_text`` analog: run the filter chain
+        WITHOUT tokenizing (lowercase + stem; stop/minsize never drop —
+        StopFilter is called with removestops=False on this path).  Used
+        for term-range endpoints (whoosh/qparser/common.py
+        get_single_text -> field.process_text(tokenize=False))."""
+        t = text.lower()
+        return _cached_stem(t) if self.do_stem else t
+
     def analyze_query(self, query: str) -> list[str]:
         """Query-side analysis: same chain, duplicate terms collapsed with
         first-seen order kept (Whoosh's AndGroup treats repeated terms as

@@ -194,7 +194,13 @@ from dataclasses import dataclass, field, replace
 
 from ..functions.analyzer import Analyzer
 
-_QUOTED = re.compile(r'"([^"]*)"(?:~([\d.]+))?')
+# the optional ^B boost suffix is CONSUMED (Whoosh BoostPlugin attaches
+# it to the preceding phrase node) and applied to the phrase's member
+# terms — without consuming it, '"big data"^25' leaked a REQUIRED term
+# '25' into the query (round-6 parity fix).  Member-boost application is
+# an approximation of Whoosh's Phrase-node boost (the members are also
+# this engine's phrase scorers, so x B lands on the same contributions).
+_QUOTED = re.compile(r'"([^"]*)"(?:~([\d.]+))?(?:\^(\d+\.?\d*|\.\d+))?')
 # NOT "a b" / -"a b" / NOT title:"a b": extracted before positive phrases
 # so the quoted body never reaches the positive-phrase grab.  The
 # optional ~N slop suffix (Whoosh PhrasePlugin syntax): an integer
@@ -205,7 +211,7 @@ _QUOTED = re.compile(r'"([^"]*)"(?:~([\d.]+))?')
 # PhrasePlugin regex only accepts [1-9][0-9]*, and slop=1 IS exact).
 # Either way the suffix is consumed — without that the analyzer would
 # leak a spurious numeric term.
-_NEG_QUOTED = re.compile(r'(?:\bNOT\s+|(?<!\S)-)(\w+:)?"([^"]*)"(?:~([\d.]+))?')
+_NEG_QUOTED = re.compile(r'(?:\bNOT\s+|(?<!\S)-)(\w+:)?"([^"]*)"(?:~([\d.]+))?(?:\^(\d+\.?\d*|\.\d+))?')
 _FIELD_PREFIX = re.compile(r"^(\w+):(.+)$")
 # [a TO b] / {a TO b] / title:[a TO b] / NOT [a TO b] / -[a TO b];
 # either bound may be omitted (open range) — extracted before the word
@@ -219,7 +225,10 @@ _RANGE = re.compile(
     # (?<!\S) on NOT: without the boundary, any word ENDING in 'NOT'
     # (CANNOT) would negate a following range and leak its stem ('CAN')
     # as a required term
-    r"(?:(?<!\S)(NOT)\s+|(?<!\S)(-))?(?:(\w+):)?([\[\{])\s*(\w+)?\s+TO(?:\s+(\w+))?\s*([\]\}])"
+    # [Tt][Oo]: Whoosh's RangePlugin expr accepts lowercase 'to'
+    # (whoosh/qparser/plugins.py) — '[alpha to beta]' is a range, not
+    # two required terms (round-6 parity fix)
+    r"(?:(?<!\S)(NOT)\s+|(?<!\S)(-))?(?:(\w+):)?([\[\{])\s*(\w+)?\s+[Tt][Oo](?:\s+(\w+))?\s*([\]\}])"
 )
 
 
@@ -245,6 +254,14 @@ class ParsedQuery:
     # quoted phrase contributes NO gap — the kept neighbors must be
     # adjacent in the doc's (equally renumbered) position stream
     phrases: list[list[tuple[str, int]]] = field(default_factory=list)
+    # term -> field.  DOCUMENTED DIVERGENCE: one entry per TERM, so
+    # 'title:spark body:spark' collapses to the last field (Whoosh keeps
+    # two distinct Term nodes requiring spark in BOTH fields) and
+    # per-field boosts on the same term sum; per-OCCURRENCE clauses need
+    # a structural refactor of this dataclass — revisit if fielded
+    # duplicate terms show up in real query logs.  A fielded phrase
+    # 'title:"big data"' likewise drops its field restriction (the
+    # phrase matches in any field).
     fielded: dict[str, str] = field(default_factory=dict)  # term -> field
     excluded: list[str] = field(default_factory=list)      # NOT terms
     # conjunctive clause list (mode "group"): each clause is a list of
@@ -415,10 +432,13 @@ def _build_tree(
     boost_sets: dict[str, set],
     fielded: dict[str, str],
 ) -> tuple | None:
-    """Recursive-descent parse of parenthesized boolean structure over
-    PLAIN (possibly fielded/boosted) terms.  Same precedence as the flat
-    loop at every nesting level: adjacency = And (Whoosh's default
-    AndGroup), uppercase infix OR binds the adjacent units and chains.
+    """Recursive-descent parse of boolean structure over PLAIN
+    (possibly fielded/boosted) terms, with Whoosh's OPERATOR PRECEDENCE
+    at every nesting level: explicit AND binds before explicit OR, and
+    the leftover adjacency becomes the default AndGroup (see _reduce) —
+    'a OR b AND c' parses as Or(a, And(b, c)) exactly like Whoosh's
+    OperatorsPlugin, and a multi-token word joins an OR as one And unit
+    (multitoken_query='default').
 
     Returns None — meaning "keep the flat reading" — whenever the shape
     leaves the supported subset: unbalanced parens, or a modifier /
@@ -430,10 +450,44 @@ def _build_tree(
     toks = re.findall(r"\(|\)|[^\s()]+", rest)
     pos = 0
 
+    def _reduce(seq: list[tuple]) -> tuple | None:
+        """Apply Whoosh's OperatorsPlugin order to one nesting level:
+        EVERY explicit AND binds first, then EVERY explicit OR, then the
+        leftover adjacency becomes the default AndGroup — so
+        'a OR b AND c' is Or(a, And(b, c)), never And(Or(a, b), c)
+        (whoosh/qparser/plugins.py appends (Not, And, Or, ...) and
+        do_operators applies them in list order; round-6 parity fix).
+        ``seq`` is [(node, sep)] with sep in ('adj', 'and', 'or') = the
+        explicit operator BEFORE the node.  A word that analyzed to
+        nothing arrives as a ('null',) node and is normalized away
+        AFTER operators bind, exactly like Whoosh's NullQuery —
+        Or(alpha, the) collapses to alpha, leaving a following word
+        REQUIRED rather than inheriting the spent OR."""
+        for op in ("and", "or"):
+            out: list[tuple] = []
+            for node, sep in seq:
+                if sep == op and out:
+                    prev, psep = out[-1]
+                    if prev[0] == op:
+                        out[-1] = ((op, prev[1] + (node,)), psep)
+                    else:
+                        out[-1] = ((op, (prev, node)), psep)
+                else:
+                    out.append((node, sep if sep != op else "adj"))
+            seq = out
+        units = []
+        for node, _sep in seq:
+            node = _strip_null(node)
+            if node is not None:
+                units.append(node)
+        if not units:
+            return None
+        return units[0] if len(units) == 1 else ("and", tuple(units))
+
     def parse(depth: int):
         nonlocal pos
-        units: list[tuple] = []
-        or_pending = False
+        seq: list[tuple] = []  # (node, explicit-operator-before-node)
+        sep = "adj"
         closed = False
         while pos < len(toks):
             w = toks[pos]
@@ -443,6 +497,9 @@ def _build_tree(
                 node = parse(depth + 1)
                 if node is _TREE_ABORT:
                     return _TREE_ABORT
+                if node is None:
+                    sep = "adj"  # empty group: the operator is spent
+                    continue
             elif w == ")":
                 if depth == 0:
                     return _TREE_ABORT  # unbalanced
@@ -451,11 +508,13 @@ def _build_tree(
                 break
             elif w == "OR":
                 pos += 1
-                if units:
-                    or_pending = True
+                if seq:
+                    sep = "or"
                 continue
             elif w == "AND":
                 pos += 1
+                if seq:
+                    sep = "and"
                 continue
             elif w in ("NOT", "ANDNOT", "ANDMAYBE", "REQUIRE"):
                 if depth > 0:
@@ -464,13 +523,13 @@ def _build_tree(
                 if pos < len(toks) and toks[pos] == "(":
                     return _TREE_ABORT  # modifier on a group: flat reading
                 pos += 1  # skip the operand — the flat pass owns it
-                or_pending = False
+                sep = "adj"
                 continue
             elif w.startswith("-") and len(w) > 1:
                 if depth > 0:
                     return _TREE_ABORT
                 pos += 1
-                or_pending = False
+                sep = "adj"
                 continue
             elif ("*" in w or "?" in w) and re.fullmatch(r"[\w*?]+", w) and len(
                 re.sub(r"[*?]", "", w)
@@ -478,7 +537,7 @@ def _build_tree(
                 if depth > 0:
                     return _TREE_ABORT  # expansions never join groups
                 pos += 1
-                or_pending = False
+                sep = "adj"
                 continue
             else:
                 pos += 1
@@ -492,40 +551,47 @@ def _build_tree(
                     fld, word = m.group(1), m.group(2)
                 ts = analyzer.analyze(word)
                 if not ts:
-                    continue  # stopword: or_pending carries (flat-loop rule)
-                for t in ts:
-                    if fld is not None:
-                        fielded[t] = fld
-                    boost_sets.setdefault(t, set()).add(
-                        bval if bval is not None else 1.0
+                    # Whoosh parses the stopword into a node, binds
+                    # operators, and NullQuery-normalizes it away — keep
+                    # a placeholder so the operator is consumed by it
+                    node = ("null",)
+                else:
+                    for t in ts:
+                        if fld is not None:
+                            fielded[t] = fld
+                        boost_sets.setdefault(t, set()).add(
+                            bval if bval is not None else 1.0
+                        )
+                    node = (
+                        ("term", ts[0])
+                        if len(ts) == 1
+                        else ("and", tuple(("term", t) for t in ts))
                     )
-                node = (
-                    ("term", ts[0])
-                    if len(ts) == 1
-                    else ("and", tuple(("term", t) for t in ts))
-                )
-            if node is None:
-                continue  # empty group
-            if or_pending and units:
-                prev = units[-1]
-                units[-1] = (
-                    ("or", prev[1] + (node,)) if prev[0] == "or" else ("or", (prev, node))
-                )
-                or_pending = False
-            else:
-                units.append(node)
+            seq.append((node, sep))
+            sep = "adj"
         if depth > 0 and not closed:
             return _TREE_ABORT  # unclosed group at EOF: unbalanced,
             # keep the documented flat reading
-        if not units:
-            return None
-        return units[0] if len(units) == 1 else ("and", tuple(units))
+        return _reduce(seq)
 
     root = parse(0)
     if root is _TREE_ABORT or root is None:
         return None
     root = _canonical(root)
     return None if _is_flat(root) else root
+
+
+def _strip_null(node: tuple) -> tuple | None:
+    """Whoosh Query.normalize: NullQuery children vanish from And/Or;
+    a group of nothing is itself null."""
+    if node[0] == "null":
+        return None
+    if node[0] == "term":
+        return node
+    kids = [c for c in (_strip_null(k) for k in node[1]) if c is not None]
+    if not kids:
+        return None
+    return kids[0] if len(kids) == 1 else (node[0], tuple(kids))
 
 
 def _canonical(node: tuple) -> tuple:
@@ -639,8 +705,19 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         )
         return " "
 
+    phrase_boosts: list[tuple[str, float]] = []  # member-term boost pairs
+
     def grab(m: re.Match) -> str:
+        before = (len(phrases), len(singles), len(sl_phrases))
         _analyzed_phrase(m.group(1), phrases, singles, _slop_of(m.group(2)), sl_phrases)
+        if m.group(3):
+            b = float(m.group(3))
+            if len(phrases) > before[0]:
+                phrase_boosts.extend((t, b) for t, _ in phrases[-1])
+            elif len(sl_phrases) > before[2]:
+                phrase_boosts.extend((t, b) for t, _ in sl_phrases[-1][0])
+            elif len(singles) > before[1]:
+                phrase_boosts.append((singles[-1], b))
         return " "
 
     # ANDMAYBE / REQUIRE whose operand is a quoted phrase or a term
@@ -657,7 +734,7 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     #     divergence: Whoosh scores the left side only, here the
     #     operand's members also score).
     _phr = r'(?:\w+:)?"[^"]*"(?:~[\d.]+)?'
-    _rng = r"(?:\w+:)?[\[\{]\s*\w*\s+TO(?:\s+\w+)?\s*[\]\}]"
+    _rng = r"(?:\w+:)?[\[\{]\s*\w*\s+[Tt][Oo](?:\s+\w+)?\s*[\]\}]"
     query = re.sub(rf"(?<!\S)ANDMAYBE\s+(?:{_phr}|{_rng})", " ", query)
     query = re.sub(rf"(?<!\S)REQUIRE\s+(?=(?:{_phr}|{_rng}))", " ", query)
 
@@ -670,8 +747,13 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         neg = bool(m.group(1) or m.group(2))
         f = m.group(3)
         fld = f if (f and fields and f in fields) else None  # unknown field -> global
-        lo = m.group(5).lower() if m.group(5) else None
-        hi = m.group(6).lower() if m.group(6) else None
+        # Whoosh passes range endpoints through the filter chain minus
+        # the tokenizer (get_single_text -> process_text(tokenize=False):
+        # lowercase AND stem, no stop/minsize drop), so '[running TO
+        # trees]' becomes TermRange('run', 'tree') against the stemmed
+        # dictionary (round-6 parity fix; previously lowercase-only)
+        lo = analyzer.analyze_single(m.group(5)) if m.group(5) else None
+        hi = analyzer.analyze_single(m.group(6)) if m.group(6) else None
         if lo is None and hi is None:
             return " "  # '[ TO ]' — matches everything, drop as noise
         tr = TermRange(lo, hi, m.group(4) == "[", m.group(7) == "]", fld)
@@ -679,6 +761,31 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
         return " "
 
     rest = _RANGE.sub(grab_range, rest)
+
+    # '(alpha beta)^2' boosts EVERY member in Whoosh (BoostPlugin
+    # attaches to the preceding GroupNode); distribute onto the words —
+    # keeping the parens for the tree pass — instead of letting the
+    # trailing 'beta)^2' spelling mis-assign (or, for 1-char words,
+    # silently DELETE) the final member (round-6 parity fix).  Innermost
+    # groups only: a boost on a group that itself contains groups is a
+    # shape this parser's flat fallback already documents as degraded.
+    _GROUP_BOOST = re.compile(r"\(([^()]+)\)\^(\d+\.?\d*|\.\d+)")
+
+    def _distribute_group_boost(m: re.Match) -> str:
+        b = float(m.group(2))
+        out = []
+        for w in m.group(1).split():
+            if w in ("OR", "AND", "NOT", "ANDNOT", "ANDMAYBE", "REQUIRE"):
+                out.append(w)
+                continue
+            bm = _BOOST.match(w)
+            if bm:
+                out.append(f"{bm.group(1)}^{float(bm.group(2)) * b}")
+            else:
+                out.append(f"{w}^{b}")
+        return "(" + " ".join(out) + ")"
+
+    rest = _GROUP_BOOST.sub(_distribute_group_boost, rest)
 
     clauses: list[list[str]] = []  # conjunctive; each = OR'd member terms
     fielded: dict[str, str] = {}
@@ -690,6 +797,8 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     excluded_wildcards: list[str] = []
     wildcard_fields: dict[str, str] = {}
     boost_sets: dict[str, set] = {}  # per-term DISTINCT boost values
+    for _t, _b in phrase_boosts:
+        boost_sets.setdefault(_t, set()).add(_b)
     maybe_list: list[str] = []
     filter_list: list[str] = []
     pending_not = False
@@ -802,8 +911,11 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
             if fld is not None:
                 fielded[t] = fld
             boost_sets.setdefault(t, set()).add(bval if bval is not None else 1.0)
-        if toks:
-            or_pending = False
+        # any positive word consumes a pending OR — INCLUDING one that
+        # analyzed to nothing: Whoosh binds the OR to the stopword node
+        # and Or(x, NullQuery).normalize() == x, so the next word is
+        # REQUIRED, never an inherited OR member (round-6 parity fix)
+        or_pending = False
 
     excluded = excluded + ex_singles
 
@@ -815,7 +927,7 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     # scoring terms' structure; phrase singletons and planner-appended
     # expansions stay AND-side constraints beside it.
     tree = None
-    if "(" in rest and not (
+    if ("(" in rest or re.search(r"(?<!\S)OR(?!\S)", rest)) and not (
         phrases or ex_phrases or sl_phrases or ex_sl_phrases
         or singles or ex_singles or ranges or ex_ranges
     ):

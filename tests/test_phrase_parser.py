@@ -502,12 +502,13 @@ def test_range_open_ended_and_negated(phrase_index):
     # [systems TO] = {systems, transformer}: every doc has transformer
     res = phrase_index.search("[systems TO]", 10, mode="parse")
     assert _ids(res) == {"a", "b", "c", "d", "e", "f", "g"}
-    # ranges run over STORED terms — here Porter stems ('pipelines'
-    # indexes as 'pipelin', which sorts BELOW the raw bound): the
-    # expansion of [pipelines TO state} over this index's stems is
-    # exactly {run}, so only doc d drops
+    # ranges run over STORED terms with the BOUNDS stemmed too (round-6
+    # parity fix: Whoosh's get_single_text runs the filter chain minus
+    # the tokenizer on range endpoints): 'pipelines' stems to 'pipelin'
+    # on BOTH sides, so the expansion of [pipelines TO state} is
+    # {pipelin, run} and docs b and d drop
     got = _ids(phrase_index.search("transformer NOT [pipelines TO state}", 10, mode="parse"))
-    assert got == {"a", "b", "c", "e", "f", "g"}
+    assert got == {"a", "c", "e", "f", "g"}
 
 
 def test_range_search_distributed_matches_local(phrase_index):
@@ -942,3 +943,63 @@ def test_require_phrase_operand_keeps_phrase_required():
 def test_andmaybe_range_operand_drops():
     pq = parse_query("spark ANDMAYBE [aa TO ab]", S)
     assert pq.terms == ["spark"] and not pq.ranges
+
+
+# ------- round-6 Whoosh-default parity fixes (parser review pass) -------
+
+
+def test_and_binds_tighter_than_or():
+    """Whoosh's OperatorsPlugin applies And before Or: 'a OR b AND c' is
+    Or(a, And(b, c)) — an alpha-only doc matches."""
+    pq = parse_query("alpha OR beta AND gamma", S)
+    assert pq.tree == ("or", (("term", "alpha"),
+                              ("and", (("term", "beta"), ("term", "gamma")))))
+    pq2 = parse_query("alpha AND beta OR gamma", S)
+    assert pq2.tree == ("or", (("and", (("term", "alpha"), ("term", "beta"))),
+                               ("term", "gamma")))
+
+
+def test_or_spent_by_stopword():
+    """Whoosh binds the OR to the stopword node and NullQuery-normalizes
+    it away: 'alpha OR the beta' == And(alpha, beta), beta REQUIRED."""
+    pq = parse_query("alpha OR the beta", S)
+    assert pq.tree is None and pq.mode == "and"
+    assert sorted(pq.terms) == ["alpha", "beta"]
+    assert pq.groups == [] or all(len(g) == 1 for g in pq.groups)
+
+
+def test_multitoken_word_joins_or_as_and_unit():
+    """multitoken_query='default': 'alpha OR data-base' is
+    Or(alpha, And(data, base)), so an alpha-only doc matches."""
+    pq = parse_query("alpha OR data-base", S)
+    assert pq.tree == ("or", (("term", "alpha"),
+                              ("and", (("term", "data"), ("term", "base")))))
+
+
+def test_phrase_boost_consumed_and_applied():
+    """'"big data"^25' boosts the phrase (members), never leaks a
+    required term '25' (BoostPlugin attaches to the phrase node)."""
+    pq = parse_query('"big data"^25', S)
+    assert sorted(pq.terms) == ["big", "data"]
+    assert pq.boosts == {"big": 25.0, "data": 25.0}
+    pq2 = parse_query('"big data"~2^3', S)
+    assert "3" not in pq2.terms and pq2.boosts == {"big": 3.0, "data": 3.0}
+
+
+def test_group_boost_applies_to_all_members():
+    """'(alpha beta)^2' boosts BOTH members (Whoosh boosts the group
+    node); composes multiplicatively with member boosts."""
+    pq = parse_query("(alpha beta)^2 gamma", S)
+    assert pq.boosts == {"alpha": 2.0, "beta": 2.0}
+    assert sorted(pq.terms) == ["alpha", "beta", "gamma"]
+    assert parse_query("(alpha^2 beta)^3", S).boosts == {"alpha": 6.0, "beta": 3.0}
+
+
+def test_range_lowercase_to_and_stemmed_bounds():
+    """Whoosh's RangePlugin accepts lowercase 'to', and range endpoints
+    run the no-tokenize filter chain (lowercase + stem)."""
+    pq = parse_query("[alpha to beta]", S)
+    assert len(pq.ranges) == 1 and (pq.ranges[0].lo, pq.ranges[0].hi) == ("alpha", "beta")
+    assert pq.terms == []
+    stemmed = parse_query("[running TO trees]", W).ranges[0]
+    assert (stemmed.lo, stemmed.hi) == ("run", "tree")
