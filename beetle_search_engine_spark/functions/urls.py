@@ -60,10 +60,15 @@ def urljoin_canonical(base_col, href_col) -> F.Column:
 
 
 def same_domain(url_a, url_b) -> F.Column:
-    """P6: case-insensitive host equality (reference:
-    website_crawler.py:15-16) as a pure column expression."""
-    return F.lower(F.parse_url(url_a, F.lit("HOST"))) == F.lower(
-        F.parse_url(url_b, F.lit("HOST"))
+    """P6: case-insensitive NETLOC equality (reference:
+    website_crawler.py:15-16 compares urlparse().netloc, which includes
+    an explicit port and userinfo — https://a.com:8443 is a DIFFERENT
+    domain than https://a.com there, so comparing HOST alone let
+    cross-port links into the frontier; round-6 review finding) as a
+    pure column expression.  parse_url AUTHORITY == Java's
+    userinfo@host:port, the netloc analog."""
+    return F.lower(F.parse_url(url_a, F.lit("AUTHORITY"))) == F.lower(
+        F.parse_url(url_b, F.lit("AUTHORITY"))
     )
 
 

@@ -136,8 +136,13 @@ def search_and_rerank(
     elif method == "hybrid":
         if embeddings is None or (query_vec_id is None and query_vec is None):
             raise ValueError("hybrid method needs embeddings + a query vector")
-        b = with_rank(index.search(query, top_k * 2, mode="or").select("doc_id", "score"), "score", "doc_id")
-        k = with_rank(_vec_cands(top_k * 2), "score", "doc_id")
+        # reference parity (hybrid_search.py:49-60): BOTH legs are
+        # top_k deep and the BM25 leg goes through the same parser as
+        # the bm25 method (MultifieldParser conjunctive default) — an
+        # earlier OR/2x-deep leg changed the fused set on essentially
+        # every multi-term query (round-6 review finding)
+        b = with_rank(index.search(query, top_k, mode="parse").select("doc_id", "score"), "score", "doc_id")
+        k = with_rank(_vec_cands(top_k), "score", "doc_id")
         fused = rrf_fuse({"bm25": b, "knn": k}, "doc_id", 60, top_k)
         cands = with_rank(fused.select("doc_id", F.col("rrf_score").alias("score")), "score", "doc_id")
     else:

@@ -70,8 +70,13 @@ class SearchService:
         # not an exception that kills the socket with no response
         try:
             query = str(request.get("query") or "").strip()
-            top_k = int(request.get("top_k") or 20)
-            rerank_k = int(request.get("rerank_k") or 5)
+            # explicit 0 must pass through (the reference's pydantic
+            # model does; `or` would coerce it to the default while the
+            # string "0" slipped past — round-6 review finding)
+            _tk = request.get("top_k")
+            top_k = 20 if _tk is None else int(_tk)
+            _rk = request.get("rerank_k")
+            rerank_k = 5 if _rk is None else int(_rk)
             method = str(request.get("search_method", "bm25"))
             rerank = bool(request.get("reranker_enabled", False))
         except (TypeError, ValueError) as e:
@@ -133,7 +138,15 @@ def serve(service: SearchService, host: str = "127.0.0.1", port: int = 8808):
         def do_POST(self):
             if self.path != "/search":
                 return self._send({"error": "not found", "status": 404})
-            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                # a non-numeric Content-Length must get the same JSON
+                # 400 as any other malformed input (a bare int() crashed
+                # the handler with a connection reset), and a negative
+                # value must not turn rfile.read into read-until-EOF
+                n = max(0, int(self.headers.get("Content-Length", "0")))
+            except ValueError:
+                self._json(400, {"error": "invalid Content-Length"})
+                return
             try:
                 req = json.loads(self.rfile.read(n) or b"{}")
             except json.JSONDecodeError:

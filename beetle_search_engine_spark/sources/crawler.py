@@ -116,7 +116,12 @@ def crawl_frontier(
         [(s, s, 0) for s in norm], "seed string, url string, depth int"
     )
     visited = frontier.select("seed", "url")
-    remaining = {s: int(max_urls) for s in norm}
+    # falsy max_urls (0 / None) = UNLIMITED, matching the reference's
+    # guard `if max_urls and crawled_count >= max_urls`
+    # (website_crawler.py:27) — a 0 budget previously crawled nothing,
+    # inverting the edge case (round-6 review finding)
+    budget = int(max_urls) if max_urls else (2**31 - 1)  # int32 column
+    remaining = {s: budget for s in norm}
     crawled: DataFrame | None = None
 
     for depth in range(max_depth + 1):

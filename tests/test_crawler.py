@@ -149,3 +149,14 @@ def test_crawl_empty_seed_list_and_dead_seed(spark):
     assert crawl_frontier(spark, [], _graph_fetcher_factory).count() == 0
     dead = crawl_frontier(spark, ["nope.example"], _graph_fetcher_factory, max_depth=2)
     assert dead.count() == 0  # seed 404s: visited, nothing crawled
+
+
+def test_crawl_max_urls_zero_is_unlimited(spark):
+    """Falsy max_urls = no budget cap, matching the reference's
+    `if max_urls and crawled_count >= max_urls` guard — a 0 budget
+    previously crawled NOTHING (round-6 review fix)."""
+    res = crawl_frontier(
+        spark, ["a.com"], _graph_fetcher_factory, max_depth=3, max_urls=0
+    )
+    got = _by_seed(res)["https://a.com/"]
+    assert len(got) == 5  # the whole reachable same-domain html graph

@@ -152,3 +152,12 @@ def test_handle_malformed_fields_are_400(svc):
         assert "error" in resp or resp["total_results"] >= 0
     resp = svc.handle({"query": "x", "top_k": "abc"})
     assert resp["status"] == 400 and "top_k" not in resp.get("results", [])
+
+
+def test_handle_explicit_zero_rerank_k(svc):
+    """rerank_k=0 must return 0 results (the reference slices [:0]);
+    an `or`-default would silently coerce it to 5 (round-6 review fix)."""
+    resp = svc.handle({"query": "transformer models", "top_k": 10, "rerank_k": 0})
+    assert resp["status"] == 200 and resp["total_results"] == 0
+    resp2 = svc.handle({"query": "transformer models", "top_k": 0, "rerank_k": 0})
+    assert resp2["status"] == 200 and resp2["total_results"] == 0

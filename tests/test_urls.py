@@ -81,3 +81,20 @@ def test_url_pattern_score_matches_host_and_scheme(spark):
     got = df.select(url_pattern_score(F.col("url"), patterns).alias("s"), "want").collect()
     for r in got:
         assert r["s"] == r["want"]
+
+
+def test_same_domain_compares_full_netloc(spark):
+    """The reference compares urlparse().netloc (host + explicit port),
+    so a cross-port link is a DIFFERENT domain — host-only comparison
+    let it into the crawl frontier (round-6 review fix)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/x", "https://a.com:8443/admin", False),
+            ("https://a.com:8443/x", "https://a.com:8443/y", True),
+        ],
+        "u1 string, u2 string, want boolean",
+    )
+    got = df.select(same_domain(F.col("u1"), F.col("u2")).alias("g"), "want").collect()
+    assert all(r["g"] == r["want"] for r in got)
