@@ -228,7 +228,13 @@ _RANGE = re.compile(
     # [Tt][Oo]: Whoosh's RangePlugin expr accepts lowercase 'to'
     # (whoosh/qparser/plugins.py) — '[alpha to beta]' is a range, not
     # two required terms (round-6 parity fix)
+    # trailing (?:\^...)? CONSUMES a boost suffix ('[a TO b]^25') so the
+    # number can never leak into the word loop as a required term '25'
+    # (round-7 ADVICE fix).  The boost itself is dropped — a documented
+    # degradation (Whoosh would boost every expanded member); consuming
+    # without recording is set-correct, leaking is not.
     r"(?:(?<!\S)(NOT)\s+|(?<!\S)(-))?(?:(\w+):)?([\[\{])\s*(\w+)?\s+[Tt][Oo](?:\s+(\w+))?\s*([\]\}])"
+    r"(?:\^(?:\d+\.?\d*|\.\d+))?"
 )
 
 
@@ -733,8 +739,11 @@ def parse_query(query: str, analyzer: Analyzer, fields: set[str] | None = None) 
     #     phrase/group constraint, only the keyword drops (documented
     #     divergence: Whoosh scores the left side only, here the
     #     operand's members also score).
-    _phr = r'(?:\w+:)?"[^"]*"(?:~[\d.]+)?'
-    _rng = r"(?:\w+:)?[\[\{]\s*\w*\s+[Tt][Oo](?:\s+\w+)?\s*[\]\}]"
+    # both strip patterns consume a trailing ^boost so 'ANDMAYBE
+    # "big data"^25 table' / 'ANDMAYBE [a TO b]^25 table' cannot leave
+    # '25' behind as a required term (round-7 ADVICE fix)
+    _phr = r'(?:\w+:)?"[^"]*"(?:~[\d.]+)?(?:\^(?:\d+\.?\d*|\.\d+))?'
+    _rng = r"(?:\w+:)?[\[\{]\s*\w*\s+[Tt][Oo](?:\s+\w+)?\s*[\]\}](?:\^(?:\d+\.?\d*|\.\d+))?"
     query = re.sub(rf"(?<!\S)ANDMAYBE\s+(?:{_phr}|{_rng})", " ", query)
     query = re.sub(rf"(?<!\S)REQUIRE\s+(?=(?:{_phr}|{_rng}))", " ", query)
 

@@ -145,8 +145,10 @@ def serve(service: SearchService, host: str = "127.0.0.1", port: int = 8808):
                 # value must not turn rfile.read into read-until-EOF
                 n = max(0, int(self.headers.get("Content-Length", "0")))
             except ValueError:
-                self._json(400, {"error": "invalid Content-Length"})
-                return
+                # Handler has no _json helper — the old call here raised
+                # AttributeError and reset the connection, the exact
+                # failure it claimed to fix (round-7 ADVICE fix)
+                return self._send({"error": "invalid Content-Length", "status": 400})
             try:
                 req = json.loads(self.rfile.read(n) or b"{}")
             except json.JSONDecodeError:

@@ -1003,3 +1003,16 @@ def test_range_lowercase_to_and_stemmed_bounds():
     assert pq.terms == []
     stemmed = parse_query("[running TO trees]", W).ranges[0]
     assert (stemmed.lo, stemmed.hi) == ("run", "tree")
+
+
+def test_range_boost_suffix_consumed():
+    """'[a TO b]^25 rest' must not leak '25' as a required term (the
+    boost is consumed; recording it is a documented degradation)."""
+    pq = parse_query("[alpha to beta]^25 table", S)
+    assert len(pq.ranges) == 1 and (pq.ranges[0].lo, pq.ranges[0].hi) == ("alpha", "beta")
+    assert pq.terms == ["table"]
+    # same leak through the ANDMAYBE/REQUIRE strip patterns
+    pq = parse_query('ANDMAYBE "big data"^25 table', S)
+    assert pq.terms == ["table"] and "25" not in pq.terms
+    pq = parse_query("ANDMAYBE [alpha to beta]^2.5 table", S)
+    assert pq.terms == ["table"]

@@ -161,3 +161,23 @@ def test_handle_explicit_zero_rerank_k(svc):
     assert resp["status"] == 200 and resp["total_results"] == 0
     resp2 = svc.handle({"query": "transformer models", "top_k": 0, "rerank_k": 0})
     assert resp2["status"] == 200 and resp2["total_results"] == 0
+
+
+def test_http_malformed_content_length_is_400(svc):
+    # a non-numeric Content-Length used to raise AttributeError (_json
+    # did not exist) and reset the connection with no response; the
+    # guard must answer a well-formed JSON 400 at the socket level
+    import http.client
+
+    srv = serve(svc, port=8813)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", 8813, timeout=30)
+        conn.putrequest("POST", "/search")
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 400 and "Content-Length" in body["error"]
+        conn.close()
+    finally:
+        srv.shutdown()
