@@ -102,6 +102,25 @@ def _make_encode_kernel(
         n = docs.size
         if n == 0:
             return None
+        if pos is None:
+            # late-stem merge: two source tokens of one doc stemming to
+            # the same term arrive as adjacent duplicate (fid, term,
+            # docnum) rows after the encode sort — merge them (sum tf)
+            # BEFORE span detection (df = run length) and gap encoding
+            # (strictly increasing docnums per row).  No-op when the
+            # stage was pre-merged (classic and positions paths).
+            dup = np.zeros(n, dtype=bool)
+            dup[1:] = (
+                (fids[1:] == fids[:-1])
+                & (docs[1:] == docs[:-1])
+                & (terms[1:] == terms[:-1])
+            )
+            if dup.any():
+                keep = np.flatnonzero(~dup)
+                tfs = np.add.reduceat(tfs, keep)
+                fids, terms, buckets = fids[keep], terms[keep], buckets[keep]
+                docs, dls = docs[keep], dls[keep]
+                n = docs.size
         key_change = np.empty(n, dtype=bool)
         key_change[0] = True
         key_change[1:] = (fids[1:] != fids[:-1]) | (terms[1:] != terms[:-1])
@@ -511,27 +530,144 @@ def build_index(
     # pruned numbering pass: only the text source columns ride through
     # Arrow into the tokenizer (no doc_id strings, no meta)
     tok_input = numbered(staged, offsets, sorted(set(fields.values())))
+
+    # LATE STEMMING (round 7): for the stemming JVM chain the stem legs
+    # inside tokenize_jvm re-evaluate the whole regex+explode subtree —
+    # there is no exchange boundary between the distinct-token leg and
+    # the join probe, so Catalyst computes the token stream twice (and
+    # ReuseExchange cannot fire; A/B'd in OPTIMIZATION_r07.md).  Instead
+    # the stage is written PRE-STEM (one regex pass, one exchange) and
+    # the stem dimension is built from the column-pruned stage read;
+    # both downstream consumers attach it with a broadcast join.  A doc
+    # holding two source tokens with one stem then contributes duplicate
+    # (field, term, docnum) rows — the encode kernel merges them after
+    # its sort (adjacent by construction), and df is corrected exactly
+    # below.  Positions builds keep the classic path (their position
+    # lists would need an interleaving merge).
+    from ..functions.analyzer import get_analyzer as _get_analyzer
+    from .tokenize import resolve_impl as _resolve_impl
+
+    _master = str(spark.conf.get("spark.master", ""))
+    _impl = _resolve_impl(cfg.tokenizer, n_docs, _master)
+    late_stem = (
+        _impl == "jvm"
+        and _get_analyzer(cfg.analyzer).do_stem
+        and not cfg.index.store_positions
+    )
     tokenize(
         tok_input,
         fields,
-        cfg.tokenizer,
+        _impl,
         analyzer_name=cfg.analyzer,
         broadcast_stems=n_docs <= cfg.index.stem_broadcast_max_docs,
         positions=cfg.index.store_positions,
         n_docs_hint=n_docs,
+        apply_stems=not late_stem,
     ).write.mode("overwrite").parquet(stage_path)
-    tokens = spark.read.parquet(stage_path)
+    raw_tokens = spark.read.parquet(stage_path)
     _mark('tokenize -> stage parquet')
 
-    # ---- one aggregation pass over tokens feeds everything:
+    stems_dim = None
+    tokens = raw_tokens  # re-bound below for the late-stem path
+
+    # ---- one aggregation pass over the STAGED rows feeds everything:
     # df + per-term tf sums (map-side combined); avgdl/vocab/hot derive
-    # from this much smaller frame.
+    # from this much smaller frame.  In the late-stem path the heavy agg
+    # runs over the PRE-STEM rows (identical cost to the classic path —
+    # no token-stream broadcast probe), the stem dimension is derived
+    # from its vocabulary-sized OUTPUT (not from a second pass over the
+    # token stream), and the token→stem mapping is applied vocab-side.
     thr = cfg.index.hot_df_threshold or max(5000, n_docs // 50)
-    dfs = (
-        tokens.groupBy("field", "term")
-        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tfsum"))
-        .persist(StorageLevel.MEMORY_ONLY)
+    dfs_u = raw_tokens.groupBy("field", "term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tfsum")
     )
+    if late_stem:
+        import pandas as _pd
+
+        from ..functions.analyzer import _cached_stem
+
+        def _stem_batch(batches):
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {"term": pdf["term"], "_stem": [_cached_stem(t) for t in pdf["term"]]}
+                )
+
+        dfs_u = dfs_u.persist(StorageLevel.MEMORY_ONLY)
+        stems_dim = (
+            dfs_u.select("term").distinct()
+            .mapInPandas(_stem_batch, "term string, _stem string")
+            .persist(StorageLevel.MEMORY_ONLY)
+        )
+        _stems = (
+            F.broadcast(stems_dim)
+            if n_docs <= cfg.index.stem_broadcast_max_docs
+            else stems_dim
+        )
+        tokens = raw_tokens.join(_stems, "term").select(
+            "docnum", "field", F.col("_stem").alias("term"), "tf", "dl"
+        )
+        _mark('stems dim (vocab-side)')
+        # vocab-side stem merge: summed row counts overcount df exactly
+        # when one doc holds >= 2 source tokens sharing a stem.  That
+        # can only matter for terms the build must know df EXACTLY for —
+        # the hot set (df is injected into the encode kernel for salted
+        # terms; every other term's df is derived inside the kernel from
+        # the post-merge run length).  Overcounts are one-sided
+        # (row_sum >= true df), so candidates = row_sum > thr is a
+        # SUPERSET of the true hot set; re-derive exact df just for the
+        # multi-source candidates from a distinct over their rows.
+        dfs = (
+            dfs_u.join(F.broadcast(stems_dim), "term")
+            .groupBy("field", F.col("_stem").alias("term"))
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("tfsum").alias("tfsum"),
+                F.count(F.lit(1)).alias("_nsrc"),
+            )
+        ).persist(StorageLevel.MEMORY_ONLY)
+        cand = [
+            (r["field"], r["term"])
+            for r in dfs.filter((F.col("df") > thr) & (F.col("_nsrc") > 1))
+            .select("field", "term").collect()
+        ]
+        _mark(f'late-stem cand collect ({len(cand)} candidates)')
+        exact_df: dict[tuple[str, str], int] = {}
+        if cand:
+            # source tokens of the candidates only — a tiny literal map
+            # (no second stem broadcast, no full-stage probe): filter the
+            # PRE-STEM stage to those tokens, remap, distinct, count
+            cand_terms = sorted({t for _f, t in cand})
+            src_rows = stems_dim.filter(F.col("_stem").isin(cand_terms)).collect()
+            tok2stem = {r["term"]: r["_stem"] for r in src_rows}
+            if len(tok2stem) <= 10_000:
+                remapped = raw_tokens.filter(
+                    F.col("term").isin(sorted(tok2stem))
+                ).select(
+                    "field",
+                    F.create_map(
+                        *[F.lit(x) for kv in tok2stem.items() for x in kv]
+                    )[F.col("term")].alias("term"),
+                    "docnum",
+                )
+            else:
+                # a literal map this large would bloat the plan — join
+                # the (still vocabulary-bounded) source-token dim instead
+                _src = F.broadcast(
+                    stems_dim.filter(F.col("_stem").isin(cand_terms))
+                )
+                remapped = raw_tokens.join(_src, "term").select(
+                    "field", F.col("_stem").alias("term"), "docnum"
+                )
+            exact_rows = (
+                remapped.distinct()
+                .groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
+                .collect()
+            )
+            exact_df = {(r["field"], r["term"]): int(r["df"]) for r in exact_rows}
+            _mark(f'late-stem exact df ({len(tok2stem)} source tokens)')
+    else:
+        dfs = dfs_u.persist(StorageLevel.MEMORY_ONLY)
+        exact_df = {}
     if prior is None:
         # one pass gives avgdl AND vocab size (per-field term counts)
         avg_rows = dfs.groupBy("field").agg(
@@ -552,10 +688,19 @@ def build_index(
         dl_totals = prior.get("dl_totals", {})
         vocab_size = prior.get("vocab_size", 0)
 
-    # ---- hot-term detection (Zipf head -> salted encode)
+    # ---- hot-term detection (Zipf head -> salted encode).  Late-stem:
+    # candidates' row-count df is replaced by the exact recount, so the
+    # hot SET and every injected df equal the classic path bit-for-bit.
     hot_rows = dfs.filter(F.col("df") > thr).select("field", "term", "df").collect()
-    hot_df = {(r["field"], r["term"]): int(r["df"]) for r in hot_rows}
+    hot_df = {}
+    for r in hot_rows:
+        key = (r["field"], r["term"])
+        d = exact_df.get(key, int(r["df"]))
+        if d > thr:
+            hot_df[key] = d
     dfs.unpersist()
+    if late_stem:
+        dfs_u.unpersist()
     _mark('hot df + vocab')
 
     stats = {
@@ -592,6 +737,8 @@ def build_index(
     group_metrics = _encode_groups(
         spark, tokens, index_dir, cfg, stats, hot_df, fp, cfg_hash, resume, _mark
     )
+    if stems_dim is not None:
+        stems_dim.unpersist()
 
     import shutil as _sh
 

@@ -261,12 +261,45 @@ def stage_corpus_prestaged(
 def numbered(h: DataFrame, offsets: dict[int, int], columns: list[str] | None = None) -> DataFrame:
     """Attach the dense ``docnum`` to a PROJECTION of the staged corpus.
 
-    The numbering kernel is a mapInPandas, which Catalyst cannot prune
-    columns through — so prune here, per consumer: the docids writer asks
-    for (doc_id) only and the tokenizer for the text columns only, and
-    neither pays an Arrow round-trip for bytes it doesn't use (at corpus
-    scale the content column IS the corpus)."""
+    Fast path (pure JVM, round 7): parquet scans expose the hidden
+    ``_metadata.row_index`` column (physical row position within its
+    file, Spark 3.5+), and the stage layout is exactly one file per
+    ``_pid`` with rows in written order — so
+    ``docnum = offsets[_pid] + row_index`` reproduces the Python
+    numbering kernel bit-for-bit as a Catalyst projection.  This removes
+    an entire JVM→Python→JVM Arrow round-trip of the corpus text from
+    BOTH numbering consumers (docids write and tokenizer input) — at
+    corpus scale the content column IS the corpus (guide §4: eliminate
+    the Python boundary).  Verified identical in
+    tests/test_source_formats.py::test_numbered_row_index_parity.
+
+    Fallback (the original mapInPandas kernel) covers inputs where the
+    metadata column cannot be resolved (non-file-scan plans).
+
+    Column pruning note unchanged: prune per consumer — the docids
+    writer asks for (doc_id) only and the tokenizer for the text columns
+    only."""
     spark = h.sparkSession
+    try:
+        ridx = F.col("_metadata.row_index")
+        dense = [0] * (max(offsets) + 1) if offsets else [0]
+        for pid, off in offsets.items():
+            dense[pid] = off
+        # literal offset array: one entry per staged file.  At extreme
+        # file counts (10^5+) swap for a broadcast join on _pid; at any
+        # plausible stage layout (2x cluster parallelism) the literal is
+        # a few KB in the plan.
+        sel = [] if columns is None else ["_pid", *columns]
+        out = (h.select(*sel, ridx.alias("_ridx")) if sel
+               else h.withColumn("_ridx", ridx))
+        out = out.withColumn(
+            "docnum",
+            (F.element_at(F.lit(dense), F.col("_pid").cast("int") + 1) + F.col("_ridx")).cast("long"),
+        ).drop("_pid", "_ridx")
+        out.schema  # force analysis now so resolution failures fall back
+        return out
+    except Exception:
+        pass
     if columns is not None:
         h = h.select("_pid", *columns)
     bc = spark.sparkContext.broadcast(offsets)

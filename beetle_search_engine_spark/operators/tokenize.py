@@ -104,9 +104,19 @@ def tokenize_jvm(
     analyzer_name: str = "whoosh",
     broadcast_stems: bool = True,
     positions: bool = False,
+    apply_stems: bool = True,
 ) -> DataFrame:
     """JVM tokenize/stop + distinct-token Python stemming (if the preset
-    stems at all — the 'sql' preset is pure Catalyst end-to-end)."""
+    stems at all — the 'sql' preset is pure Catalyst end-to-end).
+
+    ``apply_stems=False`` (round 7, build-internal): emit PRE-STEM tokens
+    in the ``term`` column and skip the stem dimension entirely.  The
+    stemming preset's stem legs otherwise re-evaluate the whole
+    regex+explode subtree (no exchange boundary → no ReuseExchange), so
+    ``build_index`` stages the un-stemmed aggregation once and attaches
+    stems from the *staged parquet* instead — one regex pass over the
+    corpus instead of two.  Callers other than the build keep the
+    default (semantics of the preset, parity-tested)."""
     analyzer = get_analyzer(analyzer_name)
     parts = []
     for fname, col in sorted(fields.items()):
@@ -154,7 +164,7 @@ def tokenize_jvm(
     for p in parts[1:]:
         exploded = exploded.unionByName(p)
 
-    if analyzer.do_stem:
+    if analyzer.do_stem and apply_stems:
         from ..functions.analyzer import _cached_stem
 
         def stem_batch(batches):
@@ -258,9 +268,12 @@ def tokenize(
     broadcast_stems: bool = True,
     positions: bool = False,
     n_docs_hint: int | None = None,
+    apply_stems: bool = True,
 ) -> DataFrame:
     master = str(corpus.sparkSession.conf.get("spark.master", ""))
     impl = resolve_impl(impl, n_docs_hint, master)
     if impl == "jvm":
-        return tokenize_jvm(corpus, fields, analyzer_name, broadcast_stems, positions)
+        return tokenize_jvm(
+            corpus, fields, analyzer_name, broadcast_stems, positions, apply_stems
+        )
     return tokenize_python(corpus, fields, analyzer_name, positions)

@@ -54,3 +54,57 @@ def test_parity_shuffle_join_stems(spark, tmp_path):
     a = tokenize_jvm(corpus, fields, broadcast_stems=True)
     b = tokenize_jvm(corpus, fields, broadcast_stems=False)
     assert _rows(a) == _rows(b)
+
+
+def test_late_stem_build_identical_to_python_chain(spark, tmp_path):
+    """The round-7 late-stemming build path (pre-stem stage + broadcast
+    stem attach + merge-in-encode + exact-df correction) must produce an
+    index indistinguishable from the classic chain: same stats, same df
+    for stem-colliding terms, same top-k (doc_id, score)."""
+    from pyspark.sql import functions as F
+
+    from beetle_search_engine_spark.config import EngineConfig, IndexConfig
+    from beetle_search_engine_spark.operators.build import build_index
+    from beetle_search_engine_spark.plans.query import BM25Index
+
+    corpus = generate_corpus(spark, 500, seed=11)
+    # force same-doc stem collisions: 'running runs run' all stem to
+    # 'run'; df('run') must count each doc once and tf must merge
+    collide = spark.createDataFrame(
+        [
+            ("cdoc1", "x/c1.py", "running runs run table scan"),
+            ("cdoc2", "x/c2.py", "runs value"),
+        ],
+        "doc_id string, path string, content string",
+    )
+    corpus = corpus.select("doc_id", "path", "content").unionByName(collide)
+
+    idx_cfg = IndexConfig(n_buckets=16, bucket_groups=1, chunk_docs=128, encode_partitions=4)
+    a_dir, b_dir = str(tmp_path / "jvm"), str(tmp_path / "py")
+    build_index(
+        spark, corpus, a_dir, fields={"title": "path", "body": "content"},
+        cfg=EngineConfig(tokenizer="jvm", index=idx_cfg),
+    )
+    build_index(
+        spark, corpus, b_dir, fields={"title": "path", "body": "content"},
+        cfg=EngineConfig(tokenizer="python", index=idx_cfg),
+    )
+    a, b = BM25Index(spark, a_dir), BM25Index(spark, b_dir)
+    for key in ("n_docs", "avgdl", "vocab_size", "n_hot_terms"):
+        assert a.stats[key] == b.stats[key], key
+    # posting-level identity: every (field, term) has equal df and equal
+    # decoded (docnum, tf) multisets; spot-check via the collision term
+    pa = spark.read.parquet(f"{a_dir}/postings").filter(F.col("term") == "run")
+    pb = spark.read.parquet(f"{b_dir}/postings").filter(F.col("term") == "run")
+    ra = {(r["field"], r["df"], bytes(r["docs"]), bytes(r["tfs"]), bytes(r["dls"])) for r in pa.collect()}
+    rb = {(r["field"], r["df"], bytes(r["docs"]), bytes(r["tfs"]), bytes(r["dls"])) for r in pb.collect()}
+    assert ra == rb and ra
+    # full-index posting equality (order-free)
+    fa = spark.read.parquet(f"{a_dir}/postings").select("field", "term", "df", "docs", "tfs", "dls")
+    fb = spark.read.parquet(f"{b_dir}/postings").select("field", "term", "df", "docs", "tfs", "dls")
+    assert fa.exceptAll(fb).count() == 0 and fb.exceptAll(fa).count() == 0
+    # query identity on both modes
+    for mode in ("or", "and"):
+        qa = [(r["doc_id"], round(r["score"], 9)) for r in a.search("running table scan", 10, mode).collect()]
+        qb = [(r["doc_id"], round(r["score"], 9)) for r in b.search("running table scan", 10, mode).collect()]
+        assert qa == qb and qa
