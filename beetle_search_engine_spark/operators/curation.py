@@ -49,7 +49,16 @@ def _stage_parquet(df: DataFrame, checkpoint_dir: str, name: str) -> DataFrame:
     calls sharing a checkpoint_dir from aliasing each other's staging —
     the returned frame re-reads its path LAZILY, so a fixed subpath
     would let a second call's overwrite silently corrupt the first
-    call's pending result."""
+    call's pending result.
+
+    CALLERS OWN CLEANUP of ``checkpoint_dir`` (round-7 ADVICE): because
+    the returned frame stays lazily bound to its staged path, the
+    operator cannot know when it is safe to delete — repeated calls
+    therefore grow the directory until the caller removes it (rmtree the
+    whole checkpoint_dir once results are materialized, as the tests
+    do via tmp_path).  Unlike connected_components' internal iteration
+    (which prunes all but the last staged round itself), these staged
+    paths are part of the returned result's lineage."""
     import uuid
 
     path = f"{checkpoint_dir}/{name}_{uuid.uuid4().hex[:12]}"

@@ -188,28 +188,36 @@ def ngram_jaccard_pairs(
     gets a row: zero-overlap pairs (and pairs whose doc tokenizes to
     nothing) score jaccard=0.0 rather than silently vanishing —
     downstream logic that counts or thresholds verified pairs must see
-    a scored rejection, not a missing row."""
-    toks = sql_tokens(df, text_col, id_col).distinct()
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a scored rejection, not a missing row.
+
+    Round-7 shape (guide §2.3/§2.4): the per-doc DISTINCT TOKEN SET is
+    built in the projection (``array_distinct`` over the token array —
+    no explode, no shuffle) and attached to each candidate side with one
+    join; ``|A∩B|`` is ``size(array_intersect(...))`` per pair.  The old
+    explode-join shape shuffled the token STREAM into an (id, term)
+    equi-join plus a count aggregation plus two size joins — 4 extra
+    exchanges of token-scale data.  Now only the candidate pairs and one
+    doc-level array table move; equal by definition (array_intersect is
+    set intersection and both sides are distinct arrays)."""
     if candidates is None:
         candidates = lsh_candidate_pairs(df, text_col=text_col, id_col=id_col)
-    ta = toks.select(F.col(id_col).alias("id_a"), "term")
-    tb = toks.select(F.col(id_col).alias("_idb"), F.col("term").alias("term_b"))
-    inter = (
-        candidates.join(ta, "id_a")
-        .join(tb, (F.col("id_b") == F.col("_idb")) & (F.col("term") == F.col("term_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    tok_sets = df.select(
+        F.col(id_col),
+        F.array_distinct(token_array(F.col(text_col))).alias("_ts"),
     )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
-    inter_n = F.coalesce(F.col("inter"), F.lit(0))
-    denom = F.coalesce(F.col("sz_a"), F.lit(0)) + F.coalesce(F.col("sz_b"), F.lit(0)) - inter_n
+    ta = tok_sets.select(F.col(id_col).alias("id_a"), F.col("_ts").alias("_ts_a"))
+    tb = tok_sets.select(F.col(id_col).alias("id_b"), F.col("_ts").alias("_ts_b"))
+    inter_n = F.coalesce(
+        F.size(F.array_intersect(F.col("_ts_a"), F.col("_ts_b"))), F.lit(0)
+    )
+    # size(NULL array) = -1; a candidate id absent from df keeps the old
+    # left-join semantics (counts as size 0)
+    sz = lambda c: F.greatest(F.coalesce(F.size(F.col(c)), F.lit(0)), F.lit(0))  # noqa: E731
+    denom = sz("_ts_a") + sz("_ts_b") - inter_n
     jac = F.when(denom > 0, F.round(inter_n / denom, 6)).otherwise(F.lit(0.0))
     return (
-        candidates.join(inter, ["id_a", "id_b"], "left")
-        .join(sa, "id_a", "left")
-        .join(sb, "id_b", "left")
+        candidates.join(ta, "id_a", "left")
+        .join(tb, "id_b", "left")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
