@@ -46,14 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, BM25Params, EngineConfig, IndexConfig
-from .codecs import (
-    decode_docgaps,
-    decode_positions,
-    encode_docgap_rows,
-    encode_positions_rows,
-    varint_decode,
-    varint_encode_rows,
-)
+from .codecs import decode_docgaps, decode_positions, varint_decode
 from .docnums import numbered, stage_corpus, write_docids
 from .tokenize import TOKENS_SCHEMA, TOKENS_SCHEMA_POS, tokenize
 
@@ -71,7 +64,8 @@ def _make_encode_kernel(
     cfg: EngineConfig, stats: dict, hot_df: dict, epoch: int = 0,
     field_names: list[str] | None = None,
 ):
-    """Streaming per-partition encoder, vectorized across terms.
+    """Streaming per-partition encoder, vectorized across terms —
+    ``mapInArrow`` form (round 7, guide §4.2).
 
     Input is sorted by (fid, term, docnum) where ``fid`` is the tinyint
     index into ``field_names`` (sorted) — field STRINGS never ride the
@@ -80,7 +74,25 @@ def _make_encode_kernel(
     df assignment, BM25 scoring, row-bound reduction and varint encoding
     all happen once per batch, not once per term.  Only the partition's
     final (fid, term) run is carried to the next batch (it may continue
-    there)."""
+    there).
+
+    Why Arrow instead of mapInPandas: the pandas form objectified every
+    term string on input (8.8M Python strs per 150k-doc build) and every
+    posting blob on output (one Python ``bytes`` per row via per-row
+    buffer slicing, then pandas object columns).  Here term columns stay
+    Arrow arrays end-to-end (comparisons via pyarrow.compute, output via
+    ``take``), and the binary posting columns are built directly from
+    the codec's contiguous (buffer, offsets) pair —
+    ``pa.Array.from_buffers`` — zero per-row Python objects in either
+    direction."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .codecs import (
+        encode_docgap_concat,
+        encode_positions_concat,
+        varint_encode_concat,
+    )
     block = cfg.index.block_size
     row_cap = block * cfg.index.blocks_per_row
     chunk_docs = cfg.index.chunk_docs
@@ -90,19 +102,41 @@ def _make_encode_kernel(
     avgdl = stats["avgdl"]
     store_pos = cfg.index.store_positions
     field_names = field_names or sorted(stats["fields"])
-    field_arr = np.array(field_names, dtype=object)
     boost_by_fid = np.array([boosts.get(n, 1.0) for n in field_names], dtype=np.float64)
     avgdl_by_fid = np.array([avgdl.get(n, 1.0) for n in field_names], dtype=np.float64)
     hot_by_fid = {
         (field_names.index(f), t): v for (f, t), v in hot_df.items() if f in field_names
     }
 
-    def encode_region(fids, terms, buckets, docs, tfs, dls, pos=None):
-        """Encode complete runs -> columnar dict for one output frame."""
+    out_schema = pa.schema(
+        [
+            ("bucket", pa.int32()), ("field", pa.string()), ("term", pa.string()),
+            ("df", pa.int64()), ("chunk", pa.int64()), ("doc_lo", pa.int64()),
+            ("doc_hi", pa.int64()), ("n", pa.int32()), ("max_score", pa.float32()),
+            ("docs", pa.binary()), ("tfs", pa.binary()), ("dls", pa.binary()),
+            ("pos", pa.binary()), ("row_bytes", pa.int64()),
+            ("epoch", pa.int32()), ("epoch_n", pa.int64()),
+        ]
+    )
+    field_dict = pa.array(list(field_names), type=pa.string())
+
+    def _term_neq(terms, n):
+        """Elementwise terms[1:] != terms[:-1] without objectifying —
+        pyarrow.compute over zero-copy slices."""
+        if n <= 1:
+            return np.empty(0, dtype=bool)
+        return pc.not_equal(terms.slice(1), terms.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+
+    def encode_region(fids, terms, buckets, docs, tfs, dls, posflat=None):
+        """Encode complete runs -> one Arrow RecordBatch.  ``terms`` is a
+        pyarrow StringArray; everything else numpy."""
         n = docs.size
         if n == 0:
             return None
-        if pos is None:
+        tneq = _term_neq(terms, n)
+        if posflat is None:
             # late-stem merge: two source tokens of one doc stemming to
             # the same term arrive as adjacent duplicate (fid, term,
             # docnum) rows after the encode sort — merge them (sum tf)
@@ -110,30 +144,30 @@ def _make_encode_kernel(
             # (strictly increasing docnums per row).  No-op when the
             # stage was pre-merged (classic and positions paths).
             dup = np.zeros(n, dtype=bool)
-            dup[1:] = (
-                (fids[1:] == fids[:-1])
-                & (docs[1:] == docs[:-1])
-                & (terms[1:] == terms[:-1])
-            )
+            dup[1:] = (fids[1:] == fids[:-1]) & (docs[1:] == docs[:-1]) & ~tneq
             if dup.any():
                 keep = np.flatnonzero(~dup)
                 tfs = np.add.reduceat(tfs, keep)
-                fids, terms, buckets = fids[keep], terms[keep], buckets[keep]
+                fids, buckets = fids[keep], buckets[keep]
                 docs, dls = docs[keep], dls[keep]
+                terms = terms.take(pa.array(keep))
                 n = docs.size
+                tneq = _term_neq(terms, n)
         key_change = np.empty(n, dtype=bool)
         key_change[0] = True
-        key_change[1:] = (fids[1:] != fids[:-1]) | (terms[1:] != terms[:-1])
+        key_change[1:] = (fids[1:] != fids[:-1]) | tneq
         span_starts = np.flatnonzero(key_change)
         span_ends = np.append(span_starts[1:], n)
         span_len = span_ends - span_starts
 
         # df per span: run length, except salted hot terms (exact df from
-        # the broadcast map)
+        # the broadcast map).  Only span-START terms are materialized to
+        # Python, and only when a hot set exists (vocab-bounded).
         span_df = span_len.astype(np.int64)
         if hot_by_fid:
-            for i, s in enumerate(span_starts):
-                d = hot_by_fid.get((int(fids[s]), terms[s]))
+            span_terms = terms.take(pa.array(span_starts)).to_pylist()
+            for i, (s, t) in enumerate(zip(span_starts, span_terms)):
+                d = hot_by_fid.get((int(fids[s]), t))
                 if d is not None:
                     span_df[i] = d
 
@@ -169,80 +203,113 @@ def _make_encode_kernel(
             np.maximum.reduceat(scores, row_starts).astype(np.float32), np.float32(np.inf)
         )
 
-        docs_bin = encode_docgap_rows(docs, row_starts)
-        tfs_bin = varint_encode_rows(tfs.astype(np.uint64), row_starts)
-        dls_bin = varint_encode_rows(dls.astype(np.uint64), row_starts)
-        if store_pos and pos is not None:
-            counts = tfs.astype(np.int64)
+        nrows = row_starts.size
+        docs_buf, docs_off = encode_docgap_concat(docs, row_starts)
+        tfs_buf, tfs_off = varint_encode_concat(tfs.astype(np.uint64), row_starts)
+        dls_buf, dls_off = varint_encode_concat(dls.astype(np.uint64), row_starts)
+        if store_pos and posflat is not None:
+            counts = tfs.astype(np.int64)  # tf == positions per posting
             posting_starts = np.zeros(n, dtype=np.int64)
             if n > 1:
                 np.cumsum(counts[:-1], out=posting_starts[1:])
-            allpos = (
-                np.concatenate([np.asarray(p, dtype=np.int64) for p in pos])
-                if n
-                else np.empty(0, dtype=np.int64)
-            )
-            pos_bin = encode_positions_rows(allpos, posting_starts, row_starts)
+            pos_buf, pos_off = encode_positions_concat(posflat, posting_starts, row_starts)
         else:
-            pos_bin = [b""] * row_starts.size
+            pos_buf = np.empty(0, dtype=np.uint8)
+            pos_off = np.zeros(nrows + 1, dtype=np.int64)
 
-        return {
-            "bucket": buckets[row_starts].astype(np.int32),
-            "field": field_arr[fids[row_starts]],
-            "term": terms[row_starts],
-            "df": span_df[row_span],
-            "chunk": chunks[row_starts],
-            "doc_lo": docs[row_starts],
-            "doc_hi": docs[row_ends - 1],
-            "n": row_n.astype(np.int32),
-            "max_score": row_max,
-            "docs": docs_bin,
-            "tfs": tfs_bin,
-            "dls": dls_bin,
-            "pos": pos_bin,
-            "row_bytes": np.array(
-                [
-                    len(a) + len(t) + len(l) + len(p)
-                    for a, t, l, p in zip(docs_bin, tfs_bin, dls_bin, pos_bin)
-                ],
-                dtype=np.int64,
-            ),
+        def _bin(buf, off):
+            # the codec's (contiguous buffer, offsets) IS the Arrow
+            # binary layout — no per-row bytes objects ever exist
+            off32 = np.ascontiguousarray(off, dtype=np.int32)
+            return pa.Array.from_buffers(
+                pa.binary(), nrows,
+                [None, pa.py_buffer(off32), pa.py_buffer(np.ascontiguousarray(buf))],
+            )
+
+        row_bytes = (
+            (docs_off[1:] - docs_off[:-1])
+            + (tfs_off[1:] - tfs_off[:-1])
+            + (dls_off[1:] - dls_off[:-1])
+            + (pos_off[1:] - pos_off[:-1])
+        )
+        rs_idx = pa.array(row_starts)
+        arrays = [
+            pa.array(buckets[row_starts].astype(np.int32), type=pa.int32()),
+            field_dict.take(pa.array(fids[row_starts].astype(np.int64))),
+            terms.take(rs_idx),
+            pa.array(span_df[row_span], type=pa.int64()),
+            pa.array(chunks[row_starts], type=pa.int64()),
+            pa.array(docs[row_starts], type=pa.int64()),
+            pa.array(docs[row_ends - 1], type=pa.int64()),
+            pa.array(row_n.astype(np.int32), type=pa.int32()),
+            pa.array(row_max, type=pa.float32()),
+            _bin(docs_buf, docs_off),
+            _bin(tfs_buf, tfs_off),
+            _bin(dls_buf, dls_off),
+            _bin(pos_buf, pos_off),
+            pa.array(row_bytes.astype(np.int64), type=pa.int64()),
             # epoch lineage: which incremental refresh wrote this row, and
             # the corpus size its encode-time idf/bounds assumed — queries
             # over multi-epoch indexes rescale bounds with these
-            "epoch": np.full(row_starts.size, epoch, dtype=np.int32),
-            "epoch_n": np.full(row_starts.size, n_docs, dtype=np.int64),
-        }
+            pa.array(np.full(nrows, epoch, dtype=np.int32), type=pa.int32()),
+            pa.array(np.full(nrows, n_docs, dtype=np.int64), type=pa.int64()),
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     def kernel(batches):
-        carry = None  # (fids, terms, buckets, docs, tfs, dls[, pos]) of open run
-        for pdf in batches:
-            if len(pdf) == 0:
+        # carry = (fids, terms(pa), buckets, docs, tfs, dls, posflat)
+        carry = None
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            cols = (
-                pdf["fid"].to_numpy(),
-                pdf["term"].to_numpy(),
-                pdf["bucket"].to_numpy(),
-                pdf["docnum"].to_numpy(),
-                pdf["tf"].to_numpy(),
-                pdf["dl"].to_numpy(),
-            )
+            fids = rb.column("fid").to_numpy(zero_copy_only=False)
+            terms = rb.column("term")
+            buckets = rb.column("bucket").to_numpy(zero_copy_only=False)
+            docs = rb.column("docnum").to_numpy(zero_copy_only=False)
+            tfs = rb.column("tf").to_numpy(zero_copy_only=False)
+            dls = rb.column("dl").to_numpy(zero_copy_only=False)
             if store_pos:
-                cols = cols + (pdf["pos"].to_numpy(),)
+                plist = rb.column("pos")
+                posflat = plist.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                posflat = None
             if carry is not None:
-                cols = tuple(np.concatenate([c, x]) for c, x in zip(carry, cols))
-            fids, terms = cols[0], cols[1]
+                fids = np.concatenate([carry[0], fids])
+                terms = pa.concat_arrays(
+                    [carry[1], terms.combine_chunks() if hasattr(terms, "combine_chunks") else terms]
+                )
+                buckets = np.concatenate([carry[2], buckets])
+                docs = np.concatenate([carry[3], docs])
+                tfs = np.concatenate([carry[4], tfs])
+                dls = np.concatenate([carry[5], dls])
+                if store_pos:
+                    posflat = np.concatenate([carry[6], posflat])
+            n = docs.size
             # hold back the trailing (fid, term) run — it may continue
-            kc = np.flatnonzero((fids[1:] != fids[:-1]) | (terms[1:] != terms[:-1]))
+            kc = np.flatnonzero((fids[1:] != fids[:-1]) | _term_neq(terms, n))
             last_start = int(kc[-1]) + 1 if kc.size else 0
-            carry = tuple(c[last_start:] for c in cols)
-            out = encode_region(*(c[:last_start] for c in cols))
+            if store_pos:
+                poscut = int(tfs[:last_start].sum())
+                carry_pos, region_pos = posflat[poscut:], posflat[:poscut]
+            else:
+                carry_pos, region_pos = None, None
+            carry = (
+                fids[last_start:],
+                pa.concat_arrays([terms.slice(last_start)]),  # compact copy
+                buckets[last_start:], docs[last_start:],
+                tfs[last_start:], dls[last_start:], carry_pos,
+            )
+            out = encode_region(
+                fids[:last_start], terms.slice(0, last_start),
+                buckets[:last_start], docs[:last_start],
+                tfs[:last_start], dls[:last_start], region_pos,
+            )
             if out is not None:
-                yield pd.DataFrame(out)
+                yield out
         if carry is not None and carry[0].size:
-            out = encode_region(*carry)
+            out = encode_region(*carry[:6], carry[6])
             if out is not None:
-                yield pd.DataFrame(out)
+                yield out
 
     return kernel
 
@@ -815,7 +882,7 @@ def _encode_groups(
             sel.repartition(p_enc, part_key)
             .sortWithinPartitions("fid", "term", "docnum")
             .select(*enc_cols)
-            .mapInPandas(kernel, schema=POSTINGS_SCHEMA)
+            .mapInArrow(kernel, schema=POSTINGS_SCHEMA)
         )
         out_path = f"{root}/postings/group={g}"
         # token rows are narrow (~40 B); 64k-row Arrow batches cut the

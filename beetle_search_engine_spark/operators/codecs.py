@@ -58,14 +58,18 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
-def varint_encode_rows(values: np.ndarray, row_starts: np.ndarray) -> list[bytes]:
-    """Encode one array and slice it into per-row byte strings at
-    ``row_starts`` (value indices).  One vectorized pass for the whole
-    batch instead of one varint_encode call per posting row."""
+def varint_encode_concat(
+    values: np.ndarray, row_starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode one array; return (uint8 buffer, per-row byte
+    offsets of len(row_starts)+1).  The buffer + offsets pair IS the
+    Arrow binary-column layout (one contiguous data buffer + an offsets
+    array), so the round-7 mapInArrow encode kernel emits posting blobs
+    with ZERO per-row Python objects (guide §4.2)."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     n = a.size
     if n == 0:
-        return []
+        return np.empty(0, dtype=np.uint8), np.zeros(len(row_starts) + 1, dtype=np.int64)
     nb = np.ones(n, dtype=np.int64)
     v = a >> _U7
     while v.any():
@@ -79,16 +83,24 @@ def varint_encode_rows(values: np.ndarray, row_starts: np.ndarray) -> list[bytes
         bts = ((a[m] >> np.uint64(7 * k)) & _U127).astype(np.uint8)
         bts[nb[m] > k + 1] |= 128
         out[pos[m] + k] = bts
-    buf = out.tobytes()
-    byte_starts = pos[row_starts]
-    byte_ends = np.append(byte_starts[1:], len(buf))
-    return [buf[s:e] for s, e in zip(byte_starts.tolist(), byte_ends.tolist())]
+    offsets = np.empty(len(row_starts) + 1, dtype=np.int64)
+    offsets[:-1] = pos[row_starts]
+    offsets[-1] = out.size
+    return out, offsets
 
 
-def encode_docgap_rows(docnums: np.ndarray, row_starts: np.ndarray) -> list[bytes]:
-    """Gap-encode a batch of concatenated per-row sorted docnum runs: the
-    first value of each row is stored absolute (delta from -1), the rest as
-    (delta - 1) within the row."""
+def varint_encode_rows(values: np.ndarray, row_starts: np.ndarray) -> list[bytes]:
+    """Encode one array and slice it into per-row byte strings at
+    ``row_starts`` (value indices).  One vectorized pass for the whole
+    batch instead of one varint_encode call per posting row."""
+    buf, offsets = varint_encode_concat(values, row_starts)
+    if buf.size == 0 and len(offsets) == 1:
+        return []
+    b = buf.tobytes()
+    return [b[s:e] for s, e in zip(offsets[:-1].tolist(), offsets[1:].tolist())]
+
+
+def _docgaps_for_rows(docnums: np.ndarray, row_starts: np.ndarray) -> np.ndarray:
     d = np.ascontiguousarray(docnums, dtype=np.int64)
     gaps = np.empty(d.size, dtype=np.int64)
     if d.size:
@@ -101,7 +113,21 @@ def encode_docgap_rows(docnums: np.ndarray, row_starts: np.ndarray) -> list[byte
             raise ValueError(
                 "encode_docgap_rows needs strictly-increasing non-negative docnums per row"
             )
-    return varint_encode_rows(gaps.astype(np.uint64), row_starts)
+    return gaps.astype(np.uint64)
+
+
+def encode_docgap_rows(docnums: np.ndarray, row_starts: np.ndarray) -> list[bytes]:
+    """Gap-encode a batch of concatenated per-row sorted docnum runs: the
+    first value of each row is stored absolute (delta from -1), the rest as
+    (delta - 1) within the row."""
+    return varint_encode_rows(_docgaps_for_rows(docnums, row_starts), row_starts)
+
+
+def encode_docgap_concat(
+    docnums: np.ndarray, row_starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow-layout twin of :func:`encode_docgap_rows` (buffer, offsets)."""
+    return varint_encode_concat(_docgaps_for_rows(docnums, row_starts), row_starts)
 
 
 def encode_positions_rows(
@@ -123,6 +149,20 @@ def encode_positions_rows(
     gaps[1:] = a[1:] - a[:-1] - 1
     gaps[posting_starts] = a[posting_starts]  # posting-initial absolute
     return varint_encode_rows(gaps.astype(np.uint64), posting_starts[row_starts])
+
+
+def encode_positions_concat(
+    allpos: np.ndarray, posting_starts: np.ndarray, row_starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow-layout twin of :func:`encode_positions_rows`."""
+    a = np.ascontiguousarray(allpos, dtype=np.int64)
+    if a.size == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(len(row_starts) + 1, dtype=np.int64)
+    gaps = np.empty(a.size, dtype=np.int64)
+    gaps[0] = a[0]
+    gaps[1:] = a[1:] - a[:-1] - 1
+    gaps[posting_starts] = a[posting_starts]  # posting-initial absolute
+    return varint_encode_concat(gaps.astype(np.uint64), posting_starts[row_starts])
 
 
 def decode_positions(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -157,7 +157,7 @@ def append_epoch(
         base.repartition(p_enc, part_key)
         .sortWithinPartitions("fid", "term", "docnum")
         .select(*enc_cols)
-        .mapInPandas(kernel, schema=POSTINGS_SCHEMA)
+        .mapInArrow(kernel, schema=POSTINGS_SCHEMA)
     )
     enc.write.mode("overwrite").partitionBy("bucket").parquet(f"{index_dir}/postings/group={1000 + epoch}")
 
