@@ -313,6 +313,81 @@ def connected_components(
     diameter exactly max_iter converges rather than raising.
     """
     spark = pairs.sparkSession
+
+    # Driver-local fast path (round 7): the same adaptive pattern as
+    # BM25Index.search's prefer_local — a SMALL pair set never needs a
+    # distributed fixpoint iteration (each round is 2+ jobs; at sandbox
+    # scales the iteration is pure scheduling latency).  One bounded
+    # limit-collect decides: under the cap, union-find with min-root on
+    # the driver produces BIT-IDENTICAL components (min over UTF-8
+    # strings == Spark's string min; ints trivially); over the cap the
+    # early-stopped CollectLimit aborts cheaply and the distributed
+    # iteration below runs unchanged.  Cap parameterised for clusters
+    # (spark.beetle.cc.localPairsMax, rows; 0 disables).
+    local_max = int(spark.conf.get("spark.beetle.cc.localPairsMax", "100000"))
+    if local_max > 0:
+        head = pairs.select(a_col, b_col).limit(local_max + 1).collect()
+        if len(head) <= local_max:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r_ in head:
+                a, bb = r_[0], r_[1]
+                parent.setdefault(a, a)
+                parent.setdefault(bb, bb)
+                ra, rb = find(a), find(bb)
+                if ra != rb:
+                    parent[ra] = rb
+            comp_min: dict = {}
+            roots = {x: find(x) for x in parent}
+            for x, r in roots.items():
+                m = comp_min.get(r)
+                if m is None or x < m:
+                    comp_min[r] = x
+            if algorithm == "label":
+                # honor the distributed contract exactly: label
+                # propagation converges in max-hop-distance-from-the-
+                # component-minimum rounds; beyond max_iter it RAISES
+                # rather than returning (the same truncation guard).
+                # One multi-source BFS from every component minimum.
+                from collections import deque
+
+                adj: dict = {}
+                for r_ in head:
+                    a, bb = r_[0], r_[1]
+                    adj.setdefault(a, []).append(bb)
+                    adj.setdefault(bb, []).append(a)
+                depth = {m: 0 for m in comp_min.values()}
+                dq = deque(depth)
+                max_depth = 0
+                while dq:
+                    x = dq.popleft()
+                    dx = depth[x]
+                    for y in adj.get(x, ()):
+                        if y not in depth:
+                            depth[y] = dx + 1
+                            if dx + 1 > max_depth:
+                                max_depth = dx + 1
+                            dq.append(y)
+                if max_depth > max_iter:
+                    raise RuntimeError(
+                        f"connected_components did not converge within max_iter={max_iter} "
+                        "rounds; the pair graph has diameter beyond that — raise max_iter "
+                        "(or upgrade to large-star/small-star for pathological chains)"
+                    )
+            a_type = dict(pairs.dtypes)[a_col]
+            return spark.createDataFrame(
+                [(x, comp_min[r]) for x, r in sorted(roots.items())],
+                f"{id_out} {a_type}, {comp_out} {a_type}",
+            )
+
     staged_paths: list[str] = []
 
     def _stage(df: DataFrame, name: str) -> DataFrame:
@@ -345,19 +420,24 @@ def connected_components(
     # (a diameter-== max_iter graph is converged, not an error).
     for rnd in range(1, max_iter + 2):
         prop = edges.join(labels, edges["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), F.col("lab")
+            F.col("dst").alias("node"), F.col("lab"), F.lit(0).alias("own")
         )
-        new = _stage(
-            labels.unionByName(prop).groupBy("node").agg(F.min("lab").alias("lab")),
+        # the node's previous label rides the SAME aggregation as the
+        # min-propagation (own=1 marks the self row, of which every node
+        # has exactly one), so the convergence probe is a filter over the
+        # staged round — no extra per-round join (round-7, guide §2.4)
+        new_full = _stage(
+            labels.select("node", "lab", F.lit(1).alias("own"))
+            .unionByName(prop)
+            .groupBy("node")
+            .agg(
+                F.min("lab").alias("lab"),
+                F.min(F.when(F.col("own") == 1, F.col("lab"))).alias("_old"),
+            ),
             f"labels_{rnd}",
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .take(1)
-        )
-        labels = new
+        changed = new_full.filter(F.col("lab") != F.col("_old")).take(1)
+        labels = new_full.select("node", "lab")
         if not changed:
             converged = True
             break

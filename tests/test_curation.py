@@ -741,3 +741,36 @@ def test_span_ops_checkpoint_dir_identity(spark, tmp_path):
     r0 = sorted(map(tuple, remove_duplicate_spans(df).collect()))
     r1 = sorted(map(tuple, remove_duplicate_spans(df, checkpoint_dir=str(tmp_path / "b")).collect()))
     assert r0 == r1 and r0
+
+
+def test_cc_local_fast_path_matches_distributed(spark):
+    """The round-7 driver-local union-find (small pair sets) must equal
+    the distributed label propagation bit-for-bit, including string-id
+    ordering, and the conf knob must force the distributed path."""
+    from beetle_search_engine_spark.operators.dedup import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(8)]
+        + [(20, 21), (21, 22), (22, 20)]
+        + [(30, 31)]
+        + [(41, 40), (40, 42), (42, 41)]
+    )
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    local = {r.doc_id: r.component for r in connected_components(df).collect()}
+    spark.conf.set("spark.beetle.cc.localPairsMax", "0")
+    try:
+        dist = {r.doc_id: r.component for r in connected_components(df).collect()}
+    finally:
+        spark.conf.unset("spark.beetle.cc.localPairsMax")
+    assert local == dist
+    # string ids: UTF-8 min ordering must match Spark's string min
+    sdf = spark.createDataFrame(
+        [("b", "a"), ("a", "Z"), ("x", "y")], "id_a string, id_b string"
+    )
+    local_s = {r.doc_id: r.component for r in connected_components(sdf).collect()}
+    spark.conf.set("spark.beetle.cc.localPairsMax", "0")
+    try:
+        dist_s = {r.doc_id: r.component for r in connected_components(sdf).collect()}
+    finally:
+        spark.conf.unset("spark.beetle.cc.localPairsMax")
+    assert local_s == dist_s and local_s["b"] == "Z"
