@@ -159,12 +159,19 @@ def lsh_candidate_pairs(
         agg.select(F.col(id_col), F.explode(band_structs).alias("bs"))
         .select(id_col, "bs.band", "bs.band_key")
     )
-    sizes = bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_bsz"))
+    # bucket-size guard as a WINDOW over the same key the self-join uses
+    # (round 7, guide §2.4): the old groupBy+join shape shuffled the band
+    # stream once for the size aggregation, again for the filter join and
+    # again per self-join side; a count() window partitioned by
+    # (band, band_key) establishes that partitioning ONCE, and the
+    # self-join below joins on exactly those keys over two identical
+    # subtrees — the exchange is reused, no re-shuffle.
+    from pyspark.sql import Window as _W
+
+    _w = _W.partitionBy("band", "band_key")
     bands = (
-        bands.join(
-            sizes.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)),
-            ["band", "band_key"],
-        )
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(_w))
+        .filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket))
         .drop("_bsz")
     )
     a = bands.alias("a")
