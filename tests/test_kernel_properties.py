@@ -142,10 +142,16 @@ def run_kernels(seed, n_docs, mode, hot_salts, taat_density=0.25, groups=False):
                 "dl": np.array([r[5] for r in part], dtype=np.int64),
             }
         )
-        # feed in small batches to exercise the carry logic
+        # feed in small batches to exercise the carry logic (the kernel
+        # is mapInArrow since round 7: RecordBatches in, RecordBatches out)
+        import pyarrow as pa
+
         bsz = max(1, len(pdf) // rng.randint(1, 4))
-        batches = [pdf.iloc[i : i + bsz] for i in range(0, len(pdf), bsz)]
-        out_frames.extend(kernel(iter(batches)))
+        batches = [
+            pa.RecordBatch.from_pandas(pdf.iloc[i : i + bsz], preserve_index=False)
+            for i in range(0, len(pdf), bsz)
+        ]
+        out_frames.extend(rb.to_pandas() for rb in kernel(iter(batches)))
     enc = pd.concat(out_frames, ignore_index=True)
 
     # query: 1-3 random terms, or (groups) 1-3 clauses of 1-3 members
