@@ -43,11 +43,19 @@ def sql_bm25_topk(
     the cheap column-pruned docs.count(); they can match no query term,
     so their missing dl rows never affect the join."""
     tf = term_frequencies(docs, text_col, id_col)
-    n_docs = docs.count()
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # n_docs as an in-plan 1-row agg cross-joined through the broadcast
+    # stats frame (round 7): the old ``docs.count()`` was a separate
+    # driver-blocking job per query; computed as a column the doubles are
+    # bit-identical (int/double division either way) and the whole query
+    # is ONE job.  Zero-token docs still count toward N and avgdl via the
+    # column-pruned count.
     stats = F.broadcast(
-        dl.agg((F.sum("dl") / F.lit(float(n_docs))).alias("avgdl")).withColumn(
-            "n_docs", F.lit(n_docs)
+        dl.agg(F.sum("dl").alias("_dlsum"))
+        .crossJoin(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+        .select(
+            (F.col("_dlsum") / F.col("n_docs").cast("double")).alias("avgdl"),
+            "n_docs",
         )
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
