@@ -8,9 +8,16 @@ Pipeline (all DataFrame, one Python kernel):
          ──> tokens (docnum, field, term, tf, dl)              [staged]
   tokens ── groupBy(field).sum(tf) ──────> avgdl per field      (map-side combine)
   tokens ── groupBy(field,term).count ──> df; df>threshold ──> hot set (broadcast)
-  tokens ── +bucket +salt, repartition(xxhash64(term,salt))
-         ── sortWithinPartitions(field,term,docnum)
-         ── mapInPandas(encode) ──> posting rows ──> parquet partitionBy(bucket)
+  tokens ── [late-stem: ⋈ broadcast stem dim] ── +bucket +salt,
+         repartition(xxhash64(bucket,salt))
+         ── sortWithinPartitions(fid,term,docnum)
+         ── mapInArrow(encode) ──> posting rows ──> parquet partitionBy(bucket)
+
+Round 7: jvm stemming builds stage PRE-STEM tokens (one regex pass) and
+attach the vocabulary-sized stem dimension from the stage read; the
+encode kernel merges same-doc stem collisions and is mapInArrow end to
+end (no per-row Python objects).  Docnums are a pure JVM projection
+(_metadata.row_index).  See OPTIMIZATION_r07.md.
 
 Physical layout: rows hold up to block_size*blocks_per_row postings each,
 chunk-aligned (a row never spans a chunk_docs docnum boundary), binary
