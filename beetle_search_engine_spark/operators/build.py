@@ -544,6 +544,7 @@ def build_index(
                 if (g >= 1000 or g >= cfg.index.bucket_groups) and os.path.exists(man_path):
                     os.remove(man_path)  # stale epoch/foreign manifest too
 
+    docids_fut = None
     if prior is None:
         # full rebuild: clear the WHOLE docids dir first — write_docids
         # overwrites only its epoch=0 partition, so stale epoch=N
@@ -553,9 +554,24 @@ def build_index(
         # ... and any tombstones: a rebuild reassigns docnums, and it IS
         # the merge that makes deletions physical (Lucene optimize)
         _sh.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
-        # pruned numbering pass: only (doc_id [+meta]) ride through Arrow
-        write_docids(numbered(staged, offsets, ["doc_id", *meta_cols]), f"{index_dir}/docids", meta_cols)
-        _mark('write_docids')
+        # pruned pass: only (doc_id [+meta]) ride into the docids write
+        # (docnum is a pure JVM projection since round 7).  Submitted on
+        # a helper thread so its tasks BACKFILL the tokenize stage's
+        # scheduling gaps (guide §2.6 — the two jobs read disjoint
+        # columns of the staged corpus and write disjoint outputs;
+        # Spark's FIFO scheduler lets the later job use idle slots).
+        # Joined right after the tokenize write below — every later step
+        # is free to assume docids exist.
+        from concurrent.futures import ThreadPoolExecutor
+
+        _docids_pool = ThreadPoolExecutor(max_workers=1)
+        docids_fut = _docids_pool.submit(
+            write_docids,
+            numbered(staged, offsets, ["doc_id", *meta_cols]),
+            f"{index_dir}/docids",
+            meta_cols,
+        )
+        _mark('write_docids submitted (overlaps tokenize)')
 
     # No-op resume fast path: a fully-complete index (valid prior stats
     # + every group manifest matching this fingerprint/layout) needs no
@@ -638,8 +654,11 @@ def build_index(
         n_docs_hint=n_docs,
         apply_stems=not late_stem,
     ).write.mode("overwrite").parquet(stage_path)
+    if docids_fut is not None:
+        docids_fut.result()  # surfaces any docids-write failure here
+        _docids_pool.shutdown(wait=False)
     raw_tokens = spark.read.parquet(stage_path)
-    _mark('tokenize -> stage parquet')
+    _mark('tokenize -> stage parquet (+ overlapped docids write)')
 
     stems_dim = None
     tokens = raw_tokens  # re-bound below for the late-stem path
